@@ -1,0 +1,57 @@
+"""lithographysimulator_tpu — TPU-native Fourier-optics lithography imaging.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+quarterwave0/LithographySimulator: Fraunhofer binary-mask diffraction (direct
+and Gau'23 wavelength-scaling FFT solvers), Zernike-aberrated pupil
+functions, classical/annular/quasar illumination, and Abbe partial-coherence
+aerial-image formation — all as jit-compiled XLA programs with static shapes,
+batched FFTs, and ICI-sharded source-point parallelism.
+"""
+
+from .config import DEMO_CONFIG, OpticsConfig, WavelengthScaling, nearest_pow2
+from .grid import Grid, unit_disk_mask
+from .models.mask import Mask, contact_holes, demo_bars, from_array, lines_and_spaces
+from .models.pupil import Pupil, pupil_function
+from .models.source import LightSource
+from .ops.abbe import (
+    SourcePoints,
+    abbe_image,
+    abbe_image_points,
+    accumulate_intensity,
+    source_points,
+)
+from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
+from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
+from .simulate import SimulationResult, simulate
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEMO_CONFIG",
+    "Grid",
+    "LightSource",
+    "Mask",
+    "OpticsConfig",
+    "Pupil",
+    "SimulationResult",
+    "SourcePoints",
+    "WavelengthScaling",
+    "abbe_image",
+    "abbe_image_points",
+    "accumulate_intensity",
+    "contact_holes",
+    "demo_bars",
+    "from_array",
+    "lines_and_spaces",
+    "mask_spectrum",
+    "nearest_pow2",
+    "osa_index_to_mn",
+    "pupil_function",
+    "simulate",
+    "source_points",
+    "spectrum_direct",
+    "spectrum_fft",
+    "unit_disk_mask",
+    "wavefront_error",
+    "zernike_basis",
+]

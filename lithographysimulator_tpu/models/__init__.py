@@ -1,0 +1,3 @@
+from .mask import Mask, contact_holes, demo_bars, from_array, lines_and_spaces
+from .pupil import Pupil, pupil_function
+from .source import LightSource
