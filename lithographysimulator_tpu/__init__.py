@@ -20,6 +20,7 @@ from .ops.abbe import (
     accumulate_intensity,
     source_points,
 )
+from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
 from .simulate import SimulationResult, simulate
@@ -41,6 +42,7 @@ __all__ = [
     "accumulate_intensity",
     "contact_holes",
     "demo_bars",
+    "focus_stack_aberrations",
     "from_array",
     "lines_and_spaces",
     "mask_spectrum",
@@ -51,6 +53,7 @@ __all__ = [
     "source_points",
     "spectrum_direct",
     "spectrum_fft",
+    "through_focus_images",
     "unit_disk_mask",
     "wavefront_error",
     "zernike_basis",

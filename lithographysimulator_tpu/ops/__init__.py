@@ -3,3 +3,7 @@ from .fourier import centered_fft2, centered_ifft2, crop_center, pad_center
 from .fraunhofer import mask_spectrum, separable_dft, spectrum_direct, spectrum_fft
 from .resize import bilinear_resize
 from .zernike import osa_index_to_mn, wavefront_error, zernike_basis
+
+# .focus is imported lazily by the top-level package: it depends on
+# models.pupil, which itself imports ops.zernike — an eager import here
+# would be circular.

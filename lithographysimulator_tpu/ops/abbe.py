@@ -139,7 +139,7 @@ def accumulate_intensity(
     config: OpticsConfig,
     *,
     solver: Solver = "gau23",
-    chunk: int = 32,
+    chunk: int = 4,
 ) -> jnp.ndarray:
     """Scan source-point chunks, accumulating ``sum_s w_s |E_s|^2`` on chip.
 
@@ -165,7 +165,11 @@ def accumulate_intensity(
         intensity = w[:, None, None] * jnp.abs(fields) ** 2
         return acc + jnp.sum(intensity, axis=0), None
 
-    init = jnp.zeros((n, n), dtype=real_dtype)
+    # Derive the zero init from the inputs so it inherits their varying
+    # manual axes when running inside shard_map (scan requires carry-in and
+    # carry-out to agree on vma; a plain zeros() would be unvarying).
+    vma_seed = (weights[0, 0] + jnp.real(pupil[0, 0]) + jnp.real(spectrum[0, 0])) * 0
+    init = jnp.zeros((n, n), dtype=real_dtype) + vma_seed.astype(real_dtype)
     acc, _ = jax.lax.scan(body, init, (shifts, weights))
     return acc
 
@@ -193,7 +197,7 @@ def abbe_image_points(
     config: OpticsConfig,
     *,
     solver: Solver = "gau23",
-    chunk: int = 32,
+    chunk: int = 4,
     normalize: bool = False,
     total_weight=None,
 ) -> jnp.ndarray:
@@ -224,7 +228,7 @@ def abbe_image(
     config: OpticsConfig,
     *,
     solver: Solver = "gau23",
-    chunk: int = 32,
+    chunk: int = 4,
     normalize: bool = False,
 ) -> jnp.ndarray:
     """Aerial image from a mask spectrum, pupil function, and source.

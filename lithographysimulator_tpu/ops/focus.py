@@ -1,0 +1,54 @@
+"""Through-focus (focal stack) imaging: vmap over defocus settings.
+
+The reference computes one image per run with a single scalar defocus folded
+into the aberration vector (``pupil.py:91-92``); a focus-exposure matrix
+requires rerunning the whole pipeline. Here the defocus axis is a ``vmap``
+over the Zernike coefficient vector — the mask spectrum is computed once and
+the batched pupil/imaging work compiles into one XLA program (and shards over
+a mesh 'focus' axis in :mod:`..parallel.abbe_sharded`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OpticsConfig
+from ..models.pupil import pupil_function
+from .abbe import Solver, abbe_image_points
+from .zernike import DEFOCUS_OSA_INDEX
+
+
+def focus_stack_aberrations(base_aberrations, defocus_nm_values) -> jnp.ndarray:
+    """(F, A) coefficient stack: ``base_aberrations`` with entry 4 (defocus,
+    nm) replaced by each value of ``defocus_nm_values``."""
+    base = jnp.asarray(base_aberrations, jnp.float32)
+    if base.shape[0] < DEFOCUS_OSA_INDEX + 1:
+        base = jnp.pad(base, (0, DEFOCUS_OSA_INDEX + 1 - base.shape[0]))
+    defocus = jnp.asarray(defocus_nm_values, jnp.float32)
+    stack = jnp.broadcast_to(base, (defocus.shape[0], base.shape[0]))
+    return stack.at[:, DEFOCUS_OSA_INDEX].set(defocus)
+
+
+def through_focus_images(
+    spectrum: jnp.ndarray,
+    aberrations_stack: jnp.ndarray,
+    shifts: jnp.ndarray,
+    weights: jnp.ndarray,
+    config: OpticsConfig,
+    *,
+    solver: Solver = "gau23",
+    chunk: int = 4,
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """(F, n, n) focal stack for an (F, A) aberration-coefficient stack over
+    one shared mask spectrum and source-point list."""
+
+    def one(aberr):
+        pupil = pupil_function(aberr, config, dtype=spectrum.dtype)
+        return abbe_image_points(
+            spectrum, pupil, shifts, weights, config,
+            solver=solver, chunk=chunk, normalize=normalize,
+        )
+
+    return jax.vmap(one)(jnp.asarray(aberrations_stack))

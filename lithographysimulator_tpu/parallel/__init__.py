@@ -1,0 +1,2 @@
+from .abbe_sharded import abbe_image_sharded, padded_source_arrays, through_focus_sharded
+from .mesh import FOCUS_AXIS, SOURCE_AXIS, focus_source_mesh, source_mesh

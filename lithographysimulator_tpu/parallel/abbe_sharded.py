@@ -1,0 +1,139 @@
+"""ICI-sharded Abbe imaging: source-point data parallelism over a chip mesh.
+
+The TPU-native replacement for the reference's serial per-point Python loop
+(``imageformation.py:62-67``): the padded source-point list is sharded across
+the mesh's 'source' axis with ``shard_map``, every chip scans its shard with
+the same on-chip |E|^2 accumulation as the single-chip engine, and the
+partial intensity images meet in a single (n, n) float32 ``psum`` over ICI —
+communication-trivial (one all-reduce of ~n^2 floats per image).
+
+Through-focus stacks additionally shard defocus settings over a 'focus' mesh
+axis: each (focus, source) submesh row images one defocus plane.
+
+Everything here works identically on real TPU meshes and on the 8-virtual-
+device CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import OpticsConfig
+from ..models.pupil import pupil_function
+from ..ops.abbe import (
+    Solver,
+    _postprocess_gau23,
+    accumulate_intensity,
+    source_points,
+)
+from .mesh import FOCUS_AXIS, SOURCE_AXIS
+
+
+def padded_source_arrays(source_map, multiple: int):
+    """Host-side: extract live source points and zero-weight-pad the arrays
+    so their length divides ``multiple`` (devices * chunk)."""
+    pts = source_points(np.asarray(source_map))
+    pad = (-pts.live_count) % multiple
+    shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+    weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+    return jnp.asarray(shifts), jnp.asarray(weights), pts.live_count
+
+
+def abbe_image_sharded(
+    spectrum: jnp.ndarray,
+    pupil: jnp.ndarray,
+    shifts: jnp.ndarray,
+    weights: jnp.ndarray,
+    config: OpticsConfig,
+    mesh: Mesh,
+    *,
+    solver: Solver = "gau23",
+    chunk: int = 4,
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """Aerial image with the source-point list sharded over ``mesh``'s
+    'source' axis. ``shifts``/``weights`` length must divide
+    ``mesh.shape['source'] * chunk`` evenly (see :func:`padded_source_arrays`).
+
+    Jit-compatible: call inside ``jax.jit`` for production use.
+    """
+    n_dev = mesh.shape[SOURCE_AXIS]
+    p = shifts.shape[0]
+    if p % (n_dev * chunk):
+        raise ValueError(
+            f"point count {p} must divide devices*chunk = {n_dev * chunk}"
+        )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(SOURCE_AXIS), P(SOURCE_AXIS)),
+        out_specs=P(),
+    )
+    def run(spec, pup, s, w):
+        local = accumulate_intensity(
+            pup, spec, s, w, config, solver=solver, chunk=chunk
+        )
+        return jax.lax.psum(local, SOURCE_AXIS)
+
+    image = run(spectrum, pupil, shifts, weights)
+    if solver == "gau23":
+        image = _postprocess_gau23(image, config)
+    if normalize:
+        total = jnp.sum(weights)
+        image = jnp.where(total > 0, image / jnp.maximum(total, 1e-30), 0.0)
+    return image
+
+
+def through_focus_sharded(
+    spectrum: jnp.ndarray,
+    aberrations_stack: jnp.ndarray,
+    shifts: jnp.ndarray,
+    weights: jnp.ndarray,
+    config: OpticsConfig,
+    mesh: Mesh,
+    *,
+    solver: Solver = "gau23",
+    chunk: int = 4,
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """(F, n, n) focal stack over a 2-D ('focus', 'source') mesh: defocus
+    settings sharded across 'focus', source points across 'source'."""
+    n_focus = mesh.shape[FOCUS_AXIS]
+    n_src = mesh.shape[SOURCE_AXIS]
+    f = aberrations_stack.shape[0]
+    if f % n_focus:
+        raise ValueError(f"focus count {f} must divide mesh focus axis {n_focus}")
+    if shifts.shape[0] % (n_src * chunk):
+        raise ValueError(
+            f"point count {shifts.shape[0]} must divide devices*chunk = {n_src * chunk}"
+        )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(FOCUS_AXIS), P(SOURCE_AXIS), P(SOURCE_AXIS)),
+        out_specs=P(FOCUS_AXIS),
+    )
+    def run(spec, aberr_shard, s, w):
+        def one(aberr):
+            pup = pupil_function(aberr, config, dtype=spec.dtype)
+            local = accumulate_intensity(
+                pup, spec, s, w, config, solver=solver, chunk=chunk
+            )
+            return jax.lax.psum(local, SOURCE_AXIS)
+
+        return jax.vmap(one)(aberr_shard)
+
+    stack = run(spectrum, jnp.asarray(aberrations_stack), shifts, weights)
+    if solver == "gau23":
+        stack = jax.vmap(lambda im: _postprocess_gau23(im, config))(stack)
+    if normalize:
+        total = jnp.sum(weights)
+        stack = jnp.where(total > 0, stack / jnp.maximum(total, 1e-30), 0.0)
+    return stack

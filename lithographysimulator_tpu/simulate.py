@@ -57,7 +57,7 @@ def simulate(
     aberrations=None,
     *,
     solver: Literal["gau23", "direct"] = "gau23",
-    chunk: int = 32,
+    chunk: int = 4,
     normalize: bool = False,
     block: bool = True,
 ) -> SimulationResult:

@@ -1,0 +1,111 @@
+"""Differentiability + SMO training-step tests (CPU, small grids)."""
+
+import jax
+import numpy as np
+import optax
+
+from lithographysimulator_tpu import (
+    LightSource,
+    OpticsConfig,
+    abbe_image_points,
+    demo_bars,
+    mask_spectrum,
+    pupil_function,
+)
+from lithographysimulator_tpu.optimize import (
+    SMOProblem,
+    forward,
+    init_params,
+    make_train_step,
+    mask_from_latent,
+    optimize,
+)
+from lithographysimulator_tpu.parallel import padded_source_arrays, source_mesh
+
+CFG = OpticsConfig(pixel_number=32)
+
+
+def _setup(chunk=8):
+    src = np.asarray(LightSource(CFG, sigma_out=0.4).classical())
+    shifts, weights, _ = padded_source_arrays(src, 8 * chunk)
+    return shifts, weights
+
+
+def test_image_grad_wrt_mask_nonzero():
+    shifts, weights = _setup()
+    pup = pupil_function(np.zeros(1), CFG)
+
+    def f(geom):
+        spec = mask_spectrum(geom, CFG)
+        return abbe_image_points(spec, pup, shifts, weights, CFG,
+                                 chunk=8, normalize=True).sum()
+
+    g = jax.grad(f)(demo_bars(CFG).geometry)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_image_grad_wrt_aberrations_nonzero():
+    shifts, weights = _setup()
+    spec = mask_spectrum(demo_bars(CFG).geometry, CFG)
+
+    def f(ab):
+        pup = pupil_function(ab, CFG)
+        img = abbe_image_points(spec, pup, shifts, weights, CFG,
+                                chunk=8, normalize=True)
+        return ((img - 0.5) ** 2).mean()
+
+    g = np.asarray(jax.grad(f)(np.array([0, 0, 0.1, 0, 30.0], np.float32)))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_smo_loss_decreases():
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8)
+    ab = np.zeros(1, np.float32)
+
+    target_geom = demo_bars(CFG).geometry
+    target_params = init_params(problem, target_geom)
+    target = forward(target_params, ab, shifts, weights, problem)
+
+    # start from a blurred / wrong mask
+    rng = np.random.default_rng(0)
+    geom0 = np.clip(np.asarray(target_geom) * 0.5 +
+                    0.25 * rng.random((32, 32)), 0, 1).astype(np.float32)
+    params, history = optimize(problem, target, geom0, ab, shifts, weights,
+                               steps=30, learning_rate=0.2)
+    assert history[-1] < history[0] * 0.5
+
+
+def test_smo_sharded_step_matches_local():
+    """The sharded training step computes the same loss/update as local."""
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8)
+    ab = np.zeros(1, np.float32)
+    target = forward(init_params(problem, demo_bars(CFG).geometry),
+                     ab, shifts, weights, problem)
+    geom0 = np.full((32, 32), 0.4, np.float32)
+
+    opt = optax.sgd(0.1)
+    params0 = init_params(problem, geom0)
+
+    step_local = make_train_step(problem, opt)
+    step_shard = make_train_step(problem, opt, mesh=source_mesh())
+
+    p1, _, loss1 = step_local(params0, opt.init(params0), target, ab, shifts, weights)
+    p2, _, loss2 = step_shard(params0, opt.init(params0), target, ab, shifts, weights)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["mask_latent"]),
+                               np.asarray(p2["mask_latent"]), rtol=1e-4, atol=1e-6)
+
+
+def test_source_optimization_params():
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8, optimize_source=True)
+    ab = np.zeros(1, np.float32)
+    params = init_params(problem, demo_bars(CFG).geometry,
+                         source_weights_init=np.maximum(np.asarray(weights), 1e-3))
+    img = forward(params, ab, shifts, weights, problem)
+    assert np.isfinite(np.asarray(img)).all()
+    g = jax.grad(lambda p: forward(p, ab, shifts, weights, problem).sum())(params)
+    assert np.abs(np.asarray(g["source_logits"])).max() > 0
