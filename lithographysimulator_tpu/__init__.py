@@ -22,6 +22,7 @@ from .ops.abbe import (
 )
 from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
+from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
 from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
 from .simulate import SimulationResult, simulate
 
@@ -35,6 +36,7 @@ __all__ = [
     "OpticsConfig",
     "Pupil",
     "SimulationResult",
+    "SOCSKernels",
     "SourcePoints",
     "WavelengthScaling",
     "abbe_image",
@@ -49,10 +51,13 @@ __all__ = [
     "nearest_pow2",
     "osa_index_to_mn",
     "pupil_function",
+    "randomized_socs",
     "simulate",
+    "socs_image",
     "source_points",
     "spectrum_direct",
     "spectrum_fft",
+    "tcc_eigensystem",
     "through_focus_images",
     "unit_disk_mask",
     "wavefront_error",

@@ -7,3 +7,4 @@ from .zernike import osa_index_to_mn, wavefront_error, zernike_basis
 # .focus is imported lazily by the top-level package: it depends on
 # models.pupil, which itself imports ops.zernike — an eager import here
 # would be circular.
+from .hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,8 +54,10 @@ def separable_dft(field: jnp.ndarray, config: OpticsConfig, sign: int,
     """Apply the trapezoid-weighted separable Fourier transform to the
     trailing two dims: ``Kw @ field @ Kw^T``."""
     kw = jnp.asarray(_dft_kernel_cached(config, sign), dtype=dtype)
-    out = jnp.einsum("ip,...pq->...iq", kw, field.astype(dtype))
-    return jnp.einsum("...iq,jq->...ij", out, kw)
+    out = jnp.einsum("ip,...pq->...iq", kw, field.astype(dtype),
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...iq,jq->...ij", out, kw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spectrum_direct(geometry: jnp.ndarray, config: OpticsConfig,

@@ -1,0 +1,315 @@
+"""Hopkins transmission-cross-coefficient (TCC) imaging via SOCS kernels.
+
+The Abbe engine (:mod:`.abbe`) costs one padded iFFT per illuminated source
+point — ~49.5k FFTs for a 1024^2 quadrupole. The Hopkins formulation
+precomputes the source integral once into the TCC operator
+
+    T(k, k') = sum_s w_s P(k - s) conj(P(k' - s)),
+
+whose eigendecomposition (Cobb's Sum Of Coherent Systems) yields kernels
+phi_j and weights lambda_j with
+
+    I(x) = sum_j lambda_j |F(phi_j * M)(x)|^2     (exact at full rank).
+
+A few tens of kernels carry essentially all the energy, so imaging cost drops
+from #source-points FFTs to #kernels FFTs — the production fast path for
+large masks and OPC-style workloads. (Reference: this solver does not exist
+there; BASELINE.json config 5 requests it. Physics per Cobb 1998, cited in
+reference README.md:24.)
+
+TPU-native structure:
+
+* :func:`tcc_eigensystem` (small/medium grids): the TCC is materialized only
+  over the optical passband support D = {k : some source point passes light
+  at k}, |D| ~ pi ((1 + sigma_out) n/4)^2; the build is one MXU matmul
+  A^H A with A[s, d] = sqrt(w_s) P(k_d - s), then ``jnp.linalg.eigh``.
+* :func:`randomized_socs` (any grid size): matrix-free randomized
+  eigendecomposition of the source-side Gram operator, whose matvec is two
+  n^2 FFTs thanks to the problem's exact circulant structure — no matrix is
+  ever formed. This is the production path for 1024^2+ masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SIGMA_SPAN, OpticsConfig
+from .abbe import source_points
+from .fourier import centered_ifft2, crop_center, pad_center
+from .fraunhofer import separable_dft
+
+
+@dataclasses.dataclass(frozen=True)
+class SOCSKernels:
+    """Truncated SOCS decomposition: (rank, n, n) complex kernels on the full
+    sigma grid and their (rank,) real eigenvalues, sorted descending.
+
+    Registered as a jax pytree so kernel sets flow through jit/vmap/shard_map
+    (``total_rank`` is static metadata; -1 when built inside a trace)."""
+
+    kernels: jnp.ndarray
+    eigenvalues: jnp.ndarray
+    total_rank: int = -1  # passband/source size the decomposition ran on
+
+    @property
+    def rank(self) -> int:
+        return self.kernels.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    SOCSKernels, data_fields=["kernels", "eigenvalues"], meta_fields=["total_rank"]
+)
+
+
+def passband_support(pupil: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Boolean (n, n) union support of the pupil rolled to every source
+    offset: frequencies outside it never pass light, so the TCC restricted
+    to this set is exact."""
+    n = pupil.shape[0]
+    base = np.abs(np.asarray(pupil)) > 0
+    iy, ix = np.nonzero(base)
+    support = np.zeros((n, n), dtype=bool)
+    for dy, dx in np.unique(shifts, axis=0):
+        support[(iy + dy) % n, (ix + dx) % n] = True
+    return support
+
+
+def tcc_eigensystem(
+    pupil: jnp.ndarray,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int | None = None,
+    energy_tol: float = 1e-4,
+) -> SOCSKernels:
+    """Build the passband-restricted TCC and eigendecompose it.
+
+    ``rank=None`` keeps every kernel with eigenvalue > energy_tol * max;
+    ``rank=k`` keeps the top k. Eigenvalue units match the Abbe engine's
+    unnormalized source-weight sum, so full-rank SOCS reproduces
+    :func:`..ops.abbe.abbe_image` exactly.
+    """
+    n = config.n
+    pts = source_points(np.asarray(source_map))
+    pupil_np = np.asarray(pupil)
+
+    support = passband_support(pupil_np, pts.shifts)
+    sup_idx = np.argwhere(support)  # (D, 2)
+    d = len(sup_idx)
+
+    # A[s, d] = sqrt(w_s) * P(k_d - s): gather with wraparound (the integer
+    # sigma-grid shift invariant, same as the Abbe roll).
+    ky = (sup_idx[None, :, 0] - pts.shifts[:, None, 0]) % n  # (P, D)
+    kx = (sup_idx[None, :, 1] - pts.shifts[:, None, 1]) % n
+    a = jnp.asarray(pupil_np[ky, kx])
+    a = a * jnp.sqrt(jnp.asarray(pts.weights))[:, None].astype(a.dtype)
+
+    tcc = jnp.matmul(a.conj().T, a,
+                     precision=jax.lax.Precision.HIGHEST)  # (D, D) Hermitian PSD
+    eigvals, eigvecs = jnp.linalg.eigh(tcc)  # ascending
+    eigvals = eigvals[::-1]
+    eigvecs = eigvecs[:, ::-1]
+
+    eigvals_np = np.asarray(eigvals)
+    if rank is None:
+        keep = int(np.sum(eigvals_np > energy_tol * max(eigvals_np[0], 1e-30)))
+        keep = max(keep, 1)
+    else:
+        keep = min(rank, d)
+
+    # I(x) = c^H T c with c = M . f_x, so each rank-1 term is
+    # lambda_j |phi_j^H c|^2 = lambda_j |F(conj(phi_j) * M)|^2 — the kernel
+    # applied to the mask spectrum is the CONJUGATE eigenvector.
+    kernels = jnp.zeros((keep, n, n), dtype=a.dtype)
+    kernels = kernels.at[:, sup_idx[:, 0], sup_idx[:, 1]].set(
+        jnp.conj(eigvecs[:, :keep]).T)
+    return SOCSKernels(
+        kernels=kernels,
+        eigenvalues=jnp.clip(eigvals[:keep].real, 0.0, None).astype(jnp.float32),
+        total_rank=d,
+    )
+
+
+def socs_image(
+    spectrum: jnp.ndarray,
+    socs: SOCSKernels,
+    config: OpticsConfig,
+    *,
+    solver: str = "gau23",
+    chunk: int = 4,
+) -> jnp.ndarray:
+    """Aerial image I = sum_j lambda_j |F(phi_j * M)|^2 (pre-postprocessing
+    handled identically to the Abbe engine)."""
+    from .abbe import _postprocess_gau23  # shared post stage
+
+    n = config.n
+    fft_size = config.wavelength_scaling().fft_size
+    r = socs.rank
+    pad = (-r) % chunk
+    kernels = jnp.concatenate(
+        [socs.kernels, jnp.zeros((pad, n, n), socs.kernels.dtype)]) if pad else socs.kernels
+    lams = jnp.concatenate(
+        [socs.eigenvalues, jnp.zeros((pad,), socs.eigenvalues.dtype)]) if pad else socs.eigenvalues
+
+    kernels = kernels.reshape(-1, chunk, n, n)
+    lams = lams.reshape(-1, chunk)
+
+    def body(acc, kl):
+        ks, ls = kl
+        prod = ks * spectrum[None]
+        if solver == "gau23":
+            fields = crop_center(centered_ifft2(pad_center(prod, fft_size)), n)
+        else:
+            fields = separable_dft(prod, config, sign=-1, dtype=spectrum.dtype)
+        return acc + jnp.sum(ls[:, None, None] * jnp.abs(fields) ** 2, axis=0), None
+
+    init = jnp.zeros((n, n), dtype=jnp.real(spectrum).dtype)
+    image, _ = jax.lax.scan(body, init, (kernels, lams))
+    if solver == "gau23":
+        image = _postprocess_gau23(image, config)
+    return image
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free randomized SOCS (the at-scale path)
+# ---------------------------------------------------------------------------
+#
+# Write the Abbe sum as I = sum_s |F((sqrt(w_s) P(.-s)) M)|^2 and stack the
+# shifted pupils into A[s, k] = sqrt(w_s) P(k - s). The TCC is T = A^H A
+# (frequency side, |D| x |D|) but the *source-side* Gram matrix G = A A^H has
+# the same nonzero spectrum and pure circulant structure:
+#
+#     G[s, s'] = sqrt(w_s w_s') R(s' - s),   R(t) = sum_u P(u + t) conj(P(u))
+#
+# R is one FFT autocorrelation of the pupil, and G's matvec is
+# sqrt(w) * conv_R(sqrt(w) * v) — two n^2 FFTs, never a matrix. A randomized
+# Hermitian eigensolver on G (subspace iteration + small dense eigh) gives the
+# top eigenpairs, and the SOCS kernels come back through one convolution per
+# kernel: phi_j = A^H u_j / sqrt(lambda_j). Everything wraps mod n, exactly
+# like the engine's integer-roll invariant, so circular FFT convolutions are
+# *exact* — this computes the same discrete decomposition as a dense eigh,
+# at any grid size, in O((rank + oversample) * n^2 log n).
+
+
+def pupil_autocorrelation(pupil: jnp.ndarray) -> jnp.ndarray:
+    """R(t) = sum_u P(u + t) conj(P(u)) with circular wraparound, via FFT."""
+    f = jnp.fft.fft2(pupil)
+    return jnp.fft.ifft2(f * jnp.conj(f))
+
+
+def _gram_matvec(v, sqrt_w, r_fft):
+    """G v for a block of source-grid vectors v: (..., n, n)."""
+    x = sqrt_w * v
+    conv = jnp.fft.ifft2(jnp.fft.fft2(x) * r_fft)
+    return sqrt_w * conv
+
+
+def _synthesize_kernels(u, sqrt_w, pupil_fft):
+    """phi(k) = sum_s sqrt(w_s) u(s) conj(P(k - s)) for a block of source-
+    space eigenvectors u: a circular correlation, via FFT.
+
+    Source-space functions are stored at grid index s + n//2 (array center =
+    zero shift). The Gram matvec is insensitive to that constant offset (G
+    depends only on s - s'), but the synthesis convolution is not: the raw
+    result comes out circularly shifted by n//2 on both axes, undone here.
+    """
+    n = u.shape[-1]
+    x = sqrt_w * u
+    # sum_s x(s) conj(P(k - s)) = conj( sum_s conj(x(s)) P(k - s) )
+    conv = jnp.conj(jnp.fft.ifft2(jnp.fft.fft2(jnp.conj(x)) * pupil_fft))
+    return jnp.roll(conv, (n // 2, n // 2), axis=(-2, -1))
+
+
+def randomized_socs(
+    pupil: jnp.ndarray,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int = 64,
+    oversample: int = 16,
+    power_iters: int = 2,
+    seed: int = 0,
+) -> SOCSKernels:
+    """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
+    of the source-side Gram operator. Exact circulant structure; accuracy set
+    by ``power_iters``/``oversample`` (defaults give ~1e-5 relative image
+    error for fast-decaying spectra). Scales to arbitrarily fine grids."""
+    n = config.n
+    w = jnp.asarray(source_map, jnp.float32)
+    sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
+    pupil = jnp.asarray(pupil, jnp.complex64)
+
+    pupil_fft = jnp.fft.fft2(pupil)
+    r_fft = pupil_fft * jnp.conj(pupil_fft)  # FFT of the autocorrelation
+
+    l = rank + oversample
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    omega = (jax.random.normal(k1, (l, n, n))
+             + 1j * jax.random.normal(k2, (l, n, n))).astype(jnp.complex64)
+
+    def orthonormalize(block):
+        # Tall-skinny orthonormalization via Gram whitening: Householder QR
+        # of an (n^2, L) complex matrix is pathologically slow on TPU, while
+        # the (L, L) Gram matmul rides the MXU and its eigh is tiny. Small
+        # eigenvalues are clipped, which also handles rank deficiency.
+        flat = block.reshape(l, -1)  # (L, n^2), rows are vectors
+
+        hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
+
+        def whiten_once(f):
+            gram = jnp.matmul(f, f.conj().T, precision=hi)
+            gram = 0.5 * (gram + gram.conj().T)
+            s, v = jnp.linalg.eigh(gram)
+            inv_sqrt = jnp.where(
+                s > 1e-12 * jnp.max(s), 1.0 / jnp.sqrt(jnp.abs(s)), 0.0)
+            whiten = jnp.matmul(v * inv_sqrt[None, :], v.conj().T, precision=hi)
+            return jnp.matmul(whiten, f, precision=hi)
+
+        # Two passes (CholQR2-style): one whitening squares the condition
+        # number in fp32; the second restores orthogonality to ~machine eps.
+        return whiten_once(whiten_once(flat)).reshape(l, n, n)
+
+    y = _gram_matvec(omega, sqrt_w, r_fft)
+    for _ in range(power_iters):
+        y = orthonormalize(y)
+        y = _gram_matvec(y, sqrt_w, r_fft)
+    q = orthonormalize(y)  # (L, n, n) orthonormal basis of the range
+
+    gq = _gram_matvec(q, sqrt_w, r_fft)
+    small = jnp.matmul(q.reshape(l, -1).conj(), gq.reshape(l, -1).T,
+                       precision=jax.lax.Precision.HIGHEST)  # (L, L)
+    small = 0.5 * (small + small.conj().T)
+    eigvals, eigvecs = jnp.linalg.eigh(small)  # ascending
+    eigvals = jnp.clip(eigvals[::-1].real, 0.0, None)
+    eigvecs = eigvecs[:, ::-1]
+
+    top = eigvecs[:, :rank]  # (L, rank)
+    u = jnp.tensordot(top.T, q, axes=1,
+                      precision=jax.lax.Precision.HIGHEST)  # (rank, n, n)
+    # _gram_matvec convolves with R(s - s') where G's true entry is
+    # conj(R(s - s')) = R(s' - s): it applies conj(G). conj(G) shares G's
+    # (real) spectrum and its eigenvectors are the conjugates of G's, so
+    # conjugate here before synthesizing kernels.
+    u = jnp.conj(u)
+
+    # Store conj(phi_j) = conj(A^H u_j)/sqrt(lambda_j): the kernel that
+    # multiplies the mask spectrum (see tcc_eigensystem's conjugation note).
+    kernels = jnp.conj(_synthesize_kernels(u, sqrt_w, pupil_fft))
+    top_vals = eigvals[:rank]
+    # Zero (or numerically dead) eigenvalues get a zero kernel, not a
+    # 1/sqrt(0) blow-up — their lambda * |field|^2 term would be 0 * inf.
+    alive = top_vals > 1e-12 * jnp.maximum(eigvals[0], 1e-30)
+    scale = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, top_vals, 1.0)), 0.0)
+    kernels = kernels * scale[:, None, None].astype(kernels.dtype)
+    live = -1 if isinstance(w, jax.core.Tracer) else int(np.asarray(jnp.sum(w > 0)))
+    return SOCSKernels(
+        kernels=kernels,
+        eigenvalues=eigvals[:rank].astype(jnp.float32),
+        total_rank=live,
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,6 @@ def bilinear_resize(img: jnp.ndarray, scale: float, dtype=jnp.float32) -> jnp.nd
     w_r = jnp.asarray(interp_matrix(n_rows, scale, out_r), dtype=dtype)
     w_c = jnp.asarray(interp_matrix(n_cols, scale, out_c), dtype=dtype)
     x = img.astype(dtype)
-    x = jnp.einsum("ri,...ic->...rc", w_r, x)
-    x = jnp.einsum("...rc,oc->...ro", x, w_c)
+    x = jnp.einsum("ri,...ic->...rc", w_r, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("...rc,oc->...ro", x, w_c, precision=jax.lax.Precision.HIGHEST)
     return x

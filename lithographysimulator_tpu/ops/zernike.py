@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,4 +114,5 @@ def wavefront_error(
     if defocus_in_nm:
         aberrations = convert_defocus(aberrations, config)
     basis = jnp.asarray(zernike_basis(config, aberrations.shape[0]), dtype=dtype)
-    return jnp.tensordot(aberrations, basis, axes=1)
+    return jnp.tensordot(aberrations, basis, axes=1,
+                         precision=jax.lax.Precision.HIGHEST)

@@ -1,0 +1,110 @@
+"""Hopkins TCC / SOCS: exactness vs the Abbe engine, truncation decay,
+matrix-free randomized path."""
+
+import numpy as np
+import pytest
+
+from lithographysimulator_tpu import (
+    LightSource,
+    OpticsConfig,
+    abbe_image,
+    demo_bars,
+    pupil_function,
+    randomized_socs,
+    socs_image,
+    spectrum_fft,
+    tcc_eigensystem,
+)
+from lithographysimulator_tpu.ops.hopkins import pupil_autocorrelation
+
+CFG = OpticsConfig(pixel_number=32)
+# Deliberately asymmetric: off-axis source + odd aberrations, so conjugation
+# or shift-convention mistakes cannot hide behind symmetry.
+ABERR = np.array([0, 0, 0.05, 0.03, 30, 0.02, 0, 0.04], np.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = spectrum_fft(demo_bars(CFG).geometry, CFG)
+    pup = pupil_function(ABERR, CFG)
+    src = np.asarray(
+        LightSource(CFG, sigma_in=0.2, sigma_out=0.6, shift_x=0.1).annular())
+    abbe = np.asarray(abbe_image(spec, pup, src, CFG))
+    return spec, pup, src, abbe
+
+
+def rel_rms(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)) / np.max(b))
+
+
+def test_full_rank_socs_equals_abbe(setup):
+    spec, pup, src, abbe = setup
+    socs = tcc_eigensystem(pup, src, CFG, energy_tol=0.0, rank=10**9)
+    img = socs_image(spec, socs, CFG)
+    assert rel_rms(img, abbe) < 1e-5
+
+
+def test_truncation_error_decays(setup):
+    spec, pup, src, abbe = setup
+    errs = [rel_rms(socs_image(spec, tcc_eigensystem(pup, src, CFG, rank=r), CFG),
+                    abbe) for r in (4, 16, 64)]
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1e-4
+
+
+def test_energy_tol_selects_rank(setup):
+    _, pup, src, _ = setup
+    loose = tcc_eigensystem(pup, src, CFG, energy_tol=1e-2)
+    tight = tcc_eigensystem(pup, src, CFG, energy_tol=1e-5)
+    assert loose.rank < tight.rank <= loose.total_rank
+
+
+def test_randomized_matches_dense_eigenvalues(setup):
+    _, pup, src, _ = setup
+    dense = tcc_eigensystem(pup, src, CFG, rank=12)
+    rnd = randomized_socs(pup, src, CFG, rank=12, power_iters=3)
+    np.testing.assert_allclose(np.asarray(rnd.eigenvalues),
+                               np.asarray(dense.eigenvalues), rtol=1e-3)
+
+
+def test_randomized_socs_image_exact(setup):
+    """fp32 Gram-whitening orthonormalization floors the matrix-free path at
+    ~5e-5 relative (the dense-eigh path reaches 1e-7; use it when tighter
+    parity matters)."""
+    spec, pup, src, abbe = setup
+    socs = randomized_socs(pup, src, CFG, rank=64, power_iters=2)
+    assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
+
+
+def test_randomized_socs_direct_solver(setup):
+    """SOCS composes with the direct (matmul-transform) field solver too."""
+    spec, pup, src, _ = setup
+    from lithographysimulator_tpu import spectrum_direct
+    spec_d = spectrum_direct(demo_bars(CFG).geometry, CFG)
+    abbe_d = np.asarray(abbe_image(spec_d, pup, src, CFG, solver="direct"))
+    socs = randomized_socs(pup, src, CFG, rank=64, power_iters=2)
+    img = socs_image(spec_d, socs, CFG, solver="direct")
+    assert rel_rms(img, abbe_d) < 2e-4
+
+
+def test_pupil_autocorrelation_peak():
+    """R(0) = sum |P|^2 and is the max-magnitude lag."""
+    pup = pupil_function(np.zeros(1), CFG)
+    r = np.asarray(pupil_autocorrelation(pup))
+    assert r[0, 0].real == pytest.approx(float(np.sum(np.abs(np.asarray(pup)) ** 2)),
+                                         rel=1e-5)
+    assert np.abs(r).max() == pytest.approx(np.abs(r[0, 0]), rel=1e-6)
+
+
+def test_socs_scales_to_larger_grid():
+    """Matrix-free path on a 64^2 grid (dense TCC would be 134 MB) stays
+    accurate with a physics-sized rank."""
+    cfg = OpticsConfig(pixel_number=64)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    pup = pupil_function(ABERR, cfg)
+    src = np.asarray(LightSource(cfg, sigma_in=0.4, sigma_out=0.8).quasar(4, -np.pi / 8))
+    abbe = np.asarray(abbe_image(spec, pup, src, cfg))
+    socs = randomized_socs(pup, src, cfg, rank=128, power_iters=2)
+    img = socs_image(spec, socs, cfg)
+    assert rel_rms(img, abbe) < 5e-4
+    assert socs.rank < int(src.sum())  # fewer kernels than source points
