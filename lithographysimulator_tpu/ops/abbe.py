@@ -46,6 +46,22 @@ from .resize import bilinear_resize, interp_matrix, output_size
 Solver = Literal["gau23", "direct"]
 
 
+def resolve_engine(engine: str) -> str:
+    """'auto' -> 'matmul' on TPU-class backends, 'fft' elsewhere.
+
+    Measured on TPU v5e: XLA's large c64 FFT runs at ~100 GB/s effective,
+    while the algebraically identical zoom-DFT matmuls ride the MXU —
+    2.7x faster at 512^2, 3.7x at 1024^2. On CPU the O(n^3) matmuls lose to
+    FFT, so 'auto' keeps the FFT there (the two agree to ~3e-8 relative).
+    """
+    if engine not in ("auto", "fft", "matmul"):
+        raise ValueError(f"unknown field-transform engine {engine!r}")
+    if engine != "auto":
+        return engine
+    platform = jax.devices()[0].platform
+    return "matmul" if platform in ("tpu", "axon") else "fft"
+
+
 # ---------------------------------------------------------------------------
 # Source points
 # ---------------------------------------------------------------------------
@@ -105,25 +121,70 @@ def _roll2(field: jnp.ndarray, shift_yx: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(field, (shift_yx[0], shift_yx[1]), axis=(0, 1))
 
 
-def _fields_gau23(pupil, spectrum, shifts, fft_size):
-    """(B, n, n) coherent image fields for one chunk, Gau'23 solver
-    (reference ``calculateFFTAerial``, ``imageformation.py:32-45``)."""
+def _tiled(pupil: jnp.ndarray) -> jnp.ndarray:
+    """2n x 2n periodic tiling of the pupil, built once per image so every
+    circular shift becomes one contiguous ``dynamic_slice``."""
+    return jnp.tile(pupil, (2, 2))
+
+
+def _rolled_products(pupil_tiled, spectrum, shifts):
+    """(B, n, n) stack of roll(pupil, s_b) * spectrum.
+
+    Measured on TPU v5e: a traced-shift ``jnp.roll`` (and its vmap) lowers to
+    a gather that costs ~160 us/point at n=512 — 16x the entire padded-FFT
+    stage. A ``dynamic_slice`` into the periodic 2n x 2n tiling is a
+    contiguous block copy instead; the chunk is static, so unrolling the
+    per-point slices in Python keeps everything slice-shaped.
+    """
     n = spectrum.shape[-1]
+    prods = []
+    for b in range(shifts.shape[0]):
+        start0 = (-shifts[b, 0]) % n
+        start1 = (-shifts[b, 1]) % n
+        rolled = jax.lax.dynamic_slice(pupil_tiled, (start0, start1), (n, n))
+        prods.append(rolled * spectrum)
+    return jnp.stack(prods)
 
-    def one(shift):
-        prod = _roll2(pupil, shift) * spectrum
-        return pad_center(prod, fft_size)
 
-    padded = jax.vmap(one)(shifts)          # (B, N, N)
+@functools.lru_cache(maxsize=16)
+def _zoom_dft_kernel(n: int, fft_size: int) -> np.ndarray:
+    """Closed form of ``crop_n . centered_ifft2_N . pad_center_N`` as an
+    (n, n) matrix: substituting the pad/crop offsets into the centered DFT
+    collapses them to ``T[a, b] = exp(+2i pi (a - n/2)(b - n/2) / N)`` per
+    axis, so the whole padded transform is ``E = T X T^T`` — no N x N array
+    is ever built, and the MXU does the work. (Exact for even n, N >= n;
+    this is the fractional-stride 'zoom' DFT of the wavelength-scaling
+    construction.)"""
+    a = np.arange(n, dtype=np.float64) - n / 2
+    return np.exp(2j * np.pi * np.outer(a, a) / fft_size)
+
+
+def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft"):
+    """(B, n, n) coherent image fields for one chunk, Gau'23 solver
+    (reference ``calculateFFTAerial``, ``imageformation.py:32-45``).
+
+    ``engine='fft'``: batched padded iFFT (XLA).
+    ``engine='matmul'``: the algebraically identical zoom-DFT as two complex
+    matmuls — measured faster on TPU, where XLA's large c64 FFT runs far
+    below HBM bandwidth while the MXU does 2n^3 complex MACs in stride.
+    """
+    n = spectrum.shape[-1]
+    prods = _rolled_products(pupil_tiled, spectrum, shifts)
+    if engine == "matmul":
+        t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
+        hi = jax.lax.Precision.HIGHEST
+        out = jnp.einsum("ij,...jk->...ik", t, prods, precision=hi)
+        return jnp.einsum("...ik,lk->...il", out, t, precision=hi)
+    padded = pad_center(prods, fft_size)
     fields = centered_ifft2(padded)         # batched iFFT
     return crop_center(fields, n)
 
 
-def _fields_direct(pupil, spectrum, shifts, config):
+def _fields_direct(pupil_tiled, spectrum, shifts, config):
     """(B, n, n) coherent fields via the separable direct transform
     (reference ``calculateAerial``, ``imageformation.py:3-30``; constant
     -2i*pi/lambda at ``imageformation.py:52``)."""
-    prods = jax.vmap(lambda s: _roll2(pupil, s) * spectrum)(shifts)
+    prods = _rolled_products(pupil_tiled, spectrum, shifts)
     return separable_dft(prods, config, sign=-1, dtype=spectrum.dtype)
 
 
@@ -140,6 +201,7 @@ def accumulate_intensity(
     *,
     solver: Solver = "gau23",
     chunk: int = 4,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Scan source-point chunks, accumulating ``sum_s w_s |E_s|^2`` on chip.
 
@@ -150,18 +212,20 @@ def accumulate_intensity(
     p = shifts.shape[0]
     if p % chunk:
         raise ValueError(f"point count {p} not divisible by chunk {chunk}")
+    engine = resolve_engine(engine)
     fft_size = config.wavelength_scaling().fft_size
     real_dtype = jnp.real(spectrum).dtype
 
     shifts = shifts.reshape(p // chunk, chunk, 2)
     weights = weights.reshape(p // chunk, chunk).astype(real_dtype)
+    pupil_tiled = _tiled(pupil)
 
     def body(acc, sw):
         s, w = sw
         if solver == "gau23":
-            fields = _fields_gau23(pupil, spectrum, s, fft_size)
+            fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine)
         else:
-            fields = _fields_direct(pupil, spectrum, s, config)
+            fields = _fields_direct(pupil_tiled, spectrum, s, config)
         intensity = w[:, None, None] * jnp.abs(fields) ** 2
         return acc + jnp.sum(intensity, axis=0), None
 
@@ -200,6 +264,7 @@ def abbe_image_points(
     chunk: int = 4,
     normalize: bool = False,
     total_weight=None,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Aerial image from an explicit (possibly traced) padded point list.
 
@@ -208,7 +273,7 @@ def abbe_image_points(
     """
     image = accumulate_intensity(
         pupil, spectrum, jnp.asarray(shifts), jnp.asarray(weights), config,
-        solver=solver, chunk=chunk,
+        solver=solver, chunk=chunk, engine=engine,
     )
     if solver == "gau23":
         image = _postprocess_gau23(image, config)

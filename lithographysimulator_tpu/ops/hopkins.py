@@ -142,10 +142,13 @@ def socs_image(
     *,
     solver: str = "gau23",
     chunk: int = 4,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Aerial image I = sum_j lambda_j |F(phi_j * M)|^2 (pre-postprocessing
     handled identically to the Abbe engine)."""
-    from .abbe import _postprocess_gau23  # shared post stage
+    from .abbe import _postprocess_gau23, resolve_engine  # shared post stage
+
+    engine = resolve_engine(engine)
 
     n = config.n
     fft_size = config.wavelength_scaling().fft_size
@@ -163,7 +166,14 @@ def socs_image(
         ks, ls = kl
         prod = ks * spectrum[None]
         if solver == "gau23":
-            fields = crop_center(centered_ifft2(pad_center(prod, fft_size)), n)
+            if engine == "matmul":
+                from .abbe import _zoom_dft_kernel
+                t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
+                hi = jax.lax.Precision.HIGHEST
+                fields = jnp.einsum("ij,...jk->...ik", t, prod, precision=hi)
+                fields = jnp.einsum("...ik,lk->...il", fields, t, precision=hi)
+            else:
+                fields = crop_center(centered_ifft2(pad_center(prod, fft_size)), n)
         else:
             fields = separable_dft(prod, config, sign=-1, dtype=spectrum.dtype)
         return acc + jnp.sum(ls[:, None, None] * jnp.abs(fields) ** 2, axis=0), None
