@@ -12,6 +12,7 @@ from .config import DEMO_CONFIG, OpticsConfig, WavelengthScaling, nearest_pow2
 from .grid import Grid, unit_disk_mask
 from .models.mask import Mask, contact_holes, demo_bars, from_array, lines_and_spaces
 from .models.pupil import Pupil, pupil_function
+from .models.resist import ResistModel, critical_dimension
 from .models.source import LightSource
 from .ops.abbe import (
     SourcePoints,
@@ -35,6 +36,7 @@ __all__ = [
     "Mask",
     "OpticsConfig",
     "Pupil",
+    "ResistModel",
     "SimulationResult",
     "SOCSKernels",
     "SourcePoints",
@@ -43,6 +45,7 @@ __all__ = [
     "abbe_image_points",
     "accumulate_intensity",
     "contact_holes",
+    "critical_dimension",
     "demo_bars",
     "focus_stack_aberrations",
     "from_array",

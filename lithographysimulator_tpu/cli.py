@@ -1,0 +1,219 @@
+"""Command-line interface: simulate, demo figure, SOCS kernel builds.
+
+The reference's only entry points are hard-coded ``__main__`` demo blocks
+(``imageformation.py:79-149`` and the per-module plot demos); this CLI
+exposes the same workflows with every parameter switchable, plus artifact
+output (.npy/.png) suitable for batch runs.
+
+Usage:
+    python -m lithographysimulator_tpu demo --out demo.png
+    python -m lithographysimulator_tpu simulate --pixel-number 512 \
+        --source quasar --sigma-in 0.4 --sigma-out 0.8 --poles 4 \
+        --aberrations 0 0 0.01 0 100 --solver gau23 --out aerial.npy
+    python -m lithographysimulator_tpu socs --pixel-number 1024 --rank 256 \
+        --source annular --out kernels.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args):
+    from .config import OpticsConfig
+
+    return OpticsConfig(
+        pixel_number=args.pixel_number,
+        pixel_size=args.pixel_size,
+        wavelength=args.wavelength,
+        na=args.na,
+    )
+
+
+def _build_source(args, config):
+    from .models.source import LightSource
+
+    ls = LightSource(config, sigma_in=args.sigma_in, sigma_out=args.sigma_out,
+                     shift_x=args.shift_x, shift_y=args.shift_y)
+    if args.source == "annular":
+        return ls.annular()
+    if args.source == "classical":
+        return ls.classical()
+    if args.source == "quasar":
+        return ls.quasar(args.poles, args.rotation)
+    if args.source == "dipole":
+        return ls.dipole(args.rotation)
+    if args.source == "monopole":
+        return ls.monopole()
+    raise SystemExit(f"unknown source kind {args.source!r}")
+
+
+def _build_mask(args, config):
+    from .models import mask as mask_mod
+
+    if args.mask_file:
+        return mask_mod.from_array(np.load(args.mask_file), config)
+    if args.mask == "demo":
+        return mask_mod.demo_bars(config)
+    if args.mask == "lines":
+        n = config.n
+        return mask_mod.lines_and_spaces(
+            config, line_width_px=max(1, n // 16), pitch_px=max(2, n // 8))
+    if args.mask == "contacts":
+        n = config.n
+        return mask_mod.contact_holes(config, hole_px=max(1, n // 16),
+                                      pitch_px=max(2, n // 8))
+    raise SystemExit(f"unknown mask kind {args.mask!r}")
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--pixel-number", type=int, default=64)
+    p.add_argument("--pixel-size", type=float, default=25.0)
+    p.add_argument("--wavelength", type=float, default=193.0)
+    p.add_argument("--na", type=float, default=0.7)
+    p.add_argument("--mask", default="demo", choices=["demo", "lines", "contacts"])
+    p.add_argument("--mask-file", default=None,
+                   help=".npy file with a square binary mask (overrides --mask)")
+    p.add_argument("--source", default="quasar",
+                   choices=["annular", "classical", "quasar", "dipole", "monopole"])
+    p.add_argument("--sigma-in", type=float, default=0.4)
+    p.add_argument("--sigma-out", type=float, default=0.8)
+    p.add_argument("--shift-x", type=float, default=0.0)
+    p.add_argument("--shift-y", type=float, default=0.0)
+    p.add_argument("--poles", type=int, default=4)
+    p.add_argument("--rotation", type=float, default=-np.pi / 8)
+    p.add_argument("--aberrations", type=float, nargs="*", default=None,
+                   help="OSA-ordered Zernike coefficients (entry 4 in nm of defocus)")
+
+
+def cmd_simulate(args) -> int:
+    from .simulate import simulate
+    from .utils.artifacts import save_image
+
+    config = _build_config(args)
+    mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    result = simulate(mask, source, args.aberrations, solver=args.solver,
+                      chunk=args.chunk, normalize=args.normalize)
+    print(json.dumps(result.report, default=repr))
+    if args.out:
+        save_image(args.out, result.image, result.report)
+        print(f"wrote {args.out}")
+    if args.plot:
+        _plot_pipeline(result, mask, args.plot)
+        print(f"wrote {args.plot}")
+    return 0
+
+
+def cmd_socs(args) -> int:
+    import jax.numpy as jnp
+
+    from .models.pupil import pupil_function
+    from .ops.hopkins import randomized_socs
+    from .utils.artifacts import save_socs
+
+    config = _build_config(args)
+    source = _build_source(args, config)
+    aberr = jnp.asarray(args.aberrations if args.aberrations else [0.0], jnp.float32)
+    t0 = time.perf_counter()
+    socs = randomized_socs(pupil_function(aberr, config), np.asarray(source),
+                           config, rank=args.rank, power_iters=args.power_iters)
+    elapsed = time.perf_counter() - t0
+    ev = np.asarray(socs.eigenvalues)
+    print(json.dumps({
+        "rank": int(socs.rank), "build_s": round(elapsed, 3),
+        "eig_max": float(ev[0]), "eig_min_kept": float(ev[-1]),
+        "energy_captured": float(ev.sum()),
+    }))
+    if args.out:
+        save_socs(args.out, socs)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def _plot_pipeline(result, mask, out_path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    fig, axes = plt.subplots(3, 2, dpi=200, figsize=(8, 10))
+    (ax1, ax2), (ax3, ax4), (ax5, ax6) = axes
+    ax1.imshow(np.asarray(result.image))
+    ax1.set_title("Simulated Aerial Image")
+    ax2.imshow(np.abs(np.asarray(result.spectrum)))
+    ax2.set_title("Diffraction Pattern (Mag)")
+    ax3.imshow(np.asarray(mask.geometry))
+    ax3.set_title("Mask")
+    ax4.imshow(result.source_map)
+    ax4.set_title("Light Source")
+    ax5.imshow(np.real(np.asarray(result.pupil)))
+    ax5.set_title("Pupil Function (Re)")
+    ax6.imshow(np.imag(np.asarray(result.pupil)))
+    ax6.set_title("Pupil Function (Im)")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+
+
+def cmd_demo(args) -> int:
+    """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
+    mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
+    figure — with per-stage wall-clock prints."""
+    from .models.mask import demo_bars
+    from .models.source import LightSource
+    from .simulate import simulate
+
+    config = _build_config(args)
+    aberr = args.aberrations or [0, 0, 0.01, 0, 100, 0.01, 0, 0.01, 0.01, 0.01]
+    mask = demo_bars(config)
+    source = LightSource(config, sigma_in=args.sigma_in, sigma_out=args.sigma_out
+                         ).quasar(args.poles, args.rotation)
+    print("Beginning simulation")
+    result = simulate(mask, source, aberr, solver=args.solver)
+    print(f"Aerial image computed in {result.report['wall_clock_s']:.3f} s "
+          f"({result.report['source_points']} source points, "
+          f"solver={result.report['solver']})")
+    out = args.out or "demo.png"
+    _plot_pipeline(result, mask, out)
+    print(f"wrote {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lithographysimulator_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_sim = sub.add_parser("simulate", help="compute an aerial image")
+    _add_common(p_sim)
+    p_sim.add_argument("--solver", default="gau23", choices=["gau23", "direct"])
+    p_sim.add_argument("--chunk", type=int, default=4)
+    p_sim.add_argument("--normalize", action="store_true")
+    p_sim.add_argument("--out", default=None, help="output .npy path")
+    p_sim.add_argument("--plot", default=None, help="output .png figure path")
+    p_sim.set_defaults(func=cmd_simulate)
+
+    p_demo = sub.add_parser("demo", help="reference demo pipeline + figure")
+    _add_common(p_demo)
+    p_demo.add_argument("--solver", default="gau23", choices=["gau23", "direct"])
+    p_demo.add_argument("--out", default=None)
+    p_demo.set_defaults(func=cmd_demo)
+
+    p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
+    _add_common(p_socs)
+    p_socs.add_argument("--rank", type=int, default=64)
+    p_socs.add_argument("--power-iters", type=int, default=2)
+    p_socs.add_argument("--out", default=None, help="output .npz path")
+    p_socs.set_defaults(func=cmd_socs)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Simple photoresist response models.
+
+The reference lists photoresist modeling as an unchecked roadmap item
+(reference ``README.md:19``); this module provides the standard lumped
+models: aerial image -> (optional acid-diffusion blur) -> develop response
+(hard threshold or differentiable sigmoid), plus critical-dimension
+measurement helpers. The sigmoid model is jit/grad-friendly, so resist
+contours can sit inside inverse-lithography losses (:mod:`..optimize`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OpticsConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ResistModel:
+    """Lumped resist response.
+
+    threshold: develop threshold as a fraction of the image maximum (for
+    normalized images pass absolute threshold and normalize=False).
+    steepness: sigmoid sharpness for the differentiable model (per unit of
+    normalized intensity); larger approaches a hard threshold.
+    diffusion_nm: Gaussian acid-diffusion length (1-sigma, nm); 0 disables.
+    """
+
+    threshold: float = 0.3
+    steepness: float = 50.0
+    diffusion_nm: float = 0.0
+
+    def blur(self, image: jnp.ndarray, config: OpticsConfig) -> jnp.ndarray:
+        """Gaussian diffusion blur applied in the frequency domain."""
+        if self.diffusion_nm <= 0.0:
+            return image
+        n = image.shape[-1]
+        freqs = np.fft.fftfreq(n, d=config.pixel_size)  # cycles/nm
+        fx = freqs[None, :]
+        fy = freqs[:, None]
+        transfer = np.exp(-2.0 * (np.pi * self.diffusion_nm) ** 2 * (fx**2 + fy**2))
+        spectrum = jnp.fft.fft2(image)
+        return jnp.real(jnp.fft.ifft2(spectrum * jnp.asarray(transfer, spectrum.dtype)))
+
+    def develop(self, image: jnp.ndarray, config: OpticsConfig,
+                *, normalize: bool = True) -> jnp.ndarray:
+        """Differentiable resist profile in [0, 1] (1 = resist removed, for a
+        positive-tone resist under bright-field exposure)."""
+        blurred = self.blur(image, config)
+        if normalize:
+            blurred = blurred / jnp.maximum(jnp.max(blurred), 1e-30)
+        return jax.nn.sigmoid(self.steepness * (blurred - self.threshold))
+
+    def develop_binary(self, image: jnp.ndarray, config: OpticsConfig,
+                       *, normalize: bool = True) -> jnp.ndarray:
+        """Hard-threshold develop: {0, 1} resist pattern."""
+        blurred = self.blur(image, config)
+        if normalize:
+            blurred = blurred / jnp.maximum(jnp.max(blurred), 1e-30)
+        return (blurred > self.threshold).astype(jnp.float32)
+
+
+def critical_dimension(profile, config: OpticsConfig, *, row: int | None = None,
+                       threshold: float = 0.5) -> float:
+    """Width (nm) of the first contiguous above-threshold run along a row cut
+    of a developed profile — the printed feature's critical dimension."""
+    arr = np.asarray(profile)
+    n = arr.shape[-1]
+    cut = arr[n // 2 if row is None else row]
+    above = cut > threshold
+    if not above.any():
+        return 0.0
+    idx = np.nonzero(above)[0]
+    # first contiguous run
+    breaks = np.nonzero(np.diff(idx) > 1)[0]
+    end = idx[breaks[0]] if len(breaks) else idx[-1]
+    start = idx[0]
+    return float((end - start + 1) * config.pixel_size)
+
+
+def exposure_latitude(images, config: OpticsConfig, model: ResistModel,
+                      doses) -> list[float]:
+    """CDs across a dose sweep: develop ``image * dose`` for each dose and
+    measure the printed CD (a focus-exposure matrix column)."""
+    out = []
+    for dose in doses:
+        profile = model.develop_binary(jnp.asarray(images) * dose, config,
+                                       normalize=False)
+        out.append(critical_dimension(profile, config))
+    return out

@@ -1,0 +1,153 @@
+"""Resist models, artifact persistence, and the CLI surface."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from lithographysimulator_tpu import (
+    LightSource,
+    OpticsConfig,
+    ResistModel,
+    critical_dimension,
+    demo_bars,
+    simulate,
+)
+from lithographysimulator_tpu.models.resist import exposure_latitude
+from lithographysimulator_tpu.ops.hopkins import randomized_socs
+from lithographysimulator_tpu.models.pupil import pupil_function
+from lithographysimulator_tpu.utils.artifacts import (
+    SOCSCache,
+    config_fingerprint,
+    load_image,
+    load_socs,
+    save_image,
+    save_socs,
+)
+
+CFG = OpticsConfig(pixel_number=32)
+
+
+@pytest.fixture(scope="module")
+def aerial():
+    src = LightSource(CFG, sigma_out=0.5).classical()
+    return np.asarray(simulate(demo_bars(CFG), src, normalize=True).image)
+
+
+# --- resist ---------------------------------------------------------------
+
+def test_develop_binary_profile(aerial):
+    model = ResistModel(threshold=0.4)
+    profile = np.asarray(model.develop_binary(aerial, CFG))
+    assert set(np.unique(profile)) <= {0.0, 1.0}
+    assert 0 < profile.sum() < profile.size
+
+
+def test_sigmoid_approaches_threshold(aerial):
+    soft = ResistModel(threshold=0.4, steepness=5.0)
+    hard = ResistModel(threshold=0.4, steepness=500.0)
+    p_soft = np.asarray(soft.develop(aerial, CFG))
+    p_hard = np.asarray(hard.develop(aerial, CFG))
+    binary = np.asarray(hard.develop_binary(aerial, CFG))
+    assert np.abs(p_hard - binary).mean() < np.abs(p_soft - binary).mean()
+
+
+def test_diffusion_blur_smooths(aerial):
+    sharp = ResistModel(diffusion_nm=0.0)
+    blurred = ResistModel(diffusion_nm=40.0)
+    a = np.asarray(sharp.blur(aerial, CFG))
+    b = np.asarray(blurred.blur(aerial, CFG))
+    # blur preserves total energy (DC) but reduces variation
+    np.testing.assert_allclose(a.sum(), b.sum(), rtol=1e-4)
+    assert b.std() < a.std()
+
+
+def test_develop_differentiable(aerial):
+    model = ResistModel(threshold=0.4, steepness=20.0, diffusion_nm=20.0)
+    g = jax.grad(lambda im: model.develop(im, CFG).sum())(aerial)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_critical_dimension(aerial):
+    model = ResistModel(threshold=0.5)
+    profile = model.develop_binary(aerial, CFG)
+    cd = critical_dimension(profile, CFG)
+    assert 0 < cd < CFG.field_nm
+
+
+def test_exposure_latitude_monotone_trend(aerial):
+    model = ResistModel(threshold=0.3)
+    cds = exposure_latitude(aerial / aerial.max(), CFG, model,
+                            doses=[0.6, 1.0, 1.6])
+    assert cds[0] <= cds[1] <= cds[2]  # more dose prints wider bright lines
+
+
+# --- artifacts ------------------------------------------------------------
+
+def test_image_roundtrip(tmp_path, aerial):
+    p = save_image(tmp_path / "img.npy", aerial, {"note": "test"})
+    np.testing.assert_array_equal(load_image(p), aerial)
+    report = json.loads((tmp_path / "img.report.json").read_text())
+    assert report["note"] == "test"
+
+
+def test_socs_roundtrip(tmp_path):
+    src = np.asarray(LightSource(CFG, sigma_out=0.5).classical())
+    socs = randomized_socs(pupil_function(np.zeros(1), CFG), src, CFG, rank=8)
+    save_socs(tmp_path / "k.npz", socs)
+    loaded = load_socs(tmp_path / "k.npz")
+    np.testing.assert_array_equal(np.asarray(loaded.kernels), np.asarray(socs.kernels))
+    np.testing.assert_array_equal(np.asarray(loaded.eigenvalues),
+                                  np.asarray(socs.eigenvalues))
+    assert loaded.total_rank == socs.total_rank
+
+
+def test_socs_cache(tmp_path):
+    cache = SOCSCache(tmp_path)
+    fp = config_fingerprint(CFG, source="classical", sigma_out=0.5)
+    assert cache.get(fp) is None
+    src = np.asarray(LightSource(CFG, sigma_out=0.5).classical())
+    socs = randomized_socs(pupil_function(np.zeros(1), CFG), src, CFG, rank=4)
+    cache.put(fp, socs)
+    hit = cache.get(fp)
+    assert hit is not None and hit.rank == 4
+
+
+def test_fingerprint_sensitivity():
+    a = config_fingerprint(CFG, sigma_out=0.5)
+    b = config_fingerprint(CFG, sigma_out=0.6)
+    c = config_fingerprint(OpticsConfig(pixel_number=64), sigma_out=0.5)
+    assert len({a, b, c}) == 3
+
+
+# --- CLI ------------------------------------------------------------------
+
+def test_cli_simulate(tmp_path, capsys):
+    from lithographysimulator_tpu.cli import main
+
+    out = tmp_path / "a.npy"
+    rc = main(["simulate", "--pixel-number", "32", "--source", "classical",
+               "--sigma-out", "0.4", "--mask", "lines", "--out", str(out)])
+    assert rc == 0 and out.exists()
+    first_line = capsys.readouterr().out.splitlines()[0]
+    report = json.loads(first_line)
+    assert report["pixel_number"] == 32
+
+
+def test_cli_socs(tmp_path, capsys):
+    from lithographysimulator_tpu.cli import main
+
+    out = tmp_path / "k.npz"
+    rc = main(["socs", "--pixel-number", "32", "--source", "annular",
+               "--sigma-in", "0.2", "--sigma-out", "0.6",
+               "--rank", "8", "--out", str(out)])
+    assert rc == 0 and out.exists()
+    assert load_socs(out).rank == 8
+
+
+def test_cli_rejects_bad_source():
+    from lithographysimulator_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["simulate", "--source", "laser"])
