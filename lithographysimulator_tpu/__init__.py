@@ -24,6 +24,7 @@ from .ops.abbe import (
 from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
+from .ops.tiled import default_halo, tiled_socs_image, tiled_socs_image_scan
 from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
 from .simulate import SimulationResult, simulate
 
@@ -46,6 +47,7 @@ __all__ = [
     "accumulate_intensity",
     "contact_holes",
     "critical_dimension",
+    "default_halo",
     "demo_bars",
     "focus_stack_aberrations",
     "from_array",
@@ -61,6 +63,8 @@ __all__ = [
     "spectrum_direct",
     "spectrum_fft",
     "tcc_eigensystem",
+    "tiled_socs_image",
+    "tiled_socs_image_scan",
     "through_focus_images",
     "unit_disk_mask",
     "wavefront_error",

@@ -1,0 +1,137 @@
+"""ctypes bridge to the native C++ polygon rasterizer.
+
+The shared library is built on demand from ``native/rasterizer.cpp`` with the
+system toolchain and cached next to the source. A pure-numpy fallback with
+identical semantics (pixel-center even-odd fill) keeps everything working
+where no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SOURCE = _NATIVE_DIR / "rasterizer.cpp"
+_LIB = _NATIVE_DIR / "librasterizer.so"
+
+_lib_handle = None
+_native_unavailable = False
+
+
+def _build_library() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SOURCE)],
+            check=True, capture_output=True, timeout=240,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _get_lib():
+    global _lib_handle, _native_unavailable
+    if _lib_handle is not None or _native_unavailable:
+        return _lib_handle
+    if not _LIB.exists() or (_SOURCE.exists()
+                             and _SOURCE.stat().st_mtime > _LIB.stat().st_mtime):
+        if not _SOURCE.exists() or not _build_library():
+            _native_unavailable = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        _native_unavailable = True
+        return None
+    for name in ("rasterize_polygons", "rasterize_polygons_aa"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int
+    lib.rasterize_polygons.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.rasterize_polygons_aa.argtypes = lib.rasterize_polygons.argtypes[:7] + [
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib_handle = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def _pack(polygons):
+    sizes = np.asarray([len(p) for p in polygons], np.int32)
+    if len(polygons):
+        xy = np.concatenate([np.asarray(p, np.float64).reshape(-1, 2)
+                             for p in polygons]).ravel()
+    else:
+        xy = np.zeros(0, np.float64)
+    return np.ascontiguousarray(xy), sizes
+
+
+def rasterize(polygons, *, origin=(0.0, 0.0), pixel_size: float, n: int,
+              antialias: int = 0) -> np.ndarray:
+    """Rasterize polygons (lists of (x, y) vertices, layout units) onto an
+    (n, n) float32 grid. ``origin`` is the (x, y) of the grid's low corner;
+    row iy samples y = origin[1] + (iy + 0.5) * pixel_size. ``antialias`` > 1
+    enables ss x ss coverage sampling (gray-level output)."""
+    grid = np.zeros((n, n), np.float32)
+    xy, sizes = _pack(polygons)
+    if len(sizes) == 0:
+        return grid
+    lib = _get_lib()
+    if lib is not None:
+        c_xy = xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        c_sizes = sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        c_grid = grid.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if antialias > 1:
+            rc = lib.rasterize_polygons_aa(
+                c_xy, c_sizes, len(sizes), float(origin[0]), float(origin[1]),
+                float(pixel_size), n, int(antialias), c_grid)
+        else:
+            rc = lib.rasterize_polygons(
+                c_xy, c_sizes, len(sizes), float(origin[0]), float(origin[1]),
+                float(pixel_size), n, c_grid)
+        if rc != 0:
+            raise RuntimeError(f"native rasterizer failed (rc={rc})")
+        return grid
+    return _rasterize_numpy(polygons, origin, pixel_size, n, antialias)
+
+
+def _rasterize_numpy(polygons, origin, pixel_size, n, antialias) -> np.ndarray:
+    """Pure-numpy fallback: same pixel-center even-odd rule (vectorized
+    crossing-number test per polygon bounding box)."""
+    ss = max(1, int(antialias))
+    nn = n * ss
+    px = pixel_size / ss
+    grid = np.zeros((nn, nn), np.float32)
+    cx = origin[0] + (np.arange(nn) + 0.5) * px
+    cy = origin[1] + (np.arange(nn) + 0.5) * px
+    for poly in polygons:
+        v = np.asarray(poly, np.float64).reshape(-1, 2)
+        if len(v) < 3:
+            continue
+        x1, y1 = v[:, 0], v[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        iy_lo = max(0, int(np.floor((y1.min() - origin[1]) / px - 0.5)))
+        iy_hi = min(nn, int(np.ceil((y1.max() - origin[1]) / px)))
+        for iy in range(iy_lo, iy_hi):
+            y = cy[iy]
+            crosses = (y1 <= y) != (y2 <= y)
+            if not crosses.any():
+                continue
+            xs = x1[crosses] + (y - y1[crosses]) / (y2[crosses] - y1[crosses]) \
+                * (x2[crosses] - x1[crosses])
+            inside = (np.sum(cx[None, :] >= np.sort(xs)[:, None], axis=0) % 2) == 1
+            grid[iy, inside] = 1.0
+    if ss == 1:
+        return grid
+    coarse = grid.reshape(n, ss, n, ss).mean(axis=(1, 3))
+    return np.minimum(coarse, 1.0).astype(np.float32)

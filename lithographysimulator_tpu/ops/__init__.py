@@ -8,3 +8,4 @@ from .zernike import osa_index_to_mn, wavefront_error, zernike_basis
 # models.pupil, which itself imports ops.zernike — an eager import here
 # would be circular.
 from .hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
+from .tiled import default_halo, tiled_socs_image, tiled_socs_image_scan

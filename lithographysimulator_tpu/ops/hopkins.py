@@ -178,7 +178,12 @@ def socs_image(
             fields = separable_dft(prod, config, sign=-1, dtype=spectrum.dtype)
         return acc + jnp.sum(ls[:, None, None] * jnp.abs(fields) ** 2, axis=0), None
 
-    init = jnp.zeros((n, n), dtype=jnp.real(spectrum).dtype)
+    # vma seed: under shard_map the scan carry must share the inputs'
+    # varying-manual-axes (see ops/abbe.py accumulate_intensity).
+    real_dtype = jnp.real(spectrum).dtype
+    seed = (jnp.real(spectrum[0, 0]) + lams[0, 0]
+            + jnp.real(kernels[0, 0, 0, 0])) * 0
+    init = jnp.zeros((n, n), dtype=real_dtype) + seed.astype(real_dtype)
     image, _ = jax.lax.scan(body, init, (kernels, lams))
     if solver == "gau23":
         image = _postprocess_gau23(image, config)

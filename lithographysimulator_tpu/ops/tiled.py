@@ -1,0 +1,137 @@
+"""Tiled full-chip imaging: arbitrarily large masks through fixed-size optics.
+
+The sigma ≡ k grid invariant ties the frequency step to the grid size
+(delta_k = 4/n), so the per-field pipeline has a natural working size. Real
+layouts are much bigger than one field — the standard full-chip approach
+(Cobb-style OPC flows) exploits that imaging is *local*: the coherent-system
+point-spread functions decay over a few lambda/NA, so the chip is cut into
+overlapping tiles, each imaged independently under the tile-sized optics, and
+only the halo-free tile cores are stitched into the output.
+
+This composes with any per-tile solver; SOCS is the natural choice (kernels
+are built once for the tile optics and reused for every tile of every mask).
+Memory stays at O(tile^2) regardless of chip size — an 8192^2 (or larger)
+mask streams through in 1024^2 pieces. Tiles are independent, so the tile
+loop is embarrassingly parallel across chips (`parallel.tiled_sharded`).
+
+Guard-band guidance: the optical interaction distance is a few
+lambda / NA — e.g. ~1.4 um at 193 nm / 0.7 NA, i.e. ~55 px of 25 nm pixels;
+`default_halo` rounds that up generously.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OpticsConfig
+from .fraunhofer import mask_spectrum
+from .hopkins import SOCSKernels, socs_image
+
+
+def default_halo(config: OpticsConfig, *, wavelengths: float = 8.0) -> int:
+    """Halo in pixels covering ``wavelengths`` * lambda/NA of optical
+    interaction distance (rounded up to a multiple of 8)."""
+    distance_nm = wavelengths * config.wavelength / config.na
+    px = math.ceil(distance_nm / config.pixel_size)
+    return ((px + 7) // 8) * 8
+
+
+def tile_layout(big_n: int, tile_n: int, halo: int):
+    """Number of tile steps per axis and the core (stitched) step size."""
+    step = tile_n - 2 * halo
+    if step <= 0:
+        raise ValueError(f"halo {halo} too large for tile size {tile_n}")
+    tiles = math.ceil(big_n / step)
+    return tiles, step
+
+
+def tiled_socs_image(
+    mask_big: jnp.ndarray,
+    socs: SOCSKernels,
+    tile_config: OpticsConfig,
+    *,
+    halo: int | None = None,
+    solver: str = "gau23",
+    chunk: int = 4,
+    engine: str = "auto",
+    spectrum_solver: str = "gau23",
+) -> jnp.ndarray:
+    """(M, M) aerial image of an arbitrarily large mask, tile by tile.
+
+    ``socs`` must be built for ``tile_config`` (same optics every tile). The
+    mask is zero-padded outside its boundary; each tile's core (tile minus
+    halo ring) lands in the output.
+    """
+    big_n = mask_big.shape[-1]
+    n = tile_config.n
+    if halo is None:
+        halo = default_halo(tile_config)
+    tiles, step = tile_layout(big_n, n, halo)
+
+    # Pad so every tile window [t*step - halo, t*step - halo + n) is in range.
+    pad_lo = halo
+    pad_hi = tiles * step + halo - big_n + (n - step)  # generous upper guard
+    padded = jnp.pad(mask_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+    @jax.jit
+    def one_tile(window):
+        spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+        img = socs_image(spectrum, socs, tile_config,
+                         solver=solver, chunk=chunk, engine=engine)
+        return img[halo : halo + step, halo : halo + step]
+
+    rows = []
+    for ty in range(tiles):
+        cols = []
+        for tx in range(tiles):
+            window = jax.lax.dynamic_slice(
+                padded, (ty * step, tx * step), (n, n))
+            cols.append(one_tile(window))
+        rows.append(jnp.concatenate(cols, axis=1))
+    stitched = jnp.concatenate(rows, axis=0)
+    return stitched[:big_n, :big_n]
+
+
+def tiled_socs_image_scan(
+    mask_big: jnp.ndarray,
+    socs: SOCSKernels,
+    tile_config: OpticsConfig,
+    *,
+    halo: int | None = None,
+    solver: str = "gau23",
+    chunk: int = 4,
+    engine: str = "auto",
+    spectrum_solver: str = "gau23",
+) -> jnp.ndarray:
+    """Same as :func:`tiled_socs_image` but with the tile loop inside one
+    compiled ``lax.map`` — a single dispatch, best when the whole run fits
+    the accelerator's dispatch budget."""
+    big_n = mask_big.shape[-1]
+    n = tile_config.n
+    if halo is None:
+        halo = default_halo(tile_config)
+    tiles, step = tile_layout(big_n, n, halo)
+    pad_lo = halo
+    pad_hi = tiles * step + halo - big_n + (n - step)
+    padded = jnp.pad(mask_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
+                                  indexing="ij"), -1).reshape(-1, 2)
+
+    def one(c):
+        window = jax.lax.dynamic_slice(padded, (c[0] * step, c[1] * step), (n, n))
+        spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+        img = socs_image(spectrum, socs, tile_config,
+                         solver=solver, chunk=chunk, engine=engine)
+        return img[halo : halo + step, halo : halo + step]
+
+    cores = jax.lax.map(one, jnp.asarray(coords))  # (tiles*tiles, step, step)
+    grid = cores.reshape(tiles, tiles, step, step)
+    stitched = jnp.concatenate(
+        [jnp.concatenate(list(row), axis=1) for row in grid], axis=0)
+    return stitched[:big_n, :big_n]

@@ -1,2 +1,3 @@
 from .abbe_sharded import abbe_image_sharded, padded_source_arrays, through_focus_sharded
 from .mesh import FOCUS_AXIS, SOURCE_AXIS, focus_source_mesh, source_mesh
+from .tiled_sharded import tiled_socs_image_sharded

@@ -1,0 +1,110 @@
+"""GDSII reader/writer, native + fallback rasterizers, layout -> Mask."""
+
+import numpy as np
+import pytest
+
+from lithographysimulator_tpu import OpticsConfig, simulate
+from lithographysimulator_tpu.io import (
+    mask_from_gds,
+    mask_from_polygons,
+    native_available,
+    rasterize,
+    read_gds,
+    write_gds,
+)
+from lithographysimulator_tpu.io import native as native_mod
+from lithographysimulator_tpu.io.gdsii import _float_to_real8, _real8_to_float
+
+CFG = OpticsConfig(pixel_number=32)
+SQUARE = [(100.0, 100.0), (300.0, 100.0), (300.0, 300.0), (100.0, 300.0)]
+
+
+def test_native_library_builds():
+    assert native_available()
+
+
+def test_square_pixel_count():
+    g = rasterize([SQUARE], origin=(0, 0), pixel_size=25.0, n=32)
+    assert g.sum() == 64  # 200x200 nm at 25 nm pixels = 8x8
+    assert g[4, 4] == 1.0 and g[3, 3] == 0.0  # first center inside at 112.5
+
+
+def test_native_matches_numpy_fallback():
+    rng = np.random.default_rng(0)
+    polys = [rng.uniform(0, 800, (k, 2)) for k in (3, 5, 7, 4)]
+    a = rasterize(polys, origin=(0, 0), pixel_size=25.0, n=32)
+    b = native_mod._rasterize_numpy(polys, (0, 0), 25.0, 32, 0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_antialias_coverage():
+    half = [(12.5, 12.5), (312.5, 12.5), (312.5, 312.5), (12.5, 312.5)]
+    g = rasterize([half], origin=(0, 0), pixel_size=25.0, n=32, antialias=4)
+    vals = set(np.round(np.unique(g), 3))
+    assert {0.0, 0.25, 0.5, 1.0} <= vals  # corners 1/4, edges 1/2
+
+
+def test_nonconvex_polygon():
+    # L-shape: 300x300 with a 200x200 notch removed
+    l_shape = [(0, 0), (300, 0), (300, 100), (100, 100), (100, 300), (0, 300)]
+    g = rasterize([l_shape], origin=(0, 0), pixel_size=25.0, n=16)
+    # area 300*300 - 200*200 = 5e4 nm^2 = 80 px
+    assert g.sum() == 80
+
+
+def test_real8_roundtrip():
+    for v in (0.0, 1e-9, 1e-3, 1.0, -2.5, 123456.789, -1e-6):
+        assert _real8_to_float(_float_to_real8(v)) == pytest.approx(v, rel=1e-12)
+
+
+def test_gds_roundtrip(tmp_path):
+    p = tmp_path / "t.gds"
+    tri = np.array([(0, 0), (500, 0), (250, 400)], float)
+    write_gds(p, {"TOP": [(2, np.asarray(SQUARE, float)), (5, tri)]}, unit_nm=1.0)
+    lib = read_gds(p)
+    assert "TOP" in lib.cells
+    polys = lib.flatten("TOP")
+    assert {q.layer for q in polys} == {2, 5}
+    sq = next(q for q in polys if q.layer == 2)
+    np.testing.assert_allclose(sq.xy_nm, SQUARE)
+
+
+def test_gds_sref_translation(tmp_path):
+    """SREF placements translate child-cell polygons."""
+    from lithographysimulator_tpu.io.gdsii import GDSCell, GDSLibrary, GDSPolygon
+
+    child = GDSCell("CHILD", [GDSPolygon(1, 0, np.asarray(SQUARE, float))], [])
+    top = GDSCell("TOP", [], [("CHILD", (1000.0, 0.0)), ("CHILD", (0.0, 1000.0))])
+    lib = GDSLibrary("L", 1.0, {"CHILD": child, "TOP": top})
+    polys = lib.flatten("TOP")
+    assert len(polys) == 2
+    np.testing.assert_allclose(polys[0].xy_nm[0], (1100.0, 100.0))
+    np.testing.assert_allclose(polys[1].xy_nm[0], (100.0, 1100.0))
+
+
+def test_mask_from_gds_images(tmp_path):
+    """End to end: GDSII file -> mask -> aerial image."""
+    from lithographysimulator_tpu import LightSource
+
+    p = tmp_path / "chip.gds"
+    write_gds(p, {"TOP": [(1, np.asarray(SQUARE, float))]}, unit_nm=1.0)
+    mask = mask_from_gds(p, CFG, layer=1, origin=(0, 0))
+    assert int(np.asarray(mask.geometry).sum()) == 64
+    src = LightSource(CFG, sigma_out=0.5).classical()
+    img = np.asarray(simulate(mask, src, normalize=True).image)
+    assert img.max() > 0 and np.isfinite(img).all()
+
+
+def test_mask_from_polygons_autocenter():
+    mask = mask_from_polygons([SQUARE], CFG)
+    g = np.asarray(mask.geometry)
+    assert g.sum() == 64
+    ys, xs = np.nonzero(g)
+    assert abs(ys.mean() - 15.5) < 1 and abs(xs.mean() - 15.5) < 1
+
+
+def test_gray_mask_from_polygons():
+    tri = [(100.0, 100.0), (500.0, 120.0), (180.0, 470.0)]
+    mask = mask_from_polygons([tri], CFG, antialias=4)
+    g = np.asarray(mask.geometry)
+    assert bool(np.any((g > 0) & (g < 1)))  # gray edges
