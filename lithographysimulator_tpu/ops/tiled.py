@@ -78,8 +78,12 @@ def tiled_socs_image(
     pad_hi = tiles * step + halo - big_n + (n - step)  # generous upper guard
     padded = jnp.pad(mask_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
 
+    # socs/padded must be jit ARGUMENTS, not closure captures: captured
+    # device arrays are lowered as constants (the rank-256 1024^2 kernel set
+    # is ~2 GB) and force a host readback at trace time.
     @jax.jit
-    def one_tile(window):
+    def one_tile(padded, socs, ty, tx):
+        window = jax.lax.dynamic_slice(padded, (ty * step, tx * step), (n, n))
         spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
         img = socs_image(spectrum, socs, tile_config,
                          solver=solver, chunk=chunk, engine=engine)
@@ -87,11 +91,7 @@ def tiled_socs_image(
 
     rows = []
     for ty in range(tiles):
-        cols = []
-        for tx in range(tiles):
-            window = jax.lax.dynamic_slice(
-                padded, (ty * step, tx * step), (n, n))
-            cols.append(one_tile(window))
+        cols = [one_tile(padded, socs, ty, tx) for tx in range(tiles)]
         rows.append(jnp.concatenate(cols, axis=1))
     stitched = jnp.concatenate(rows, axis=0)
     return stitched[:big_n, :big_n]
@@ -123,14 +123,19 @@ def tiled_socs_image_scan(
     coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
                                   indexing="ij"), -1).reshape(-1, 2)
 
-    def one(c):
-        window = jax.lax.dynamic_slice(padded, (c[0] * step, c[1] * step), (n, n))
-        spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
-        img = socs_image(spectrum, socs, tile_config,
-                         solver=solver, chunk=chunk, engine=engine)
-        return img[halo : halo + step, halo : halo + step]
+    @jax.jit
+    def run(padded, socs, coords):
+        def one(c):
+            window = jax.lax.dynamic_slice(
+                padded, (c[0] * step, c[1] * step), (n, n))
+            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+            img = socs_image(spectrum, socs, tile_config,
+                             solver=solver, chunk=chunk, engine=engine)
+            return img[halo : halo + step, halo : halo + step]
 
-    cores = jax.lax.map(one, jnp.asarray(coords))  # (tiles*tiles, step, step)
+        return jax.lax.map(one, coords)
+
+    cores = run(padded, socs, jnp.asarray(coords))  # (tiles^2, step, step)
     grid = cores.reshape(tiles, tiles, step, step)
     stitched = jnp.concatenate(
         [jnp.concatenate(list(row), axis=1) for row in grid], axis=0)
