@@ -54,7 +54,7 @@ def resolve_engine(engine: str) -> str:
     2.7x faster at 512^2, 3.7x at 1024^2. On CPU the O(n^3) matmuls lose to
     FFT, so 'auto' keeps the FFT there (the two agree to ~3e-8 relative).
     """
-    if engine not in ("auto", "fft", "matmul"):
+    if engine not in ("auto", "fft", "matmul", "pallas"):
         raise ValueError(f"unknown field-transform engine {engine!r}")
     if engine != "auto":
         return engine
@@ -180,6 +180,23 @@ def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft"):
     return crop_center(fields, n)
 
 
+def _intensity_gau23_pallas(pupil_tiled, spectrum, shifts, weights, fft_size,
+                            interpret=False):
+    """Chunk intensity via the fused Pallas column-transform kernel: the
+    row transform Y = T @ X runs as an XLA MXU matmul, the column transform
+    and weighted |.|^2 accumulation fuse in VMEM (the (B, n, n) field stack
+    never reaches HBM). Opt-in; numerically equivalent to the matmul engine.
+    """
+    from .kernels.intensity import fused_column_transform_intensity
+
+    n = spectrum.shape[-1]
+    prods = _rolled_products(pupil_tiled, spectrum, shifts)
+    t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
+    y = jnp.einsum("ij,bjk->bik", t, prods,
+                   precision=jax.lax.Precision.HIGHEST)
+    return fused_column_transform_intensity(y, t, weights, interpret=interpret)
+
+
 def _fields_direct(pupil_tiled, spectrum, shifts, config):
     """(B, n, n) coherent fields via the separable direct transform
     (reference ``calculateAerial``, ``imageformation.py:3-30``; constant
@@ -220,8 +237,14 @@ def accumulate_intensity(
     weights = weights.reshape(p // chunk, chunk).astype(real_dtype)
     pupil_tiled = _tiled(pupil)
 
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
     def body(acc, sw):
         s, w = sw
+        if solver == "gau23" and engine == "pallas":
+            part = _intensity_gau23_pallas(
+                pupil_tiled, spectrum, s, w, fft_size, interpret=interpret)
+            return acc + part, None
         if solver == "gau23":
             fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine)
         else:
@@ -295,6 +318,7 @@ def abbe_image(
     solver: Solver = "gau23",
     chunk: int = 4,
     normalize: bool = False,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Aerial image from a mask spectrum, pupil function, and source.
 
@@ -318,7 +342,7 @@ def abbe_image(
     elif not isinstance(source, jax.core.Tracer):
         return abbe_image(
             spectrum, pupil, source_points(np.asarray(source)), config,
-            solver=solver, chunk=chunk, normalize=normalize,
+            solver=solver, chunk=chunk, normalize=normalize, engine=engine,
         )
     else:
         # Traced source map: dense weighted reduction over the whole grid.
@@ -332,4 +356,5 @@ def abbe_image(
     return abbe_image_points(
         spectrum, pupil, shifts, weights, config,
         solver=solver, chunk=chunk, normalize=normalize, total_weight=total,
+        engine=engine,
     )

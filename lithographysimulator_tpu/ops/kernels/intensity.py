@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: fused zoom-DFT column transform + weighted intensity.
+
+The matmul imaging engine computes, per chunk of B coherent systems,
+
+    Y = T @ X          (row transform, XLA batched matmul on the MXU)
+    E = Y @ T^T        (column transform)
+    acc += sum_b w_b |E_b|^2
+
+XLA materializes E (B x n x n complex64) in HBM between the second matmul
+and the intensity reduction. This kernel fuses them: E tiles are produced on
+the MXU into VMEM, squared and weight-accumulated in place, and only the
+(n, n) float32 accumulator ever reaches HBM — the field stack is never
+written. Complex arithmetic is done as explicit real/imaginary f32 planes
+(Pallas/Mosaic has no native complex dtype).
+
+Grid: (n/TM, n/TN) over output tiles; the B batch and the shared k-dim stay
+inside the kernel. Per (i, j) program:
+
+    for b in range(B):
+        er = yr[b,i-tile] @ tr[j-tile]^T - yi[b,i-tile] @ ti[j-tile]^T
+        ei = yr[b,i-tile] @ ti[j-tile]^T + yi[b,i-tile] @ tr[j-tile]^T
+        out[i,j-tile] += w[b] * (er^2 + ei^2)
+
+Used by the 'matmul' engine when ``use_pallas=True`` (off by default until
+it wins on the target chip; falls back transparently elsewhere).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(w_ref, yr_ref, yi_ref, tr_ref, ti_ref, out_ref):
+    b = yr_ref.shape[0]  # static chunk size: unroll in Python
+    trt = tr_ref[...].T  # (K, TN)
+    tit = ti_ref[...].T
+
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for i in range(b):
+        a_r = yr_ref[i]
+        a_i = yi_ref[i]
+        er = (jnp.dot(a_r, trt, preferred_element_type=jnp.float32)
+              - jnp.dot(a_i, tit, preferred_element_type=jnp.float32))
+        ei = (jnp.dot(a_r, tit, preferred_element_type=jnp.float32)
+              + jnp.dot(a_i, trt, preferred_element_type=jnp.float32))
+        acc = acc + w_ref[i, 0] * (er * er + ei * ei)
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
+def fused_column_transform_intensity(
+    y: jnp.ndarray,       # (B, n, n) complex64: row-transformed fields T @ X
+    t: jnp.ndarray,       # (n, n) complex64: zoom-DFT matrix
+    weights: jnp.ndarray, # (B,) float32
+    *,
+    tile_m: int = 256,
+    tile_n: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sum_b w_b |Y_b @ T^T|^2 without materializing the field stack."""
+    b, n, k = y.shape
+    assert k == n and t.shape == (n, n)
+
+    # Fit double-buffered blocks in VMEM (~16 MB/core): the y blocks are
+    # (b, tile_m, n) f32 x2 planes and the t blocks (tile_n, n) x2 planes.
+    def shrink(tile, bytes_per_row, budget=1 << 21):
+        while tile > 8 and tile * bytes_per_row > budget:
+            tile //= 2
+        return tile
+
+    tile_m = shrink(min(tile_m, n), b * n * 4)
+    tile_n = shrink(min(tile_n, n), n * 4)
+    if n % tile_m or n % tile_n:
+        raise ValueError(f"n={n} must divide tile sizes ({tile_m}, {tile_n})")
+
+    yr = jnp.real(y).astype(jnp.float32)
+    yi = jnp.imag(y).astype(jnp.float32)
+    tr = jnp.real(t).astype(jnp.float32)
+    ti = jnp.imag(t).astype(jnp.float32)
+
+    grid = (n // tile_m, n // tile_n)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, tile_m, n), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, tile_m, n), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, n), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+    )(weights.astype(jnp.float32).reshape(b, 1), yr, yi, tr, ti)
+
+
+def reference_column_transform_intensity(y, t, weights):
+    """XLA reference implementation (for tests and as the fallback)."""
+    e = jnp.einsum("bik,lk->bil", y, t,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(weights[:, None, None] * jnp.abs(e) ** 2, axis=0)

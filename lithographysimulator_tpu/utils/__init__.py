@@ -6,3 +6,4 @@ from .artifacts import (
     save_image,
     save_socs,
 )
+from .profiling import StageTimer, annotate, trace

@@ -1,0 +1,89 @@
+"""Tracing and stage timing.
+
+The reference's only observability is ``time.time()`` deltas printed per
+demo stage (reference ``imageformation.py:104-122``). Here: structured stage
+timers with device synchronization (so times mean what they say under async
+dispatch), optional ``jax.profiler`` trace capture for xprof/TensorBoard, and
+a plain-logging bridge.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+
+import jax
+
+logger = logging.getLogger("lithographysimulator_tpu")
+
+
+class StageTimer:
+    """Collects named stage wall-clock times with device sync at the edges.
+
+    >>> timer = StageTimer()
+    >>> with timer.stage("spectrum"):
+    ...     spectrum = mask_spectrum(geom, cfg)
+    >>> timer.report()
+    {'spectrum': 0.0123}
+    """
+
+    def __init__(self, *, sync: bool = True, log: bool = False):
+        self.sync = sync
+        self.log = log
+        self.times: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, *outputs):
+        if self.sync:
+            _sync()
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if self.sync:
+                _sync()
+            elapsed = time.perf_counter() - t0
+            self.times[name] = self.times.get(name, 0.0) + elapsed
+            if self.log:
+                logger.info("stage %s: %.4f s", name, elapsed)
+
+    def report(self) -> dict:
+        return dict(self.times)
+
+
+def _sync():
+    """Barrier on all live device work (cheap dummy computation + block)."""
+    try:
+        jax.block_until_ready(jax.device_put(0.0))
+    except Exception:  # pragma: no cover - sync is best-effort
+        pass
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a ``jax.profiler`` trace around a block (view with xprof /
+    TensorBoard).
+
+    >>> with trace("/tmp/litho-trace"):
+    ...     image = simulate(...)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Decorator: label a function's device work in profiler traces."""
+
+    def wrap(fn):
+        def inner(*args, **kwargs):
+            with jax.profiler.TraceAnnotation(name):
+                return fn(*args, **kwargs)
+
+        inner.__name__ = getattr(fn, "__name__", name)
+        return inner
+
+    return wrap

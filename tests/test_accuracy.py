@@ -1,0 +1,71 @@
+"""Absolute accuracy vs the independent float64 NumPy oracle.
+
+BASELINE target: <= 1e-6 normalized RMS aerial-image accuracy against an
+fp32-hardened oracle. The oracle here (tests/numpy_oracle.py) is a from-
+scratch complex128 implementation sharing no code with the jax framework.
+"""
+
+import numpy as np
+import pytest
+
+from lithographysimulator_tpu import (
+    LightSource,
+    OpticsConfig,
+    abbe_image,
+    demo_bars,
+    pupil_function,
+    spectrum_fft,
+    wavefront_error,
+)
+from tests import numpy_oracle as oracle
+
+
+def nrms(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean(np.abs(a - b) ** 2)) / np.abs(b).max())
+
+
+def test_spectrum_accuracy_vs_float64():
+    cfg = OpticsConfig(pixel_number=64)
+    geom = np.asarray(demo_bars(cfg).geometry)
+    ours = np.asarray(spectrum_fft(geom, cfg))
+    ref, _, _ = oracle.spectrum64(geom, cfg.pixel_size, cfg.wavelength)
+    assert nrms(ours, ref) < 1e-6
+
+
+def test_pupil_accuracy_vs_float64():
+    cfg = OpticsConfig(pixel_number=64)
+    ab = [0, 0, 0.01, 0, 100, 0.01, 0, 0.01, 0.01, 0.01]
+    ours = np.asarray(pupil_function(np.asarray(ab, np.float32), cfg))
+    ref = oracle.pupil64(ab, cfg.n, cfg.na, cfg.wavelength)
+    assert nrms(ours, ref) < 1e-6
+
+
+def test_wavefront_accuracy_vs_float64():
+    cfg = OpticsConfig(pixel_number=64)
+    ab = [0, 0, 0.01, 0, 100, 0.01, 0, 0.01, 0.01, 0.01]
+    ours = np.asarray(wavefront_error(np.asarray(ab, np.float32), cfg))
+    basis = oracle.zernike_basis64(cfg.n, len(ab))
+    ab64 = np.asarray(ab, np.float64).copy()
+    ab64[4] *= cfg.na**2 / (4 * cfg.wavelength)
+    ref = np.tensordot(ab64, basis, axes=1)
+    assert nrms(ours, ref) < 1e-6
+
+
+@pytest.mark.parametrize("engine", ["fft", "matmul"])
+def test_aerial_image_accuracy_vs_float64(engine):
+    """The headline BASELINE accuracy metric: demo config, fp32 framework vs
+    complex128 oracle, <= 1e-6 normalized RMS — for both field engines."""
+    cfg = OpticsConfig(pixel_number=64)
+    geom = np.asarray(demo_bars(cfg).geometry)
+    src = np.asarray(LightSource(cfg, sigma_in=0.4, sigma_out=0.8)
+                     .quasar(4, -np.pi / 8))
+    ab = np.asarray([0, 0, 0.01, 0, 100, 0.01, 0, 0.01, 0.01, 0.01], np.float32)
+
+    spec = spectrum_fft(geom, cfg)
+    pup = pupil_function(ab, cfg)
+    ours = np.asarray(abbe_image(spec, pup, src, cfg, engine=engine))
+
+    ref = oracle.abbe64(geom, src, ab, pixel_size=cfg.pixel_size,
+                        wavelength=cfg.wavelength, na=cfg.na)
+    assert nrms(ours, ref) < 1e-6
