@@ -112,5 +112,23 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def main_with_retries(attempts: int = 3, cooldown_s: float = 150.0) -> None:
+    """The serving tunnel occasionally faults (UNAVAILABLE) on long runs and
+    needs minutes to recover; retry the whole benchmark a few times."""
+    for attempt in range(attempts):
+        try:
+            main()
+            return
+        except Exception as exc:  # noqa: BLE001 - last resort reporting
+            if attempt == attempts - 1:
+                print(json.dumps({
+                    "metric": "1024^2 quadrupole aerial image wall-clock",
+                    "value": None, "unit": "s", "vs_baseline": None,
+                    "error": f"{type(exc).__name__}: {exc}"[:300],
+                }))
+                raise
+            time.sleep(cooldown_s)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()

@@ -10,7 +10,15 @@ batched FFTs, and ICI-sharded source-point parallelism.
 
 from .config import DEMO_CONFIG, OpticsConfig, WavelengthScaling, nearest_pow2
 from .grid import Grid, unit_disk_mask
-from .models.mask import Mask, contact_holes, demo_bars, from_array, lines_and_spaces
+from .models.mask import (
+    Mask,
+    alternating_psm,
+    attenuated_psm,
+    contact_holes,
+    demo_bars,
+    from_array,
+    lines_and_spaces,
+)
 from .models.pupil import Pupil, pupil_function
 from .models.resist import ResistModel, critical_dimension
 from .models.source import LightSource
@@ -44,6 +52,8 @@ __all__ = [
     "WavelengthScaling",
     "abbe_image",
     "abbe_image_points",
+    "alternating_psm",
+    "attenuated_psm",
     "accumulate_intensity",
     "contact_holes",
     "critical_dimension",

@@ -161,6 +161,45 @@ def _plot_pipeline(result, mask, out_path: str):
     plt.close(fig)
 
 
+def cmd_focus(args) -> int:
+    """Through-focus stack + focus-exposure matrix (CD vs defocus/dose)."""
+    import jax.numpy as jnp
+
+    from .models.resist import ResistModel, critical_dimension
+    from .ops.abbe import source_points
+    from .ops.focus import focus_stack_aberrations, through_focus_images
+    from .ops.fraunhofer import mask_spectrum
+    from .parallel import padded_source_arrays
+
+    config = _build_config(args)
+    mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk)
+    defocus = np.linspace(args.focus_min, args.focus_max, args.focus_steps)
+    base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
+                      np.float32)
+    stack_ab = focus_stack_aberrations(base, defocus.astype(np.float32))
+    spectrum = mask_spectrum(mask.geometry, config)
+    t0 = time.perf_counter()
+    stack = through_focus_images(spectrum, stack_ab, shifts, weights, config,
+                                 chunk=args.chunk, normalize=True)
+    stack = np.asarray(stack)
+    elapsed = time.perf_counter() - t0
+
+    model = ResistModel(threshold=args.threshold)
+    cds = [critical_dimension(model.develop_binary(jnp.asarray(im), config),
+                              config) for im in stack]
+    print(json.dumps({
+        "defocus_nm": [float(d) for d in defocus],
+        "cd_nm": cds,
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    if args.out:
+        np.save(args.out, stack)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
     mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
@@ -191,7 +230,8 @@ def main(argv=None) -> int:
 
     p_sim = sub.add_parser("simulate", help="compute an aerial image")
     _add_common(p_sim)
-    p_sim.add_argument("--solver", default="gau23", choices=["gau23", "direct"])
+    p_sim.add_argument("--solver", default="gau23",
+                       choices=["gau23", "direct", "socs"])
     p_sim.add_argument("--chunk", type=int, default=4)
     p_sim.add_argument("--normalize", action="store_true")
     p_sim.add_argument("--out", default=None, help="output .npy path")
@@ -203,6 +243,16 @@ def main(argv=None) -> int:
     p_demo.add_argument("--solver", default="gau23", choices=["gau23", "direct"])
     p_demo.add_argument("--out", default=None)
     p_demo.set_defaults(func=cmd_demo)
+
+    p_focus = sub.add_parser("focus", help="through-focus stack + FEM CDs")
+    _add_common(p_focus)
+    p_focus.add_argument("--focus-min", type=float, default=-100.0)
+    p_focus.add_argument("--focus-max", type=float, default=100.0)
+    p_focus.add_argument("--focus-steps", type=int, default=5)
+    p_focus.add_argument("--threshold", type=float, default=0.4)
+    p_focus.add_argument("--chunk", type=int, default=4)
+    p_focus.add_argument("--out", default=None, help="output .npy stack path")
+    p_focus.set_defaults(func=cmd_focus)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

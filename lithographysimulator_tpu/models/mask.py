@@ -108,3 +108,40 @@ def contact_holes(
             c0 = start + j * pitch_px
             geom[r0 : r0 + hole_px, c0 : c0 + hole_px] = 1.0
     return Mask(geometry=jnp.asarray(geom), config=config)
+
+
+def attenuated_psm(binary_mask: Mask, *, transmission: float = 0.06,
+                   phase: float = np.pi) -> Mask:
+    """Attenuated phase-shift mask: clear features transmit 1, the
+    'opaque' background transmits sqrt(transmission) * exp(i*phase)
+    (typically 6% at 180 deg), sharpening edge contrast. Returns a Mask
+    with complex64 geometry — the spectrum and imaging paths handle complex
+    transmission natively (the reference supports binary masks only)."""
+    bg = np.sqrt(transmission) * np.exp(1j * phase)
+    geom = jnp.asarray(binary_mask.geometry)
+    complex_geom = geom.astype(jnp.complex64) + (1.0 - geom) * jnp.complex64(bg)
+    return dataclasses.replace(binary_mask, geometry=complex_geom)
+
+
+def alternating_psm(config: OpticsConfig, *, line_width_px: int, pitch_px: int,
+                    count: int | None = None, margin_px: int = 0) -> Mask:
+    """Alternating (Levenson) phase-shift mask: a line/space grating whose
+    adjacent clear lines alternate 0 / 180 degree phase (+1 / -1
+    transmission), doubling the effective pitch of the diffraction orders."""
+    base = lines_and_spaces(config, line_width_px=line_width_px,
+                            pitch_px=pitch_px, count=count,
+                            margin_px=margin_px)
+    geom = np.asarray(base.geometry)
+    n = config.n
+    signed = np.zeros((n, n), np.complex64)
+    cols = np.nonzero(geom.any(axis=0))[0]
+    if len(cols):
+        # group contiguous columns into lines; alternate sign per line
+        breaks = np.nonzero(np.diff(cols) > 1)[0]
+        starts = np.concatenate([[0], breaks + 1])
+        ends = np.concatenate([breaks, [len(cols) - 1]])
+        for k, (s0, e0) in enumerate(zip(starts, ends)):
+            sign = 1.0 if k % 2 == 0 else -1.0
+            sel = cols[s0 : e0 + 1]
+            signed[:, sel] = sign * geom[:, sel]
+    return Mask(geometry=jnp.asarray(signed), config=config)

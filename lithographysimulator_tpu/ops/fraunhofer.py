@@ -72,7 +72,13 @@ def spectrum_fft(geometry: jnp.ndarray, config: OpticsConfig,
     """Gau'23 wavelength-scaling FFT mask spectrum (``mask.py:74-90``)."""
     ws = config.wavelength_scaling()
     real_dtype = jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.complexfloating) else dtype
-    scaled = bilinear_resize(geometry.astype(real_dtype), ws.epsilon, dtype=real_dtype)
+    geometry = jnp.asarray(geometry)
+    if jnp.issubdtype(geometry.dtype, jnp.complexfloating):
+        # phase-shift masks carry complex transmission
+        scaled = bilinear_resize(geometry, ws.epsilon, dtype=real_dtype)
+    else:
+        scaled = bilinear_resize(geometry.astype(real_dtype), ws.epsilon,
+                                 dtype=real_dtype)
     padded = pad_center(scaled, ws.fft_size)
     spectrum = centered_fft2(padded.astype(dtype))
     return crop_center(spectrum, config.n)

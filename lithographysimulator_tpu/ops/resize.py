@@ -57,6 +57,11 @@ def bilinear_resize(img: jnp.ndarray, scale: float, dtype=jnp.float32) -> jnp.nd
     """
     n_rows, n_cols = img.shape[-2], img.shape[-1]
     out_r, out_c = output_size(n_rows, scale), output_size(n_cols, scale)
+    if jnp.issubdtype(jnp.asarray(img).dtype, jnp.complexfloating):
+        # complex masks (phase-shift masks): resize re/im planes
+        re = bilinear_resize(jnp.real(img), scale, dtype=dtype)
+        im = bilinear_resize(jnp.imag(img), scale, dtype=dtype)
+        return jax.lax.complex(re, im)
     if out_r == n_rows and out_c == n_cols:
         return img.astype(dtype)
     w_r = jnp.asarray(interp_matrix(n_rows, scale, out_r), dtype=dtype)
