@@ -95,6 +95,18 @@ def main() -> None:
     t_seg = time.perf_counter() - t0
     abbe_full_est = t_seg * 8.0
 
+    # throughput mode: bf16x3 matmul passes (~1.3e-5 extra rel error)
+    @jax.jit
+    def abbe_seg_high(geom, a, sh, w):
+        return accumulate_intensity(
+            pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
+            chunk=CHUNK, matmul_precision="high")
+
+    jax.block_until_ready(abbe_seg_high(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(abbe_seg_high(*args))
+    abbe_high_est = (time.perf_counter() - t0) * 8.0
+
     result = {
         "metric": f"1024^2 quadrupole aerial image wall-clock ({points} src pts, SOCS rank {RANK})",
         "value": round(total, 4),
@@ -106,6 +118,8 @@ def main() -> None:
         "abbe_exact_est_s": round(abbe_full_est, 2),
         "abbe_vs_baseline": round(REFERENCE_BASELINE_S / abbe_full_est, 1),
         "abbe_points_per_s": round(points / abbe_full_est, 1),
+        "abbe_high_precision_est_s": round(abbe_high_est, 2),
+        "abbe_high_vs_baseline": round(REFERENCE_BASELINE_S / abbe_high_est, 1),
         "device": str(jax.devices()[0]),
         "image_peak": float(np.asarray(image).max()),
     }

@@ -159,7 +159,15 @@ def _zoom_dft_kernel(n: int, fft_size: int) -> np.ndarray:
     return np.exp(2j * np.pi * np.outer(a, a) / fft_size)
 
 
-def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft"):
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft",
+                  matmul_precision="highest"):
     """(B, n, n) coherent image fields for one chunk, Gau'23 solver
     (reference ``calculateFFTAerial``, ``imageformation.py:32-45``).
 
@@ -172,9 +180,9 @@ def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft"):
     prods = _rolled_products(pupil_tiled, spectrum, shifts)
     if engine == "matmul":
         t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
-        hi = jax.lax.Precision.HIGHEST
-        out = jnp.einsum("ij,...jk->...ik", t, prods, precision=hi)
-        return jnp.einsum("...ik,lk->...il", out, t, precision=hi)
+        prec = _PRECISIONS[matmul_precision]
+        out = jnp.einsum("ij,...jk->...ik", t, prods, precision=prec)
+        return jnp.einsum("...ik,lk->...il", out, t, precision=prec)
     padded = pad_center(prods, fft_size)
     fields = centered_ifft2(padded)         # batched iFFT
     return crop_center(fields, n)
@@ -219,6 +227,7 @@ def accumulate_intensity(
     solver: Solver = "gau23",
     chunk: int = 4,
     engine: str = "auto",
+    matmul_precision: str = "highest",
 ) -> jnp.ndarray:
     """Scan source-point chunks, accumulating ``sum_s w_s |E_s|^2`` on chip.
 
@@ -246,7 +255,8 @@ def accumulate_intensity(
                 pupil_tiled, spectrum, s, w, fft_size, interpret=interpret)
             return acc + part, None
         if solver == "gau23":
-            fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine)
+            fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine,
+                                   matmul_precision)
         else:
             fields = _fields_direct(pupil_tiled, spectrum, s, config)
         intensity = w[:, None, None] * jnp.abs(fields) ** 2
@@ -288,6 +298,7 @@ def abbe_image_points(
     normalize: bool = False,
     total_weight=None,
     engine: str = "auto",
+    matmul_precision: str = "highest",
 ) -> jnp.ndarray:
     """Aerial image from an explicit (possibly traced) padded point list.
 
@@ -297,6 +308,7 @@ def abbe_image_points(
     image = accumulate_intensity(
         pupil, spectrum, jnp.asarray(shifts), jnp.asarray(weights), config,
         solver=solver, chunk=chunk, engine=engine,
+        matmul_precision=matmul_precision,
     )
     if solver == "gau23":
         image = _postprocess_gau23(image, config)

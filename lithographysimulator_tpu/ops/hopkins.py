@@ -143,6 +143,7 @@ def socs_image(
     solver: str = "gau23",
     chunk: int = 4,
     engine: str = "auto",
+    matmul_precision: str = "highest",
 ) -> jnp.ndarray:
     """Aerial image I = sum_j lambda_j |F(phi_j * M)|^2 (pre-postprocessing
     handled identically to the Abbe engine)."""
@@ -167,11 +168,11 @@ def socs_image(
         prod = ks * spectrum[None]
         if solver == "gau23":
             if engine == "matmul":
-                from .abbe import _zoom_dft_kernel
+                from .abbe import _PRECISIONS, _zoom_dft_kernel
                 t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
-                hi = jax.lax.Precision.HIGHEST
-                fields = jnp.einsum("ij,...jk->...ik", t, prod, precision=hi)
-                fields = jnp.einsum("...ik,lk->...il", fields, t, precision=hi)
+                prec = _PRECISIONS[matmul_precision]
+                fields = jnp.einsum("ij,...jk->...ik", t, prod, precision=prec)
+                fields = jnp.einsum("...ik,lk->...il", fields, t, precision=prec)
             else:
                 fields = crop_center(centered_ifft2(pad_center(prod, fft_size)), n)
         else:
