@@ -146,15 +146,17 @@ def _plot_pipeline(result, mask, out_path: str):
     (ax1, ax2), (ax3, ax4), (ax5, ax6) = axes
     ax1.imshow(np.asarray(result.image))
     ax1.set_title("Simulated Aerial Image")
-    ax2.imshow(np.abs(np.asarray(result.spectrum)))
+    import jax.numpy as jnp
+
+    ax2.imshow(np.asarray(jnp.abs(result.spectrum)))
     ax2.set_title("Diffraction Pattern (Mag)")
-    ax3.imshow(np.asarray(mask.geometry))
+    ax3.imshow(np.asarray(jnp.abs(mask.geometry)))
     ax3.set_title("Mask")
     ax4.imshow(result.source_map)
     ax4.set_title("Light Source")
-    ax5.imshow(np.real(np.asarray(result.pupil)))
+    ax5.imshow(np.asarray(jnp.real(result.pupil)))
     ax5.set_title("Pupil Function (Re)")
-    ax6.imshow(np.imag(np.asarray(result.pupil)))
+    ax6.imshow(np.asarray(jnp.imag(result.pupil)))
     ax6.set_title("Pupil Function (Im)")
     fig.tight_layout()
     fig.savefig(out_path)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,8 +45,16 @@ class Mask:
 
 
 def from_array(geometry, config: OpticsConfig) -> Mask:
-    """Wrap an existing square array (any numeric dtype) as a Mask."""
-    arr = jnp.asarray(geometry, dtype=jnp.float32)
+    """Wrap an existing square array as a Mask. Real dtypes become float32;
+    complex transmission (phase-shift masks) becomes complex64, uploaded as
+    re/im planes (serving backends may not transfer complex dtypes)."""
+    host = np.asarray(geometry)
+    if np.iscomplexobj(host):
+        from ..xfer import to_device_complex
+
+        arr = to_device_complex(host).astype(jnp.complex64)
+    else:
+        arr = jnp.asarray(host, dtype=jnp.float32)
     if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
         raise ValueError(f"mask geometry must be square 2-D, got {arr.shape}")
     if arr.shape[0] != config.n:
@@ -118,8 +127,12 @@ def attenuated_psm(binary_mask: Mask, *, transmission: float = 0.06,
     with complex64 geometry — the spectrum and imaging paths handle complex
     transmission natively (the reference supports binary masks only)."""
     bg = np.sqrt(transmission) * np.exp(1j * phase)
-    geom = jnp.asarray(binary_mask.geometry)
-    complex_geom = geom.astype(jnp.complex64) + (1.0 - geom) * jnp.complex64(bg)
+    geom = jnp.real(jnp.asarray(binary_mask.geometry)).astype(jnp.float32)
+    # assemble on device from real planes (complex host constants may not
+    # transfer on serving backends)
+    re = geom + (1.0 - geom) * float(bg.real)
+    im = (1.0 - geom) * float(bg.imag)
+    complex_geom = jax.lax.complex(re, im).astype(jnp.complex64)
     return dataclasses.replace(binary_mask, geometry=complex_geom)
 
 
@@ -133,7 +146,8 @@ def alternating_psm(config: OpticsConfig, *, line_width_px: int, pitch_px: int,
                             margin_px=margin_px)
     geom = np.asarray(base.geometry)
     n = config.n
-    signed = np.zeros((n, n), np.complex64)
+    # 0/180-degree phases are +-1 real transmission: no complex dtype needed
+    signed = np.zeros((n, n), np.float32)
     cols = np.nonzero(geom.any(axis=0))[0]
     if len(cols):
         # group contiguous columns into lines; alternate sign per line

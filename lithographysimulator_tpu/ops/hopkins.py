@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SIGMA_SPAN, OpticsConfig
+from ..xfer import to_device_complex, to_host_complex
 from .abbe import source_points
 from .fourier import centered_ifft2, crop_center, pad_center
 from .fraunhofer import separable_dft
@@ -96,7 +97,7 @@ def tcc_eigensystem(
     """
     n = config.n
     pts = source_points(np.asarray(source_map))
-    pupil_np = np.asarray(pupil)
+    pupil_np = to_host_complex(pupil)
 
     support = passband_support(pupil_np, pts.shifts)
     sup_idx = np.argwhere(support)  # (D, 2)
@@ -106,7 +107,7 @@ def tcc_eigensystem(
     # sigma-grid shift invariant, same as the Abbe roll).
     ky = (sup_idx[None, :, 0] - pts.shifts[:, None, 0]) % n  # (P, D)
     kx = (sup_idx[None, :, 1] - pts.shifts[:, None, 1]) % n
-    a = jnp.asarray(pupil_np[ky, kx])
+    a = to_device_complex(pupil_np[ky, kx])
     a = a * jnp.sqrt(jnp.asarray(pts.weights))[:, None].astype(a.dtype)
 
     tcc = jnp.matmul(a.conj().T, a,
@@ -258,7 +259,7 @@ def randomized_socs(
     n = config.n
     w = jnp.asarray(source_map, jnp.float32)
     sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
-    pupil = jnp.asarray(pupil, jnp.complex64)
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
 
     pupil_fft = jnp.fft.fft2(pupil)
     r_fft = pupil_fft * jnp.conj(pupil_fft)  # FFT of the autocorrelation

@@ -1,3 +1,4 @@
+from ..xfer import to_device_complex, to_host_complex
 from .artifacts import (
     SOCSCache,
     config_fingerprint,

@@ -14,10 +14,12 @@ import hashlib
 import json
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import OpticsConfig
+from ..xfer import to_device_complex, to_host_complex
 from ..ops.hopkins import SOCSKernels
 
 
@@ -49,7 +51,7 @@ def save_socs(path, socs: SOCSKernels) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         path,
-        kernels=np.asarray(socs.kernels),
+        kernels=to_host_complex(socs.kernels),
         eigenvalues=np.asarray(socs.eigenvalues),
         total_rank=np.asarray(socs.total_rank),
     )
@@ -59,7 +61,7 @@ def save_socs(path, socs: SOCSKernels) -> Path:
 def load_socs(path) -> SOCSKernels:
     with np.load(Path(path)) as data:
         return SOCSKernels(
-            kernels=jnp.asarray(data["kernels"]),
+            kernels=to_device_complex(data["kernels"]),
             eigenvalues=jnp.asarray(data["eigenvalues"]),
             total_rank=int(data["total_rank"]),
         )
