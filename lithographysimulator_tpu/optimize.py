@@ -136,3 +136,62 @@ def optimize(
             params, opt_state, target, aberrations, shifts, weights)
         history.append(float(loss))
     return params, history
+
+
+# ---------------------------------------------------------------------------
+# Aberration retrieval (wavefront metrology)
+# ---------------------------------------------------------------------------
+
+def fit_aberrations(
+    target_image: jnp.ndarray,
+    spectrum: jnp.ndarray,
+    shifts,
+    weights,
+    config: OpticsConfig,
+    *,
+    n_coeffs: int = 10,
+    steps: int = 200,
+    learning_rate: float = 0.05,
+    solver: str = "gau23",
+    chunk: int = 4,
+    init=None,
+) -> tuple[jnp.ndarray, list[float]]:
+    """Recover OSA Zernike coefficients from a measured aerial image by
+    gradient descent through the imaging model (the pipeline is
+    differentiable w.r.t. the aberration vector; see models/pupil.py).
+
+    The target and model images are normalized per-iteration, so absolute
+    dose need not be known. Piston (index 0) is a global phase with no
+    intensity signature and is pinned to zero.
+    """
+    from .models.pupil import pupil_function
+
+    target = jnp.asarray(target_image, jnp.float32)
+    target = target / jnp.maximum(jnp.max(target), 1e-30)
+    mask_vec = jnp.ones((n_coeffs,), jnp.float32).at[0].set(0.0)
+
+    def loss_fn(coeffs):
+        pupil = pupil_function(coeffs * mask_vec, config)
+        image = abbe_image_points(
+            spectrum, pupil, shifts, weights, config,
+            solver=solver, chunk=chunk, normalize=True,
+        )
+        image = image / jnp.maximum(jnp.max(image), 1e-30)
+        return jnp.mean((image - target) ** 2)
+
+    optimizer = optax.adam(learning_rate)
+    coeffs = (jnp.zeros((n_coeffs,), jnp.float32) if init is None
+              else jnp.asarray(init, jnp.float32))
+    opt_state = optimizer.init(coeffs)
+
+    @jax.jit
+    def step(coeffs, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(coeffs)
+        updates, opt_state = optimizer.update(grads, opt_state, coeffs)
+        return optax.apply_updates(coeffs, updates), opt_state, loss
+
+    history: list[float] = []
+    for _ in range(steps):
+        coeffs, opt_state, loss = step(coeffs, opt_state)
+        history.append(float(loss))
+    return coeffs * mask_vec, history

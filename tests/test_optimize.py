@@ -110,3 +110,30 @@ def test_source_optimization_params():
     assert np.isfinite(np.asarray(img)).all()
     g = jax.grad(lambda p: forward(p, ab, shifts, weights, problem).sum())(params)
     assert np.abs(np.asarray(g["source_logits"])).max() > 0
+
+
+def test_aberration_retrieval_recovers_image():
+    """Fit Zernike coefficients to a target image generated with known
+    aberrations: the fitted model must reproduce the target image closely
+    (coefficient-space recovery can be ambiguous; image-space is the
+    physical criterion)."""
+    from lithographysimulator_tpu import mask_spectrum, demo_bars
+    from lithographysimulator_tpu.optimize import fit_aberrations
+
+    shifts, weights = _setup()
+    spec = mask_spectrum(demo_bars(CFG).geometry, CFG)
+    true_ab = np.array([0, 0, 0.06, 0.04, 40.0], np.float32)
+    pup = pupil_function(true_ab, CFG)
+    target = abbe_image_points(spec, pup, shifts, weights, CFG,
+                               chunk=8, normalize=True)
+
+    coeffs, hist = fit_aberrations(target, spec, shifts, weights, CFG,
+                                   n_coeffs=5, steps=150, learning_rate=0.08,
+                                   chunk=8)
+    assert hist[-1] < hist[0] * 0.05
+
+    fitted = abbe_image_points(spec, pupil_function(coeffs, CFG), shifts,
+                               weights, CFG, chunk=8, normalize=True)
+    t = np.asarray(target) / np.asarray(target).max()
+    f = np.asarray(fitted) / np.asarray(fitted).max()
+    assert np.sqrt(np.mean((t - f) ** 2)) < 0.01
