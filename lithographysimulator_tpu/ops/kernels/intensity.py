@@ -21,8 +21,13 @@ inside the kernel. Per (i, j) program:
         ei = yr[b,i-tile] @ ti[j-tile]^T + yi[b,i-tile] @ tr[j-tile]^T
         out[i,j-tile] += w[b] * (er^2 + ei^2)
 
-Used by the 'matmul' engine when ``use_pallas=True`` (off by default until
-it wins on the target chip; falls back transparently elsewhere).
+Measured on TPU v5e at 512^2 (chunk 4): 38 us/point at ~5e-4 relative
+error (single-pass bf16 MXU dots — 'highest' exceeds the kernel's scoped
+VMEM and Mosaic rejects 'high'). The XLA matmul engine with
+``matmul_precision='high'`` reaches 35 us/point at 1.3e-5, so the fused
+kernel is kept as an opt-in (``engine='pallas'``) demonstration of the
+VMEM-resident fusion pattern rather than the production default — on this
+chip XLA's MXU pipelines win on both speed and accuracy.
 """
 
 from __future__ import annotations
@@ -35,24 +40,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(w_ref, yr_ref, yi_ref, tr_ref, ti_ref, out_ref):
-    b = yr_ref.shape[0]  # static chunk size: unroll in Python
-    trt = tr_ref[...].T  # (K, TN)
-    tit = ti_ref[...].T
+def _make_kernel(precision):
+    def _kernel(w_ref, yr_ref, yi_ref, tr_ref, ti_ref, out_ref):
+        b = yr_ref.shape[0]  # static chunk size: unroll in Python
+        trt = tr_ref[...].T  # (K, TN)
+        tit = ti_ref[...].T
 
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for i in range(b):
-        a_r = yr_ref[i]
-        a_i = yi_ref[i]
-        er = (jnp.dot(a_r, trt, preferred_element_type=jnp.float32)
-              - jnp.dot(a_i, tit, preferred_element_type=jnp.float32))
-        ei = (jnp.dot(a_r, tit, preferred_element_type=jnp.float32)
-              + jnp.dot(a_i, trt, preferred_element_type=jnp.float32))
-        acc = acc + w_ref[i, 0] * (er * er + ei * ei)
-    out_ref[...] = acc
+        def dot(a, b_):
+            return jax.lax.dot_general(
+                a, b_, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        for i in range(b):
+            a_r = yr_ref[i]
+            a_i = yi_ref[i]
+            er = dot(a_r, trt) - dot(a_i, tit)
+            ei = dot(a_r, tit) + dot(a_i, trt)
+            acc = acc + w_ref[i, 0] * (er * er + ei * ei)
+        out_ref[...] = acc
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_n", "interpret", "precision"))
 def fused_column_transform_intensity(
     y: jnp.ndarray,       # (B, n, n) complex64: row-transformed fields T @ X
     t: jnp.ndarray,       # (n, n) complex64: zoom-DFT matrix
@@ -61,6 +73,7 @@ def fused_column_transform_intensity(
     tile_m: int = 256,
     tile_n: int = 256,
     interpret: bool = False,
+    precision: str = "default",
 ) -> jnp.ndarray:
     """sum_b w_b |Y_b @ T^T|^2 without materializing the field stack."""
     b, n, k = y.shape
@@ -68,7 +81,7 @@ def fused_column_transform_intensity(
 
     # Fit double-buffered blocks in VMEM (~16 MB/core): the y blocks are
     # (b, tile_m, n) f32 x2 planes and the t blocks (tile_n, n) x2 planes.
-    def shrink(tile, bytes_per_row, budget=1 << 21):
+    def shrink(tile, bytes_per_row, budget=1 << 20):
         while tile > 8 and tile * bytes_per_row > budget:
             tile //= 2
         return tile
@@ -83,9 +96,12 @@ def fused_column_transform_intensity(
     tr = jnp.real(t).astype(jnp.float32)
     ti = jnp.imag(t).astype(jnp.float32)
 
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     grid = (n // tile_m, n // tile_n)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(prec),
         grid=grid,
         interpret=interpret,
         in_specs=[
