@@ -215,6 +215,10 @@ def cmd_demo(args) -> int:
     mask = demo_bars(config)
     source = LightSource(config, sigma_in=args.sigma_in, sigma_out=args.sigma_out
                          ).quasar(args.poles, args.rotation)
+    from .utils.profiling import device_info
+
+    print(f"Using {device_info()['platform']} "
+          f"({device_info()['device_count']} device(s))")
     print("Beginning simulation")
     result = simulate(mask, source, aberr, solver=args.solver)
     print(f"Aerial image computed in {result.report['wall_clock_s']:.3f} s "

@@ -251,12 +251,15 @@ def randomized_socs(
     oversample: int = 16,
     power_iters: int = 2,
     seed: int = 0,
+    probe_chunk: int | None | str = "auto",
 ) -> SOCSKernels:
     """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
     of the source-side Gram operator. Exact circulant structure; accuracy set
     by ``power_iters``/``oversample`` (defaults give ~1e-5 relative image
     error for fast-decaying spectra). Scales to arbitrarily fine grids."""
     n = config.n
+    if probe_chunk == "auto":
+        probe_chunk = 8 if n >= 2048 else None
     w = jnp.asarray(source_map, jnp.float32)
     sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
     pupil = to_device_complex(pupil).astype(jnp.complex64)
@@ -269,6 +272,13 @@ def randomized_socs(
     k1, k2 = jax.random.split(key)
     omega = (jax.random.normal(k1, (l, n, n))
              + 1j * jax.random.normal(k2, (l, n, n))).astype(jnp.complex64)
+
+    def matvec_all(block):
+        if probe_chunk is None or l % probe_chunk:
+            return _gram_matvec(block, sqrt_w, r_fft)
+        chunked = block.reshape(l // probe_chunk, probe_chunk, n, n)
+        out = jax.lax.map(lambda c: _gram_matvec(c, sqrt_w, r_fft), chunked)
+        return out.reshape(l, n, n)
 
     def orthonormalize(block):
         # Tall-skinny orthonormalization via Gram whitening: Householder QR
@@ -292,13 +302,13 @@ def randomized_socs(
         # number in fp32; the second restores orthogonality to ~machine eps.
         return whiten_once(whiten_once(flat)).reshape(l, n, n)
 
-    y = _gram_matvec(omega, sqrt_w, r_fft)
+    y = matvec_all(omega)
     for _ in range(power_iters):
         y = orthonormalize(y)
-        y = _gram_matvec(y, sqrt_w, r_fft)
+        y = matvec_all(y)
     q = orthonormalize(y)  # (L, n, n) orthonormal basis of the range
 
-    gq = _gram_matvec(q, sqrt_w, r_fft)
+    gq = matvec_all(q)
     small = jnp.matmul(q.reshape(l, -1).conj(), gq.reshape(l, -1).T,
                        precision=jax.lax.Precision.HIGHEST)  # (L, L)
     small = 0.5 * (small + small.conj().T)
@@ -317,7 +327,14 @@ def randomized_socs(
 
     # Store conj(phi_j) = conj(A^H u_j)/sqrt(lambda_j): the kernel that
     # multiplies the mask spectrum (see tcc_eigensystem's conjugation note).
-    kernels = jnp.conj(_synthesize_kernels(u, sqrt_w, pupil_fft))
+    if probe_chunk is not None and rank % probe_chunk == 0:
+        synth = jax.lax.map(
+            lambda c: _synthesize_kernels(c, sqrt_w, pupil_fft),
+            u.reshape(rank // probe_chunk, probe_chunk, n, n),
+        ).reshape(rank, n, n)
+    else:
+        synth = _synthesize_kernels(u, sqrt_w, pupil_fft)
+    kernels = jnp.conj(synth)
     top_vals = eigvals[:rank]
     # Zero (or numerically dead) eigenvalues get a zero kernel, not a
     # 1/sqrt(0) blow-up — their lambda * |field|^2 term would be 0 * inf.

@@ -7,4 +7,4 @@ from .artifacts import (
     save_image,
     save_socs,
 )
-from .profiling import StageTimer, annotate, trace
+from .profiling import StageTimer, annotate, device_info, trace

@@ -87,3 +87,16 @@ def annotate(name: str):
         return inner
 
     return wrap
+
+
+def device_info() -> dict:
+    """Which backend/devices jax selected — the analog of the
+    reference's MPS -> CUDA -> CPU waterfall prints (reference
+    ``mask.py:7-18`` etc., duplicated per module there; one place here)."""
+    devices = jax.devices()
+    return {
+        "platform": devices[0].platform,
+        "device_count": len(devices),
+        "devices": [str(d) for d in devices],
+        "default_backend": jax.default_backend(),
+    }

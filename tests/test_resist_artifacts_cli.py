@@ -151,3 +151,19 @@ def test_cli_rejects_bad_source():
 
     with pytest.raises(SystemExit):
         main(["simulate", "--source", "laser"])
+
+
+def test_simulate_socs_solver_matches_abbe():
+    cfg = OpticsConfig(pixel_number=32)
+    src = LightSource(cfg, sigma_out=0.5).classical()
+    a = np.asarray(simulate(demo_bars(cfg), src, normalize=True).image)
+    b = np.asarray(simulate(demo_bars(cfg), src, solver="socs", socs_rank=64,
+                            normalize=True).image)
+    assert np.sqrt(np.mean((a - b) ** 2)) / a.max() < 2e-4
+
+
+def test_device_info():
+    from lithographysimulator_tpu.utils import device_info
+
+    info = device_info()
+    assert info["device_count"] >= 1 and info["platform"]
