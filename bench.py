@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -41,6 +42,11 @@ CHUNK = 4
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the tunnel's compile helper can take
+    # minutes per program; cache hits make repeat benchmark runs fast.
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import lithographysimulator_tpu as lt
     from lithographysimulator_tpu.models.pupil import pupil_function
