@@ -52,3 +52,30 @@ def through_focus_images(
         )
 
     return jax.vmap(one)(jnp.asarray(aberrations_stack))
+
+
+def through_focus_socs(
+    spectrum: jnp.ndarray,
+    base_aberrations,
+    defocus_nm_values,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int = 96,
+    chunk: int = 4,
+    engine: str = "auto",
+) -> jnp.ndarray:
+    """(F, n, n) focal stack on the Hopkins fast path: one SOCS build per
+    defocus plane (the TCC depends on the pupil), mapped with ``lax.map`` so
+    only one plane's kernel set is live at a time."""
+    from .hopkins import randomized_socs, socs_image
+
+    stack_ab = focus_stack_aberrations(base_aberrations, defocus_nm_values)
+    source_map = jnp.asarray(source_map)
+
+    def one(aberr):
+        pupil = pupil_function(aberr, config, dtype=spectrum.dtype)
+        socs = randomized_socs(pupil, source_map, config, rank=rank)
+        return socs_image(spectrum, socs, config, chunk=chunk, engine=engine)
+
+    return jax.lax.map(one, jnp.asarray(stack_ab))

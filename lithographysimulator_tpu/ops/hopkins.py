@@ -341,7 +341,10 @@ def randomized_socs(
     alive = top_vals > 1e-12 * jnp.maximum(eigvals[0], 1e-30)
     scale = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, top_vals, 1.0)), 0.0)
     kernels = kernels * scale[:, None, None].astype(kernels.dtype)
-    live = -1 if isinstance(w, jax.core.Tracer) else int(np.asarray(jnp.sum(w > 0)))
+    try:
+        live = int(np.asarray(jnp.sum(w > 0)))  # concrete outside traces
+    except jax.errors.TracerArrayConversionError:
+        live = -1
     return SOCSKernels(
         kernels=kernels,
         eigenvalues=eigvals[:rank].astype(jnp.float32),

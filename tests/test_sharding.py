@@ -112,3 +112,20 @@ def test_focus_stack_monotone_blur(setup):
         return (c.max() - c.min()) / (c.max() + c.min())
 
     assert contrast(stack[1]) < contrast(stack[0])
+
+
+def test_through_focus_socs_matches_abbe(setup):
+    from lithographysimulator_tpu.ops.focus import through_focus_socs
+
+    spec, _, src = setup
+    defocus = np.array([0.0, 60.0], np.float32)
+    base = np.zeros(5, np.float32)
+    shifts, weights, _ = padded_source_arrays(src, 8)
+    abbe_stack = np.asarray(through_focus_images(
+        spec, focus_stack_aberrations(base, defocus), shifts, weights, CFG,
+        chunk=8))
+    socs_stack = np.asarray(through_focus_socs(
+        spec, base, defocus, src, CFG, rank=96))
+    assert socs_stack.shape == abbe_stack.shape
+    err = np.sqrt(np.mean((socs_stack - abbe_stack) ** 2)) / abbe_stack.max()
+    assert err < 5e-4
