@@ -154,9 +154,19 @@ def _zoom_dft_kernel(n: int, fft_size: int) -> np.ndarray:
     axis, so the whole padded transform is ``E = T X T^T`` — no N x N array
     is ever built, and the MXU does the work. (Exact for even n, N >= n;
     this is the fractional-stride 'zoom' DFT of the wavelength-scaling
-    construction.)"""
+    construction.)
+
+    For N < n (the epsilon < 1 regime) the pad becomes a center-crop and the
+    final crop a zero-pad; both collapse to masking T's rows/columns to the
+    central N indices."""
     a = np.arange(n, dtype=np.float64) - n / 2
-    return np.exp(2j * np.pi * np.outer(a, a) / fft_size)
+    t = np.exp(2j * np.pi * np.outer(a, a) / fft_size)
+    if fft_size < n:
+        lo = (n - fft_size) // 2
+        mask = np.zeros(n)
+        mask[lo : lo + fft_size] = 1.0
+        t = t * np.outer(mask, mask)
+    return t
 
 
 _PRECISIONS = {

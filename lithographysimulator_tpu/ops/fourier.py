@@ -37,26 +37,33 @@ def centered_ifft2(field: jnp.ndarray) -> jnp.ndarray:
 
 
 def pad_center(field: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Zero-pad the trailing two dims up to ``target`` with the reference's
+    """Resize the trailing two dims to ``target`` with the reference's
     centering rule: ``pW = (target - m) // 2`` on the low side and
-    ``pW + (m % 2)`` on the high side (``mask.py:79-81``)."""
+    ``pW + (m % 2)`` on the high side (``mask.py:79-81``).
+
+    Negative pads crop, matching ``torch.nn.functional.pad`` — the reference
+    hits this in the epsilon < 1 wavelength-scaling regime (coarse pixels /
+    long wavelengths make the scaled mask larger than the FFT grid)."""
     m = field.shape[-1]
     if field.shape[-2] != m:
         raise ValueError("pad_center expects square trailing dims")
     p = (target - m) // 2
     corr = m % 2
-    if p < 0 or p + corr < 0:
-        raise ValueError(f"cannot pad {m} up to {target}")
-    pads = [(0, 0)] * (field.ndim - 2) + [(p, p + corr), (p, p + corr)]
-    return jnp.pad(field, pads)
+    if p >= 0:
+        pads = [(0, 0)] * (field.ndim - 2) + [(p, p + corr), (p, p + corr)]
+        return jnp.pad(field, pads)
+    start = -p
+    return field[..., start : start + target, start : start + target]
 
 
 def crop_center(field: jnp.ndarray, target: int) -> jnp.ndarray:
-    """Crop the trailing two dims from N down to ``target``:
-    ``field[..., t:t+target, t:t+target]`` with ``t = (N - target) // 2``
-    (``mask.py:87-88``, ``imageformation.py:43``)."""
+    """Center-crop the trailing two dims from N down to ``target`` with
+    ``t = (N - target) // 2`` (``mask.py:87-88``, ``imageformation.py:43``);
+    a negative ``t`` zero-pads instead, matching the reference's
+    ``F.pad(x, (-t, ...))`` spelling (``mask.py:88``) when N < n."""
     big = field.shape[-1]
     t = (big - target) // 2
-    if t < 0:
-        raise ValueError(f"cannot crop {big} down to {target}")
-    return field[..., t : t + target, t : t + target]
+    if t >= 0:
+        return field[..., t : t + target, t : t + target]
+    pads = [(0, 0)] * (field.ndim - 2) + [(-t, -t), (-t, -t)]
+    return jnp.pad(field, pads)

@@ -69,19 +69,36 @@ def wavelength_scaling64(n: int, pixel_size: float, wavelength: float):
     return big_n, big_n / beta
 
 
+def place_center64(field: np.ndarray, target: int) -> np.ndarray:
+    """Center field in a target x target array: pads when growing, crops when
+    shrinking (torch negative-pad semantics; pW = (target - m)//2)."""
+    m = field.shape[-1]
+    p = (target - m) // 2
+    if p >= 0:
+        out = np.zeros(field.shape[:-2] + (target, target), field.dtype)
+        out[..., p : p + m, p : p + m] = field
+        return out
+    s = -p
+    return field[..., s : s + target, s : s + target]
+
+
+def crop_center64(field: np.ndarray, target: int) -> np.ndarray:
+    big = field.shape[-1]
+    t = (big - target) // 2
+    if t >= 0:
+        return field[..., t : t + target, t : t + target]
+    out = np.zeros(field.shape[:-2] + (target, target), field.dtype)
+    out[..., -t : -t + big, -t : -t + big] = field
+    return out
+
+
 def spectrum64(geometry: np.ndarray, pixel_size: float, wavelength: float):
     n = geometry.shape[0]
     big_n, eps = wavelength_scaling64(n, pixel_size, wavelength)
     scaled = bilinear_resize64(geometry.astype(np.float64), eps)
-    m = scaled.shape[0]
-    p = (big_n - m) // 2
-    corr = m % 2
-    del corr  # low pad p, high pad p + (m % 2) fall out of the slice write
-    padded = np.zeros((big_n, big_n))
-    padded[p : p + m, p : p + m] = scaled
+    padded = place_center64(scaled, big_n)
     spec = np.fft.ifftshift(np.fft.fft2(np.fft.fftshift(padded)))
-    t = (big_n - n) // 2
-    return spec[t : t + n, t : t + n], big_n, eps
+    return crop_center64(spec, n), big_n, eps
 
 
 def abbe64(geometry, source_map, aberrations, *, pixel_size: float,
@@ -91,19 +108,12 @@ def abbe64(geometry, source_map, aberrations, *, pixel_size: float,
     pup = pupil64(aberrations, n, na, wavelength)
     image = np.zeros((n, n))
     pts = np.argwhere(np.asarray(source_map) > 0) - n // 2
-    p = (big_n - n) // 2
     for dy, dx in pts:
         prod = np.roll(pup, (dy, dx), axis=(0, 1)) * spec
-        padded = np.zeros((big_n, big_n), np.complex128)
-        padded[p : p + n, p : p + n] = prod
+        padded = place_center64(prod, big_n)
         field = np.fft.ifftshift(
             np.fft.ifft2(np.fft.fftshift(padded))) * big_n * big_n
-        e = field[p : p + n, p : p + n]
+        e = crop_center64(field, n)
         image += np.abs(e) ** 2
     down = bilinear_resize64(image, 1.0 / eps)
-    m = down.shape[0]
-    pw = (n - m) // 2
-    corr = m % 2
-    out = np.zeros((n, n))
-    out[pw : pw + m, pw : pw + m] = down
-    return out
+    return place_center64(down, n)

@@ -69,3 +69,32 @@ def test_aerial_image_accuracy_vs_float64(engine):
     ref = oracle.abbe64(geom, src, ab, pixel_size=cfg.pixel_size,
                         wavelength=cfg.wavelength, na=cfg.na)
     assert nrms(ours, ref) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_randomized_configs_vs_float64(seed):
+    """Randomized parity sweep: random masks, sources, and aberrations must
+    all track the float64 oracle at <= 2e-6 normalized RMS."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([32, 48, 64]))
+    cfg = OpticsConfig(pixel_number=n,
+                       pixel_size=float(rng.uniform(15, 40)),
+                       wavelength=float(rng.choice([193.0, 248.0])),
+                       na=float(rng.uniform(0.5, 0.9)))
+    geom = (rng.random((n, n)) < rng.uniform(0.2, 0.6)).astype(np.float32)
+    sig_out = float(rng.uniform(0.3, 0.9))
+    sig_in = float(rng.uniform(0.0, sig_out - 0.2))
+    src = np.asarray(LightSource(cfg, sigma_in=sig_in, sigma_out=sig_out).annular())
+    if src.sum() == 0:
+        pytest.skip("empty random source")
+    n_ab = int(rng.integers(1, 10))
+    ab = (rng.normal(size=n_ab) * 0.02).astype(np.float32)
+    if n_ab >= 5:
+        ab[4] = float(rng.uniform(-80, 80))
+
+    spec = spectrum_fft(geom, cfg)
+    pup = pupil_function(ab, cfg)
+    ours = np.asarray(abbe_image(spec, pup, src, cfg))
+    ref = oracle.abbe64(geom, src, ab, pixel_size=cfg.pixel_size,
+                        wavelength=cfg.wavelength, na=cfg.na)
+    assert nrms(ours, ref) < 2e-6
