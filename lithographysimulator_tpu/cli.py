@@ -202,6 +202,48 @@ def cmd_focus(args) -> int:
     return 0
 
 
+def cmd_smo(args) -> int:
+    """Inverse lithography: optimize the mask so its aerial image matches the
+    target mask's image; reports pattern fidelity before/after."""
+    import jax.numpy as jnp
+
+    from .models.resist import ResistModel, pattern_fidelity
+    from .optimize import SMOProblem, forward, init_params, mask_from_latent, optimize
+    from .parallel import padded_source_arrays
+
+    config = _build_config(args)
+    target_mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk * 8)
+    problem = SMOProblem(config=config, chunk=args.chunk,
+                         mask_steepness=args.steepness)
+    ab = np.asarray(args.aberrations if args.aberrations else [0.0], np.float32)
+
+    target = forward(init_params(problem, target_mask.geometry), ab,
+                     shifts, weights, problem)
+    start = np.full((config.n, config.n), 0.4, np.float32)
+    t0 = time.perf_counter()
+    params, history = optimize(problem, target, start, ab, shifts, weights,
+                               steps=args.steps, learning_rate=args.lr)
+    elapsed = time.perf_counter() - t0
+
+    optimized = mask_from_latent(params["mask_latent"], problem.mask_steepness)
+    final_img = forward(params, ab, shifts, weights, problem)
+    model = ResistModel(threshold=args.threshold)
+    fid = pattern_fidelity(model.develop_binary(final_img, config),
+                           np.abs(np.asarray(target_mask.geometry)), config)
+    print(json.dumps({
+        "steps": args.steps,
+        "loss_start": history[0], "loss_end": history[-1],
+        "print_fidelity_vs_target_layout": fid,
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    if args.out:
+        np.save(args.out, np.asarray(optimized))
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
     mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
@@ -259,6 +301,16 @@ def main(argv=None) -> int:
     p_focus.add_argument("--chunk", type=int, default=4)
     p_focus.add_argument("--out", default=None, help="output .npy stack path")
     p_focus.set_defaults(func=cmd_focus)
+
+    p_smo = sub.add_parser("smo", help="inverse lithography (mask optimization)")
+    _add_common(p_smo)
+    p_smo.add_argument("--steps", type=int, default=100)
+    p_smo.add_argument("--lr", type=float, default=0.2)
+    p_smo.add_argument("--steepness", type=float, default=4.0)
+    p_smo.add_argument("--threshold", type=float, default=0.4)
+    p_smo.add_argument("--chunk", type=int, default=4)
+    p_smo.add_argument("--out", default=None, help="optimized mask .npy path")
+    p_smo.set_defaults(func=cmd_smo)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

@@ -92,3 +92,26 @@ def exposure_latitude(images, config: OpticsConfig, model: ResistModel,
                                        normalize=False)
         out.append(critical_dimension(profile, config))
     return out
+
+
+def pattern_fidelity(profile, target_geometry, config: OpticsConfig) -> dict:
+    """Printed-pattern vs target-layout metrics: IoU, XOR area (nm^2), and a
+    mean edge-placement-error estimate (XOR area / target perimeter — exact
+    for uniform edge bias, standard first-order EPE summary)."""
+    printed = np.asarray(profile) > 0.5
+    target = np.asarray(target_geometry) > 0.5
+    inter = np.logical_and(printed, target).sum()
+    union = np.logical_or(printed, target).sum()
+    xor_px = np.logical_xor(printed, target).sum()
+    # 4-neighborhood perimeter of the target, in pixels
+    per = 0
+    per += np.logical_xor(target[1:, :], target[:-1, :]).sum()
+    per += np.logical_xor(target[:, 1:], target[:, :-1]).sum()
+    per += target[0, :].sum() + target[-1, :].sum()
+    per += target[:, 0].sum() + target[:, -1].sum()
+    px = config.pixel_size
+    return {
+        "iou": float(inter / union) if union else 1.0,
+        "xor_area_nm2": float(xor_px) * px * px,
+        "mean_epe_nm": (float(xor_px) / float(per) * px) if per else 0.0,
+    }

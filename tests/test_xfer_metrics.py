@@ -1,0 +1,50 @@
+"""xfer helpers + pattern-fidelity metrics."""
+
+import numpy as np
+
+from lithographysimulator_tpu import OpticsConfig, ResistModel, demo_bars
+from lithographysimulator_tpu.models.resist import pattern_fidelity
+from lithographysimulator_tpu.xfer import to_device_complex, to_host_complex
+
+
+def test_complex_roundtrip():
+    rng = np.random.default_rng(0)
+    arr = (rng.normal(size=(16, 16)) + 1j * rng.normal(size=(16, 16))).astype(np.complex64)
+    dev = to_device_complex(arr)
+    assert dev.dtype == np.complex64
+    back = to_host_complex(dev)
+    np.testing.assert_allclose(back, arr, rtol=1e-6)
+
+
+def test_real_passthrough():
+    arr = np.ones((4, 4), np.float32)
+    np.testing.assert_array_equal(np.asarray(to_device_complex(arr)), arr)
+    np.testing.assert_array_equal(to_host_complex(arr), arr)
+
+
+def test_pattern_fidelity_perfect():
+    cfg = OpticsConfig(pixel_number=32)
+    g = np.asarray(demo_bars(cfg).geometry)
+    m = pattern_fidelity(g, g, cfg)
+    assert m["iou"] == 1.0 and m["xor_area_nm2"] == 0.0 and m["mean_epe_nm"] == 0.0
+
+
+def test_pattern_fidelity_one_pixel_bias():
+    cfg = OpticsConfig(pixel_number=32)
+    target = np.zeros((32, 32)); target[8:24, 8:24] = 1
+    printed = np.zeros((32, 32)); printed[8:24, 8:25] = 1  # one column wider
+    m = pattern_fidelity(printed, target, cfg)
+    assert 0 < m["mean_epe_nm"] < cfg.pixel_size
+    assert m["iou"] < 1.0
+
+
+def test_fidelity_of_simulated_print():
+    cfg = OpticsConfig(pixel_number=64)
+    from lithographysimulator_tpu import LightSource, simulate
+    mask = demo_bars(cfg)
+    src = LightSource(cfg, sigma_in=0.4, sigma_out=0.8).quadrupole()
+    img = simulate(mask, src, normalize=True).image
+    profile = ResistModel(threshold=0.4).develop_binary(img, cfg)
+    m = pattern_fidelity(profile, mask.geometry, cfg)
+    assert m["iou"] > 0.5
+    assert m["mean_epe_nm"] < 3 * cfg.pixel_size
