@@ -350,3 +350,16 @@ def randomized_socs(
         eigenvalues=eigvals[:rank].astype(jnp.float32),
         total_rank=live,
     )
+
+
+def socs_energy_captured(socs: SOCSKernels, pupil, source_map) -> float:
+    """Fraction of the TCC's total energy (trace) captured by the kept
+    kernels: trace(G) = sum_s w_s * R(0) with R(0) = sum |P|^2, so no
+    decomposition is needed for the denominator. Values near 1 mean the
+    truncation is faithful; grow ``rank`` if this is low."""
+    w_sum = float(np.asarray(jnp.sum(jnp.asarray(source_map, jnp.float32))))
+    r0 = float(np.asarray(jnp.sum(jnp.abs(to_device_complex(pupil)) ** 2)))
+    trace = w_sum * r0
+    if trace <= 0:
+        return 1.0
+    return float(np.asarray(jnp.sum(socs.eigenvalues))) / trace

@@ -60,12 +60,17 @@ def tiled_socs_image(
     chunk: int = 4,
     engine: str = "auto",
     spectrum_solver: str = "gau23",
+    tiles_per_dispatch: int = 8,
 ) -> jnp.ndarray:
     """(M, M) aerial image of an arbitrarily large mask, tile by tile.
 
     ``socs`` must be built for ``tile_config`` (same optics every tile). The
     mask is zero-padded outside its boundary; each tile's core (tile minus
     halo ring) lands in the output.
+
+    ``tiles_per_dispatch`` groups tiles into one compiled ``lax.map`` per
+    dispatch: big enough to amortize host round-trips, small enough to stay
+    under serving-tunnel dispatch limits (~8 x 0.2 s at 1024^2 tiles).
     """
     big_n = mask_big.shape[-1]
     n = tile_config.n
@@ -78,22 +83,37 @@ def tiled_socs_image(
     pad_hi = tiles * step + halo - big_n + (n - step)  # generous upper guard
     padded = jnp.pad(mask_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
 
+    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    total = len(coords)
+    k = max(1, min(tiles_per_dispatch, total))
+    pad_tiles = (-total) % k
+    if pad_tiles:
+        coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
+
     # socs/padded must be jit ARGUMENTS, not closure captures: captured
     # device arrays are lowered as constants (the rank-256 1024^2 kernel set
     # is ~2 GB) and force a host readback at trace time.
     @jax.jit
-    def one_tile(padded, socs, ty, tx):
-        window = jax.lax.dynamic_slice(padded, (ty * step, tx * step), (n, n))
-        spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
-        img = socs_image(spectrum, socs, tile_config,
-                         solver=solver, chunk=chunk, engine=engine)
-        return img[halo : halo + step, halo : halo + step]
+    def tile_batch(padded, socs, coord_block):
+        def one(c):
+            window = jax.lax.dynamic_slice(
+                padded, (c[0] * step, c[1] * step), (n, n))
+            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+            img = socs_image(spectrum, socs, tile_config,
+                             solver=solver, chunk=chunk, engine=engine)
+            return img[halo : halo + step, halo : halo + step]
 
-    rows = []
-    for ty in range(tiles):
-        cols = [one_tile(padded, socs, ty, tx) for tx in range(tiles)]
-        rows.append(jnp.concatenate(cols, axis=1))
-    stitched = jnp.concatenate(rows, axis=0)
+        return jax.lax.map(one, coord_block)
+
+    cores = []
+    for start in range(0, len(coords), k):
+        block = jnp.asarray(coords[start : start + k])
+        cores.append(tile_batch(padded, socs, block))
+    cores = jnp.concatenate(cores, axis=0)[:total]
+    grid = cores.reshape(tiles, tiles, step, step)
+    stitched = jnp.concatenate(
+        [jnp.concatenate(list(row), axis=1) for row in grid], axis=0)
     return stitched[:big_n, :big_n]
 
 

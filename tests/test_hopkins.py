@@ -108,3 +108,15 @@ def test_socs_scales_to_larger_grid():
     img = socs_image(spec, socs, cfg)
     assert rel_rms(img, abbe) < 5e-4
     assert socs.rank < int(src.sum())  # fewer kernels than source points
+
+
+def test_energy_captured(setup):
+    from lithographysimulator_tpu.ops.hopkins import socs_energy_captured
+
+    _, pup, src, _ = setup
+    low = randomized_socs(pup, src, CFG, rank=8)
+    high = randomized_socs(pup, src, CFG, rank=96)
+    e_low = socs_energy_captured(low, pup, src)
+    e_high = socs_energy_captured(high, pup, src)
+    assert 0.3 < e_low < e_high <= 1.0 + 1e-3
+    assert e_high > 0.99
