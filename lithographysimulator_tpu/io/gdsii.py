@@ -1,9 +1,10 @@
 """Minimal GDSII stream-format reader/writer for mask layout import.
 
 Covers the subset that defines mask geometry: library/structure framing,
-BOUNDARY (polygon) and BOX elements with LAYER/DATATYPE/XY, and flat SREF
-placements with optional translation (no rotation/magnification/arrays in
-this round). Units are resolved through the UNITS record so coordinates come
+BOUNDARY (polygon), BOX, and PATH (expanded to per-segment rectangles)
+elements with LAYER/DATATYPE/XY, plus SREF/AREF placements with full
+STRANS/MAG/ANGLE transforms (reflection, magnification, rotation) and array
+expansion. Units are resolved through the UNITS record so coordinates come
 back in nanometers regardless of the file's database unit.
 
 GDSII import is an unchecked roadmap item of the reference
@@ -23,9 +24,11 @@ import numpy as np
 # Record types
 HEADER, BGNLIB, LIBNAME, UNITS, ENDLIB = 0x00, 0x01, 0x02, 0x03, 0x04
 BGNSTR, STRNAME, ENDSTR = 0x05, 0x06, 0x07
-BOUNDARY, PATH, SREF = 0x08, 0x09, 0x0A
-LAYER, DATATYPE, XY, ENDEL = 0x0D, 0x0E, 0x10, 0x11
-SNAME, BOX, BOXTYPE = 0x12, 0x2D, 0x2E
+BOUNDARY, PATH, SREF, AREF = 0x08, 0x09, 0x0A, 0x0B
+LAYER, DATATYPE, WIDTH, XY, ENDEL = 0x0D, 0x0E, 0x0F, 0x10, 0x11
+SNAME, COLROW = 0x12, 0x13
+PATHTYPE, STRANS, MAG, ANGLE = 0x21, 0x1A, 0x1B, 0x1C
+BOX, BOXTYPE = 0x2D, 0x2E
 
 _DT_NONE, _DT_INT16, _DT_INT32, _DT_REAL8, _DT_ASCII = 0x00, 0x02, 0x03, 0x05, 0x06
 
@@ -38,10 +41,32 @@ class GDSPolygon:
 
 
 @dataclasses.dataclass
+class GDSRef:
+    """One SREF/AREF placement: affine transform per instance."""
+
+    cell_name: str
+    origin_nm: tuple  # (dx, dy)
+    mag: float = 1.0
+    angle_deg: float = 0.0
+    reflect_x: bool = False  # STRANS bit 15: mirror about the x axis first
+    cols: int = 1
+    rows: int = 1
+    col_step_nm: tuple = (0.0, 0.0)
+    row_step_nm: tuple = (0.0, 0.0)
+
+    def matrix(self) -> np.ndarray:
+        theta = np.deg2rad(self.angle_deg)
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        refl = np.diag([1.0, -1.0 if self.reflect_x else 1.0])
+        return self.mag * rot @ refl
+
+
+@dataclasses.dataclass
 class GDSCell:
     name: str
     polygons: list
-    references: list  # (cell_name, (dx_nm, dy_nm))
+    references: list  # list[GDSRef]
 
 
 @dataclasses.dataclass
@@ -51,28 +76,39 @@ class GDSLibrary:
     cells: dict
 
     def flatten(self, cell_name: str | None = None, *, max_depth: int = 16):
-        """All polygons of a cell with SREF translations applied."""
+        """All polygons of a cell with the SREF/AREF affine transforms
+        (reflection -> magnification/rotation -> translation) applied and
+        arrays expanded."""
         if cell_name is None:
-            referenced = {r[0] for c in self.cells.values() for r in c.references}
+            referenced = {r.cell_name for c in self.cells.values()
+                          for r in c.references}
             tops = [n for n in self.cells if n not in referenced]
             if not tops:
                 raise ValueError("no top cell found")
             cell_name = tops[0]
 
         out = []
+        identity = np.eye(2)
 
-        def walk(name, offset, depth):
+        def walk(name, matrix, offset, depth):
             if depth > max_depth:
                 raise ValueError("SREF nesting too deep (cycle?)")
             cell = self.cells[name]
             for poly in cell.polygons:
-                out.append(GDSPolygon(poly.layer, poly.datatype,
-                                      poly.xy_nm + np.asarray(offset)))
-            for ref_name, delta in cell.references:
-                walk(ref_name, (offset[0] + delta[0], offset[1] + delta[1]),
-                     depth + 1)
+                xy = poly.xy_nm @ matrix.T + np.asarray(offset)
+                out.append(GDSPolygon(poly.layer, poly.datatype, xy))
+            for ref in cell.references:
+                local = ref.matrix()
+                for r in range(ref.rows):
+                    for c in range(ref.cols):
+                        inst = (np.asarray(ref.origin_nm)
+                                + c * np.asarray(ref.col_step_nm)
+                                + r * np.asarray(ref.row_step_nm))
+                        walk(ref.cell_name, matrix @ local,
+                             tuple(np.asarray(offset) + matrix @ inst),
+                             depth + 1)
 
-        walk(cell_name, (0.0, 0.0), 0)
+        walk(cell_name, identity, (0.0, 0.0), 0)
         return out
 
 
@@ -104,6 +140,29 @@ def _float_to_real8(value: float) -> bytes:
     mantissa = int(value * (1 << 56))
     mantissa = min(mantissa, (1 << 56) - 1)
     return struct.pack(">Q", (sign << 63) | ((exponent + 64) << 56) | mantissa)
+
+
+def path_to_polygons(centerline_nm: np.ndarray, width_nm: float,
+                     pathtype: int = 0) -> list:
+    """Expand a PATH centerline into per-segment rectangles (butt ends for
+    pathtype 0/4; pathtype 2 extends each end by half the width). Segment
+    rectangles overlap at bends; the rasterizer unions polygons, so joins
+    fill correctly."""
+    v = np.asarray(centerline_nm, np.float64)
+    half = width_nm / 2.0
+    rects = []
+    for a, b in zip(v[:-1], v[1:]):
+        d = b - a
+        length = float(np.hypot(*d))
+        if length == 0:
+            continue
+        u = d / length
+        if pathtype == 2:
+            a = a - u * half
+            b = b + u * half
+        normal = np.array([-u[1], u[0]]) * half
+        rects.append(np.array([a + normal, b + normal, b - normal, a - normal]))
+    return rects
 
 
 def _records(blob: bytes):
@@ -140,12 +199,29 @@ def read_gds(path) -> GDSLibrary:
             cell = None
         elif rectype in (BOUNDARY, BOX):
             element = {"kind": "poly", "layer": 0, "datatype": 0, "xy": None}
-        elif rectype == SREF:
-            element = {"kind": "sref", "sname": "", "xy": None}
+        elif rectype == PATH:
+            element = {"kind": "path", "layer": 0, "datatype": 0, "xy": None,
+                       "width": 0, "pathtype": 0}
+        elif rectype in (SREF, AREF):
+            element = {"kind": "ref", "sname": "", "xy": None, "mag": 1.0,
+                       "angle": 0.0, "reflect": False, "colrow": (1, 1),
+                       "aref": rectype == AREF}
         elif rectype == LAYER and element is not None:
             element["layer"] = struct.unpack(">h", payload[:2])[0]
         elif rectype in (DATATYPE, BOXTYPE) and element is not None:
             element["datatype"] = struct.unpack(">h", payload[:2])[0]
+        elif rectype == WIDTH and element is not None:
+            element["width"] = struct.unpack(">i", payload[:4])[0]
+        elif rectype == PATHTYPE and element is not None:
+            element["pathtype"] = struct.unpack(">h", payload[:2])[0]
+        elif rectype == STRANS and element is not None:
+            element["reflect"] = bool(struct.unpack(">H", payload[:2])[0] & 0x8000)
+        elif rectype == MAG and element is not None:
+            element["mag"] = _real8_to_float(payload[:8])
+        elif rectype == ANGLE and element is not None:
+            element["angle"] = _real8_to_float(payload[:8])
+        elif rectype == COLROW and element is not None:
+            element["colrow"] = struct.unpack(">hh", payload[:4])
         elif rectype == SNAME and element is not None:
             element["sname"] = payload.rstrip(b"\x00").decode("ascii", "replace")
         elif rectype == XY and element is not None:
@@ -158,9 +234,25 @@ def read_gds(path) -> GDSLibrary:
                     xy = xy[:-1]  # drop the repeated closing vertex
                 cell.polygons.append(GDSPolygon(
                     element["layer"], element["datatype"], xy * unit_nm))
-            elif element["kind"] == "sref" and element["xy"] is not None:
-                dx, dy = element["xy"][0] * unit_nm
-                cell.references.append((element["sname"], (dx, dy)))
+            elif element["kind"] == "path" and element["xy"] is not None:
+                for rect in path_to_polygons(element["xy"] * unit_nm,
+                                             element["width"] * unit_nm,
+                                             element["pathtype"]):
+                    cell.polygons.append(GDSPolygon(
+                        element["layer"], element["datatype"], rect))
+            elif element["kind"] == "ref" and element["xy"] is not None:
+                xy = element["xy"] * unit_nm
+                origin = tuple(xy[0])
+                cols, rows = (element["colrow"] if element["aref"] else (1, 1))
+                col_step = row_step = (0.0, 0.0)
+                if element["aref"] and len(xy) >= 3:
+                    col_step = tuple((xy[1] - xy[0]) / max(cols, 1))
+                    row_step = tuple((xy[2] - xy[0]) / max(rows, 1))
+                cell.references.append(GDSRef(
+                    cell_name=element["sname"], origin_nm=origin,
+                    mag=element["mag"], angle_deg=element["angle"],
+                    reflect_x=element["reflect"], cols=cols, rows=rows,
+                    col_step_nm=col_step, row_step_nm=row_step))
             element = None
         elif rectype == ENDLIB:
             break

@@ -69,17 +69,68 @@ def test_gds_roundtrip(tmp_path):
     np.testing.assert_allclose(sq.xy_nm, SQUARE)
 
 
-def test_gds_sref_translation(tmp_path):
+def test_gds_sref_translation():
     """SREF placements translate child-cell polygons."""
-    from lithographysimulator_tpu.io.gdsii import GDSCell, GDSLibrary, GDSPolygon
+    from lithographysimulator_tpu.io.gdsii import (GDSCell, GDSLibrary,
+                                                   GDSPolygon, GDSRef)
 
     child = GDSCell("CHILD", [GDSPolygon(1, 0, np.asarray(SQUARE, float))], [])
-    top = GDSCell("TOP", [], [("CHILD", (1000.0, 0.0)), ("CHILD", (0.0, 1000.0))])
+    top = GDSCell("TOP", [], [GDSRef("CHILD", (1000.0, 0.0)),
+                              GDSRef("CHILD", (0.0, 1000.0))])
     lib = GDSLibrary("L", 1.0, {"CHILD": child, "TOP": top})
     polys = lib.flatten("TOP")
     assert len(polys) == 2
     np.testing.assert_allclose(polys[0].xy_nm[0], (1100.0, 100.0))
     np.testing.assert_allclose(polys[1].xy_nm[0], (100.0, 1100.0))
+
+
+def test_gds_aref_expansion():
+    from lithographysimulator_tpu.io.gdsii import (GDSCell, GDSLibrary,
+                                                   GDSPolygon, GDSRef)
+
+    child = GDSCell("C", [GDSPolygon(1, 0, np.asarray(SQUARE, float))], [])
+    top = GDSCell("TOP", [], [GDSRef("C", (0.0, 0.0), cols=3, rows=2,
+                                     col_step_nm=(500.0, 0.0),
+                                     row_step_nm=(0.0, 700.0))])
+    lib = GDSLibrary("L", 1.0, {"C": child, "TOP": top})
+    polys = lib.flatten("TOP")
+    assert len(polys) == 6
+    origins = sorted(tuple(p.xy_nm[0]) for p in polys)
+    assert (100.0, 100.0) in origins and (1100.0, 800.0) in origins
+
+
+def test_gds_rotation_and_reflection():
+    from lithographysimulator_tpu.io.gdsii import (GDSCell, GDSLibrary,
+                                                   GDSPolygon, GDSRef)
+
+    tri = np.array([(0.0, 0.0), (100.0, 0.0), (0.0, 50.0)])
+    child = GDSCell("C", [GDSPolygon(1, 0, tri)], [])
+    top = GDSCell("TOP", [], [GDSRef("C", (10.0, 20.0), angle_deg=90.0,
+                                     mag=2.0)])
+    lib = GDSLibrary("L", 1.0, {"C": child, "TOP": top})
+    (poly,) = lib.flatten("TOP")
+    # (100, 0) -> mag 2 -> (200, 0) -> rot 90 -> (0, 200) -> +origin
+    np.testing.assert_allclose(poly.xy_nm[1], (10.0, 220.0), atol=1e-9)
+    # reflection flips y before rotation
+    top2 = GDSCell("TOP", [], [GDSRef("C", (0.0, 0.0), reflect_x=True)])
+    lib2 = GDSLibrary("L", 1.0, {"C": child, "TOP": top2})
+    (poly2,) = lib2.flatten("TOP")
+    np.testing.assert_allclose(poly2.xy_nm[2], (0.0, -50.0), atol=1e-9)
+
+
+def test_path_to_polygons():
+    from lithographysimulator_tpu.io.gdsii import path_to_polygons
+    from lithographysimulator_tpu.io import rasterize
+
+    # L-shaped wire, 50 nm wide
+    rects = path_to_polygons(np.array([(100.0, 125.0), (400.0, 125.0),
+                                       (400.0, 400.0)]), 50.0)
+    assert len(rects) == 2
+    g = rasterize(rects, origin=(0, 0), pixel_size=25.0, n=32)
+    # horizontal arm: 300x50 nm = 24 px; vertical arm 275x50 = 22 px; the
+    # elbow overlap is unioned, not double counted
+    assert 40 <= g.sum() <= 50
+    assert g[5, 8] == 1.0  # on the horizontal arm (y=137.5 -> row 5)
 
 
 def test_mask_from_gds_images(tmp_path):
