@@ -20,7 +20,7 @@ from .models.mask import (
     lines_and_spaces,
 )
 from .models.pupil import Pupil, pupil_function
-from .models.resist import ResistModel, critical_dimension
+from .models.resist import MackResist, ResistModel, critical_dimension, pattern_fidelity
 from .models.source import LightSource
 from .ops.abbe import (
     SourcePoints,
@@ -42,6 +42,7 @@ __all__ = [
     "DEMO_CONFIG",
     "Grid",
     "LightSource",
+    "MackResist",
     "Mask",
     "OpticsConfig",
     "Pupil",
@@ -64,6 +65,7 @@ __all__ = [
     "lines_and_spaces",
     "mask_spectrum",
     "nearest_pow2",
+    "pattern_fidelity",
     "osa_index_to_mn",
     "pupil_function",
     "randomized_socs",

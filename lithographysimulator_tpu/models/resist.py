@@ -115,3 +115,53 @@ def pattern_fidelity(profile, target_geometry, config: OpticsConfig) -> dict:
         "xor_area_nm2": float(xor_px) * px * px,
         "mean_epe_nm": (float(xor_px) / float(per) * px) if per else 0.0,
     }
+
+
+@dataclasses.dataclass(frozen=True)
+class MackResist:
+    """Thin-film physical resist: Dill exposure + Mack development rate.
+
+    Exposure converts normalized intensity I and dose D into remaining
+    photo-active compound m = exp(-C * D * I) (Dill C, cm^2/mJ scaled into
+    the normalized-dose convention). Development clears resist where the
+    Mack rate
+
+        r(m) = r_max * (a + 1)(1 - m)^n / (a + (1 - m)^n) + r_min,
+        a = (n + 1)/(n - 1) * (1 - m_th)^n
+
+    integrated over ``develop_s`` exceeds the film ``thickness_nm`` (thin-
+    resist approximation: no depth dependence). All pieces are smooth, so
+    profiles are differentiable for dose/OPC optimization.
+    """
+
+    dill_c: float = 0.05       # per unit normalized dose
+    r_max_nm_s: float = 100.0  # development rate of fully exposed resist
+    r_min_nm_s: float = 0.1    # dark erosion rate
+    mack_n: float = 4.0        # dissolution selectivity
+    m_threshold: float = 0.6   # inhibitor threshold
+    thickness_nm: float = 100.0
+    develop_s: float = 30.0
+
+    def latent_image(self, image, dose: float = 1.0):
+        intensity = jnp.asarray(image)
+        intensity = intensity / jnp.maximum(jnp.max(intensity), 1e-30)
+        return jnp.exp(-self.dill_c * dose * 100.0 * intensity)
+
+    def development_rate(self, m):
+        n = self.mack_n
+        a = (n + 1.0) / (n - 1.0) * (1.0 - self.m_threshold) ** n
+        one_minus = jnp.clip(1.0 - m, 0.0, 1.0)
+        rate = self.r_max_nm_s * (a + 1.0) * one_minus**n / (a + one_minus**n)
+        return rate + self.r_min_nm_s
+
+    def cleared_depth_nm(self, image, dose: float = 1.0):
+        return self.development_rate(self.latent_image(image, dose)) * self.develop_s
+
+    def develop(self, image, dose: float = 1.0, *, steepness: float = 0.2):
+        """Differentiable cleared fraction in [0, 1] (1 = resist removed)."""
+        depth = self.cleared_depth_nm(image, dose)
+        return jax.nn.sigmoid(steepness * (depth - self.thickness_nm))
+
+    def develop_binary(self, image, dose: float = 1.0):
+        return (self.cleared_depth_nm(image, dose)
+                >= self.thickness_nm).astype(jnp.float32)

@@ -48,3 +48,32 @@ def test_fidelity_of_simulated_print():
     m = pattern_fidelity(profile, mask.geometry, cfg)
     assert m["iou"] > 0.5
     assert m["mean_epe_nm"] < 3 * cfg.pixel_size
+
+
+def test_mack_resist_physics():
+    import jax
+    import jax.numpy as jnp
+    from lithographysimulator_tpu import LightSource, simulate
+    from lithographysimulator_tpu.models.resist import MackResist
+
+    cfg = OpticsConfig(pixel_number=64)
+    img = simulate(demo_bars(cfg),
+                   LightSource(cfg, sigma_out=0.5).classical(),
+                   normalize=True).image
+    model = MackResist()
+
+    # rate is monotone-decreasing in remaining inhibitor m
+    m = np.linspace(0, 1, 21)
+    r = np.asarray(model.development_rate(jnp.asarray(m)))
+    assert np.all(np.diff(r) <= 1e-6)
+    assert r[-1] >= model.r_min_nm_s - 1e-6
+
+    # more dose clears more resist
+    cleared = [float(np.asarray(model.develop_binary(img, dose)).mean())
+               for dose in (0.3, 1.0, 3.0)]
+    assert cleared[0] <= cleared[1] <= cleared[2]
+    assert cleared[2] > 0
+
+    # differentiable w.r.t. the image
+    g = jax.grad(lambda im: model.develop(im).sum())(img)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
