@@ -57,6 +57,10 @@ def _build_mask(args, config):
     from .models import mask as mask_mod
 
     if args.mask_file:
+        if str(args.mask_file).lower().endswith((".gds", ".gdsii")):
+            from .io.layout import mask_from_gds
+
+            return mask_from_gds(args.mask_file, config, layer=args.gds_layer)
         return mask_mod.from_array(np.load(args.mask_file), config)
     if args.mask == "demo":
         return mask_mod.demo_bars(config)
@@ -78,7 +82,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--na", type=float, default=0.7)
     p.add_argument("--mask", default="demo", choices=["demo", "lines", "contacts"])
     p.add_argument("--mask-file", default=None,
-                   help=".npy file with a square binary mask (overrides --mask)")
+                   help=".npy array or .gds layout for the mask (overrides --mask)")
+    p.add_argument("--gds-layer", type=int, default=None,
+                   help="layer to keep when --mask-file is GDSII")
     p.add_argument("--source", default="quasar",
                    choices=["annular", "classical", "quasar", "dipole", "monopole"])
     p.add_argument("--sigma-in", type=float, default=0.4)

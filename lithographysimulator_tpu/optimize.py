@@ -195,3 +195,54 @@ def fit_aberrations(
         coeffs, opt_state, loss = step(coeffs, opt_state)
         history.append(float(loss))
     return coeffs * mask_vec, history
+
+
+# ---------------------------------------------------------------------------
+# Resist-aware OPC
+# ---------------------------------------------------------------------------
+
+def opc_correct(
+    target_geometry,
+    aberrations,
+    shifts,
+    weights,
+    problem: SMOProblem,
+    *,
+    resist=None,
+    steps: int = 150,
+    learning_rate: float = 0.15,
+) -> tuple[jnp.ndarray, list[float]]:
+    """Optical proximity correction: optimize the mask so the *developed
+    resist pattern* matches the target layout (not just the aerial image).
+
+    The loss is the mean squared difference between the differentiable
+    resist profile of the simulated image and the binary target — gradients
+    flow through develop -> image -> spectrum -> mask. Returns the corrected
+    continuous mask and the loss history.
+    """
+    from .models.resist import ResistModel
+
+    resist = resist or ResistModel(threshold=0.35, steepness=30.0)
+    target = jnp.asarray(target_geometry, jnp.float32)
+    aberrations = jnp.asarray(aberrations, jnp.float32)
+    optimizer = optax.adam(learning_rate)
+    params = init_params(problem, target)  # start from the design itself
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params):
+        image = forward(params, aberrations, shifts, weights, problem)
+        profile = resist.develop(image, problem.config)
+        return jnp.mean((profile - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history: list[float] = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        history.append(float(loss))
+    corrected = mask_from_latent(params["mask_latent"], problem.mask_steepness)
+    return corrected, history

@@ -137,3 +137,31 @@ def test_aberration_retrieval_recovers_image():
     t = np.asarray(target) / np.asarray(target).max()
     f = np.asarray(fitted) / np.asarray(fitted).max()
     assert np.sqrt(np.mean((t - f) ** 2)) < 0.01
+
+
+def test_opc_improves_print_fidelity():
+    """OPC against the resist profile must beat printing the raw design."""
+    from lithographysimulator_tpu import ResistModel, mask_spectrum, pattern_fidelity
+    from lithographysimulator_tpu.optimize import SMOProblem, opc_correct
+    from lithographysimulator_tpu.ops.abbe import abbe_image_points
+
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8)
+    target = np.asarray(demo_bars(CFG).geometry)
+    ab = np.zeros(1, np.float32)
+    resist = ResistModel(threshold=0.35, steepness=30.0)
+
+    def printed(mask_geom):
+        spec = mask_spectrum(jnp.asarray(mask_geom, jnp.float32), CFG)
+        img = abbe_image_points(spec, pupil_function(ab, CFG), shifts, weights,
+                                CFG, chunk=8, normalize=True)
+        return resist.develop_binary(img, CFG)
+
+    import jax.numpy as jnp
+    base = pattern_fidelity(printed(target), target, CFG)
+    corrected, hist = opc_correct(target, ab, shifts, weights, problem,
+                                  resist=resist, steps=80, learning_rate=0.1)
+    after = pattern_fidelity(printed(np.asarray(corrected)), target, CFG)
+    assert hist[-1] < hist[0]
+    assert after["mean_epe_nm"] <= base["mean_epe_nm"] + 1e-9
+    assert after["iou"] >= base["iou"]
