@@ -120,21 +120,22 @@ def cmd_socs(args) -> int:
     import jax.numpy as jnp
 
     from .models.pupil import pupil_function
-    from .ops.hopkins import randomized_socs
+    from .ops.hopkins import randomized_socs, socs_energy_captured
     from .utils.artifacts import save_socs
 
     config = _build_config(args)
     source = _build_source(args, config)
     aberr = jnp.asarray(args.aberrations if args.aberrations else [0.0], jnp.float32)
+    pupil = pupil_function(aberr, config)
     t0 = time.perf_counter()
-    socs = randomized_socs(pupil_function(aberr, config), np.asarray(source),
-                           config, rank=args.rank, power_iters=args.power_iters)
+    socs = randomized_socs(pupil, np.asarray(source), config,
+                           rank=args.rank, power_iters=args.power_iters)
     elapsed = time.perf_counter() - t0
     ev = np.asarray(socs.eigenvalues)
     print(json.dumps({
         "rank": int(socs.rank), "build_s": round(elapsed, 3),
         "eig_max": float(ev[0]), "eig_min_kept": float(ev[-1]),
-        "energy_captured": float(ev.sum()),
+        "energy_captured": round(socs_energy_captured(socs, pupil, source), 6),
     }))
     if args.out:
         save_socs(args.out, socs)

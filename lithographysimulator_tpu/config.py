@@ -72,8 +72,12 @@ class OpticsConfig:
             raise ValueError(
                 f"pixel_number must be an even integer >= 2, got {self.pixel_number}"
             )
-        if self.pixel_size <= 0 or self.wavelength <= 0 or not (0 < self.na <= 1):
-            raise ValueError("pixel_size/wavelength must be > 0 and 0 < na <= 1")
+        if self.pixel_size <= 0 or self.wavelength <= 0:
+            raise ValueError("pixel_size and wavelength must be > 0")
+        if not (0 < self.na <= 1.7):
+            # immersion lithography reaches NA ~1.35 (water) / ~1.55+
+            # (high-index fluids); nothing in the sigma-grid math caps at 1
+            raise ValueError(f"na must be in (0, 1.7], got {self.na}")
 
     # --- derived grid constants (reference mask.py:32-35) -----------------
     @property

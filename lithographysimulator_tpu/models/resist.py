@@ -82,14 +82,19 @@ def critical_dimension(profile, config: OpticsConfig, *, row: int | None = None,
     return float((end - start + 1) * config.pixel_size)
 
 
-def exposure_latitude(images, config: OpticsConfig, model: ResistModel,
+def exposure_latitude(image, config: OpticsConfig, model: ResistModel,
                       doses) -> list[float]:
-    """CDs across a dose sweep: develop ``image * dose`` for each dose and
-    measure the printed CD (a focus-exposure matrix column)."""
+    """CDs across a dose sweep of ONE aerial image: develop ``image * dose``
+    for each dose and measure the printed CD (one focus-exposure-matrix
+    column; sweep focal planes separately for the full FEM)."""
+    image = jnp.asarray(image)
+    if image.ndim != 2:
+        raise ValueError(
+            f"exposure_latitude takes one (n, n) image, got shape {image.shape};"
+            " loop over focal planes for a full FEM")
     out = []
     for dose in doses:
-        profile = model.develop_binary(jnp.asarray(images) * dose, config,
-                                       normalize=False)
+        profile = model.develop_binary(image * dose, config, normalize=False)
         out.append(critical_dimension(profile, config))
     return out
 

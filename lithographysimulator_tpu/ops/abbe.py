@@ -246,6 +246,11 @@ def accumulate_intensity(
     """
     n = config.n
     p = shifts.shape[0]
+    if p == 0:
+        # all-dark source: zero image (seeded from the replicated inputs so
+        # vma still matches under shard_map)
+        seed = (jnp.real(pupil[0, 0]) + jnp.real(spectrum[0, 0])) * 0
+        return jnp.zeros((n, n), jnp.real(spectrum).dtype) + seed
     if p % chunk:
         raise ValueError(f"point count {p} not divisible by chunk {chunk}")
     engine = resolve_engine(engine)

@@ -50,6 +50,31 @@ def tile_layout(big_n: int, tile_n: int, halo: int):
     return tiles, step
 
 
+@functools.lru_cache(maxsize=32)
+def _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                   spectrum_solver):
+    """Cached jitted per-batch tile imager, keyed on the static parameters —
+    a fresh @jax.jit per call would re-trace and recompile every invocation.
+    socs/padded are jit ARGUMENTS, never closure captures: captured device
+    arrays are lowered as constants (a rank-256 1024^2 kernel set is ~2 GB)
+    and force a host readback at trace time."""
+    n = tile_config.n
+
+    @jax.jit
+    def tile_batch(padded, socs, coord_block):
+        def one(c):
+            window = jax.lax.dynamic_slice(
+                padded, (c[0] * step, c[1] * step), (n, n))
+            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+            img = socs_image(spectrum, socs, tile_config,
+                             solver=solver, chunk=chunk, engine=engine)
+            return img[halo : halo + step, halo : halo + step]
+
+        return jax.lax.map(one, coord_block)
+
+    return tile_batch
+
+
 def tiled_socs_image(
     mask_big: jnp.ndarray,
     socs: SOCSKernels,
@@ -91,20 +116,8 @@ def tiled_socs_image(
     if pad_tiles:
         coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
 
-    # socs/padded must be jit ARGUMENTS, not closure captures: captured
-    # device arrays are lowered as constants (the rank-256 1024^2 kernel set
-    # is ~2 GB) and force a host readback at trace time.
-    @jax.jit
-    def tile_batch(padded, socs, coord_block):
-        def one(c):
-            window = jax.lax.dynamic_slice(
-                padded, (c[0] * step, c[1] * step), (n, n))
-            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
-            img = socs_image(spectrum, socs, tile_config,
-                             solver=solver, chunk=chunk, engine=engine)
-            return img[halo : halo + step, halo : halo + step]
-
-        return jax.lax.map(one, coord_block)
+    tile_batch = _tile_batch_fn(tile_config, halo, step, solver, chunk,
+                                engine, spectrum_solver)
 
     cores = []
     for start in range(0, len(coords), k):
@@ -143,18 +156,8 @@ def tiled_socs_image_scan(
     coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
                                   indexing="ij"), -1).reshape(-1, 2)
 
-    @jax.jit
-    def run(padded, socs, coords):
-        def one(c):
-            window = jax.lax.dynamic_slice(
-                padded, (c[0] * step, c[1] * step), (n, n))
-            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
-            img = socs_image(spectrum, socs, tile_config,
-                             solver=solver, chunk=chunk, engine=engine)
-            return img[halo : halo + step, halo : halo + step]
-
-        return jax.lax.map(one, coords)
-
+    run = _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                         spectrum_solver)
     cores = run(padded, socs, jnp.asarray(coords))  # (tiles^2, step, step)
     grid = cores.reshape(tiles, tiles, step, step)
     stitched = jnp.concatenate(

@@ -169,8 +169,11 @@ def fit_aberrations(
     target = jnp.asarray(target_image, jnp.float32)
     target = target / jnp.maximum(jnp.max(target), 1e-30)
     mask_vec = jnp.ones((n_coeffs,), jnp.float32).at[0].set(0.0)
+    spectrum = jnp.asarray(spectrum)
+    shifts = jnp.asarray(shifts)
+    weights = jnp.asarray(weights)
 
-    def loss_fn(coeffs):
+    def loss_fn(coeffs, target, spectrum, shifts, weights):
         pupil = pupil_function(coeffs * mask_vec, config)
         image = abbe_image_points(
             spectrum, pupil, shifts, weights, config,
@@ -184,15 +187,18 @@ def fit_aberrations(
               else jnp.asarray(init, jnp.float32))
     opt_state = optimizer.init(coeffs)
 
+    # large arrays ride as jit arguments, not closure constants (CLAUDE.md)
     @jax.jit
-    def step(coeffs, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(coeffs)
+    def step(coeffs, opt_state, target, spectrum, shifts, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            coeffs, target, spectrum, shifts, weights)
         updates, opt_state = optimizer.update(grads, opt_state, coeffs)
         return optax.apply_updates(coeffs, updates), opt_state, loss
 
     history: list[float] = []
     for _ in range(steps):
-        coeffs, opt_state, loss = step(coeffs, opt_state)
+        coeffs, opt_state, loss = step(coeffs, opt_state, target, spectrum,
+                                       shifts, weights)
         history.append(float(loss))
     return coeffs * mask_vec, history
 
@@ -225,24 +231,29 @@ def opc_correct(
     resist = resist or ResistModel(threshold=0.35, steepness=30.0)
     target = jnp.asarray(target_geometry, jnp.float32)
     aberrations = jnp.asarray(aberrations, jnp.float32)
+    shifts = jnp.asarray(shifts)
+    weights = jnp.asarray(weights)
     optimizer = optax.adam(learning_rate)
     params = init_params(problem, target)  # start from the design itself
     opt_state = optimizer.init(params)
 
-    def loss_fn(params):
+    def loss_fn(params, target, aberrations, shifts, weights):
         image = forward(params, aberrations, shifts, weights, problem)
         profile = resist.develop(image, problem.config)
         return jnp.mean((profile - target) ** 2)
 
+    # large arrays ride as jit arguments, not closure constants (CLAUDE.md)
     @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, target, aberrations, shifts, weights):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, target, aberrations, shifts, weights)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     history: list[float] = []
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, target,
+                                       aberrations, shifts, weights)
         history.append(float(loss))
     corrected = mask_from_latent(params["mask_latent"], problem.mask_steepness)
     return corrected, history

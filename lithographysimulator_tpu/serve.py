@@ -95,6 +95,8 @@ class LithoService:
         elif kind == "quasar":
             source = ls.quasar(int(src_spec.get("poles", 4)),
                                float(src_spec.get("rotation", -np.pi / 8)))
+        elif kind == "dipole":
+            source = ls.dipole(float(src_spec.get("rotation", 0.0)))
         elif kind == "monopole":
             source = ls.monopole()
         else:

@@ -21,7 +21,11 @@ from tests import numpy_oracle as oracle
 
 
 def nrms(a, b):
-    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    a, b = np.asarray(a), np.asarray(b)
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        a, b = a.astype(np.complex128), b.astype(np.complex128)
+    else:
+        a, b = a.astype(np.float64), b.astype(np.float64)
     return float(np.sqrt(np.mean(np.abs(a - b) ** 2)) / np.abs(b).max())
 
 

@@ -44,4 +44,5 @@ def test_config_validation():
     with pytest.raises(ValueError):
         OpticsConfig(pixel_number=63)
     with pytest.raises(ValueError):
-        OpticsConfig(na=1.5)
+        OpticsConfig(na=2.0)
+    OpticsConfig(na=1.35)  # 193i immersion is a valid configuration
