@@ -363,3 +363,25 @@ def socs_energy_captured(socs: SOCSKernels, pupil, source_map) -> float:
     if trace <= 0:
         return 1.0
     return float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
+
+
+def auto_rank_socs(
+    pupil,
+    source_map,
+    config: OpticsConfig,
+    *,
+    energy_target: float = 0.999,
+    start_rank: int = 32,
+    max_rank: int = 512,
+    **kwargs,
+) -> SOCSKernels:
+    """Build SOCS kernels with the smallest power-of-two-stepped rank whose
+    captured energy fraction meets ``energy_target`` (host-side doubling
+    loop; each attempt is one :func:`randomized_socs` build)."""
+    rank = start_rank
+    socs = randomized_socs(pupil, source_map, config, rank=rank, **kwargs)
+    while (socs_energy_captured(socs, pupil, source_map) < energy_target
+           and rank < max_rank):
+        rank = min(rank * 2, max_rank)
+        socs = randomized_socs(pupil, source_map, config, rank=rank, **kwargs)
+    return socs

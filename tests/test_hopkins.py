@@ -120,3 +120,14 @@ def test_energy_captured(setup):
     e_high = socs_energy_captured(high, pup, src)
     assert 0.3 < e_low < e_high <= 1.0 + 1e-3
     assert e_high > 0.99
+
+
+def test_auto_rank_socs(setup):
+    from lithographysimulator_tpu.ops.hopkins import (auto_rank_socs,
+                                                      socs_energy_captured)
+
+    _, pup, src, _ = setup
+    socs = auto_rank_socs(pup, src, CFG, energy_target=0.995, start_rank=8,
+                          max_rank=128)
+    assert socs_energy_captured(socs, pup, src) >= 0.995
+    assert socs.rank <= 128
