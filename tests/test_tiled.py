@@ -117,3 +117,14 @@ def test_non_divisible_size(socs):
     img = np.asarray(tiled_socs_image(m, socs, TILE_CFG, halo=32))
     assert img.shape == (200, 200)
     assert np.isfinite(img).all()
+
+
+def test_tiles_per_dispatch_invariance(big_mask, socs):
+    a = np.asarray(tiled_socs_image(big_mask, socs, TILE_CFG, halo=32,
+                                    tiles_per_dispatch=1))
+    b = np.asarray(tiled_socs_image(big_mask, socs, TILE_CFG, halo=32,
+                                    tiles_per_dispatch=3))  # non-divisor
+    c = np.asarray(tiled_socs_image(big_mask, socs, TILE_CFG, halo=32,
+                                    tiles_per_dispatch=64))  # > tile count
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    np.testing.assert_allclose(a, c, rtol=1e-6)
