@@ -88,11 +88,13 @@ def main() -> None:
     shifts, weights, _ = padded_source_arrays(src, CHUNK * 8)
     seg = shifts.shape[0] // 8
 
+    max_shift = int(np.abs(np.asarray(shifts)).max())
+
     @jax.jit
     def abbe_seg(geom, a, sh, w):
         return accumulate_intensity(
             pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
-            chunk=CHUNK)
+            chunk=CHUNK, max_abs_shift=max_shift)
 
     args = (mask.geometry, aberrations, shifts[:seg], weights[:seg])
     jax.block_until_ready(abbe_seg(*args))  # compile
@@ -106,7 +108,7 @@ def main() -> None:
     def abbe_seg_high(geom, a, sh, w):
         return accumulate_intensity(
             pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
-            chunk=CHUNK, matmul_precision="high")
+            chunk=CHUNK, matmul_precision="high", max_abs_shift=max_shift)
 
     jax.block_until_ready(abbe_seg_high(*args))
     t0 = time.perf_counter()

@@ -176,6 +176,41 @@ _PRECISIONS = {
 }
 
 
+def _window_size(n: int) -> int:
+    """Support window of a rolled pupil product: the unit disk spans
+    n/2 + 1 samples; +2 guard, rounded to a multiple of 8."""
+    return min(n, ((n // 2 + 3 + 7) // 8) * 8)
+
+
+def _fields_gau23_windowed(pupil_tiled, spectrum, shifts, fft_size,
+                           matmul_precision="highest"):
+    """Exact windowed zoom-DFT: for sources inside the pupil (|shift| < n/4),
+    the rolled product roll(P, s) * M is nonzero only in an (w, w) window
+    (w ~ n/2) at a shift-dependent offset, so E = T X T^T contracts as
+    T[:, rows] @ X_w @ T[:, cols]^T — 0.375x the dense matmul FLOPs with
+    identical results (the omitted entries are exactly zero)."""
+    n = spectrum.shape[-1]
+    w = _window_size(n)
+    t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
+    prec = _PRECISIONS[matmul_precision]
+    lo = n // 4 - 1  # window start at zero shift (disk low edge minus guard)
+
+    fields = []
+    for b in range(shifts.shape[0]):
+        r0 = jnp.clip(lo + shifts[b, 0], 0, n - w)
+        c0 = jnp.clip(lo + shifts[b, 1], 0, n - w)
+        start0 = (-shifts[b, 0]) % n
+        start1 = (-shifts[b, 1]) % n
+        rolled = jax.lax.dynamic_slice(pupil_tiled, (start0, start1), (n, n))
+        x = rolled * spectrum
+        x_w = jax.lax.dynamic_slice(x, (r0, c0), (w, w))
+        t_rows = jax.lax.dynamic_slice(t, (0, r0), (n, w))
+        t_cols = jax.lax.dynamic_slice(t, (0, c0), (n, w))
+        y = jnp.einsum("iw,wv->iv", t_rows, x_w, precision=prec)
+        fields.append(jnp.einsum("iv,jv->ij", y, t_cols, precision=prec))
+    return jnp.stack(fields)
+
+
 def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft",
                   matmul_precision="highest"):
     """(B, n, n) coherent image fields for one chunk, Gau'23 solver
@@ -238,6 +273,7 @@ def accumulate_intensity(
     chunk: int = 4,
     engine: str = "auto",
     matmul_precision: str = "highest",
+    max_abs_shift: int | None = None,
 ) -> jnp.ndarray:
     """Scan source-point chunks, accumulating ``sum_s w_s |E_s|^2`` on chip.
 
@@ -255,6 +291,10 @@ def accumulate_intensity(
         raise ValueError(f"point count {p} not divisible by chunk {chunk}")
     engine = resolve_engine(engine)
     fft_size = config.wavelength_scaling().fft_size
+    # Windowed contraction is exact only when every rolled pupil stays
+    # interior (no wraparound): requires a static bound on |shift|.
+    windowed = (engine == "matmul" and max_abs_shift is not None
+                and max_abs_shift <= n // 4 - 2 and _window_size(n) < n)
     real_dtype = jnp.real(spectrum).dtype
 
     shifts = shifts.reshape(p // chunk, chunk, 2)
@@ -269,7 +309,10 @@ def accumulate_intensity(
             part = _intensity_gau23_pallas(
                 pupil_tiled, spectrum, s, w, fft_size, interpret=interpret)
             return acc + part, None
-        if solver == "gau23":
+        if solver == "gau23" and windowed:
+            fields = _fields_gau23_windowed(pupil_tiled, spectrum, s,
+                                            fft_size, matmul_precision)
+        elif solver == "gau23":
             fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine,
                                    matmul_precision)
         else:
@@ -314,16 +357,21 @@ def abbe_image_points(
     total_weight=None,
     engine: str = "auto",
     matmul_precision: str = "highest",
+    max_abs_shift: int | None = None,
 ) -> jnp.ndarray:
     """Aerial image from an explicit (possibly traced) padded point list.
 
     ``shifts`` (p, 2) int32 and ``weights`` (p,) with p divisible by
     ``chunk``; zero-weight entries act as padding.
     """
+    if max_abs_shift is None and not isinstance(shifts, jax.core.Tracer):
+        host_shifts = np.asarray(shifts)
+        if host_shifts.size:
+            max_abs_shift = int(np.abs(host_shifts).max())
     image = accumulate_intensity(
         pupil, spectrum, jnp.asarray(shifts), jnp.asarray(weights), config,
         solver=solver, chunk=chunk, engine=engine,
-        matmul_precision=matmul_precision,
+        matmul_precision=matmul_precision, max_abs_shift=max_abs_shift,
     )
     if solver == "gau23":
         image = _postprocess_gau23(image, config)

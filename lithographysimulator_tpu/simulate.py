@@ -38,7 +38,7 @@ class SimulationResult:
 
 @functools.lru_cache(maxsize=32)
 def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
-                       normalize: bool):
+                       normalize: bool, max_abs_shift: int | None):
     @functools.partial(jax.jit)
     def run(geometry, aberrations, shifts, weights):
         spectrum = mask_spectrum(geometry, config, solver=solver)
@@ -46,6 +46,7 @@ def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
         image = abbe_image_points(
             spectrum, pupil, shifts, weights, config,
             solver=solver, chunk=chunk, normalize=normalize,
+            max_abs_shift=max_abs_shift,
         )
         return image, spectrum, pupil
 
@@ -105,7 +106,9 @@ def simulate(
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(src_np))
     else:
-        run = _compiled_pipeline(config, solver, chunk, normalize)
+        max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
+        run = _compiled_pipeline(config, solver, chunk, normalize,
+                                 max_abs_shift)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(shifts), jnp.asarray(weights))
     if block:

@@ -160,3 +160,23 @@ def test_image_is_real_nonnegative():
     img = np.asarray(res.image)
     assert img.dtype == np.float32
     assert img.min() >= 0.0
+
+
+def test_windowed_matmul_engine_exact():
+    """The windowed zoom-DFT contraction (pupil-support window only) is
+    exactly the dense matmul engine — the omitted entries are true zeros."""
+    cfg = OpticsConfig(pixel_number=64)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    pup = pupil_function(np.array([0, 0, 0.01, 0, 100], np.float32), cfg)
+    src = np.asarray(LightSource(cfg, sigma_in=0.2, sigma_out=0.6,
+                                 shift_x=0.1).annular())
+    from lithographysimulator_tpu.ops.abbe import abbe_image_points
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    shifts, weights, _ = padded_source_arrays(src, 4)
+    ms = int(np.abs(np.asarray(shifts)).max())
+    dense = np.asarray(abbe_image_points(spec, pup, shifts, weights, cfg,
+                                         engine="matmul"))
+    windowed = np.asarray(abbe_image_points(spec, pup, shifts, weights, cfg,
+                                            engine="matmul", max_abs_shift=ms))
+    np.testing.assert_array_equal(windowed, dense)
