@@ -40,6 +40,7 @@ def through_focus_images(
     solver: Solver = "gau23",
     chunk: int = 4,
     normalize: bool = False,
+    max_abs_shift: int | None = None,
 ) -> jnp.ndarray:
     """(F, n, n) focal stack for an (F, A) aberration-coefficient stack over
     one shared mask spectrum and source-point list."""
@@ -49,6 +50,7 @@ def through_focus_images(
         return abbe_image_points(
             spectrum, pupil, shifts, weights, config,
             solver=solver, chunk=chunk, normalize=normalize,
+            max_abs_shift=max_abs_shift,
         )
 
     return jax.vmap(one)(jnp.asarray(aberrations_stack))

@@ -55,6 +55,8 @@ def abbe_image_sharded(
     solver: Solver = "gau23",
     chunk: int = 4,
     normalize: bool = False,
+    max_abs_shift: int | None = None,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """Aerial image with the source-point list sharded over ``mesh``'s
     'source' axis. ``shifts``/``weights`` length must divide
@@ -77,7 +79,8 @@ def abbe_image_sharded(
     )
     def run(spec, pup, s, w):
         local = accumulate_intensity(
-            pup, spec, s, w, config, solver=solver, chunk=chunk
+            pup, spec, s, w, config, solver=solver, chunk=chunk,
+            max_abs_shift=max_abs_shift, engine=engine,
         )
         return jax.lax.psum(local, SOURCE_AXIS)
 
@@ -101,6 +104,7 @@ def through_focus_sharded(
     solver: Solver = "gau23",
     chunk: int = 4,
     normalize: bool = False,
+    max_abs_shift: int | None = None,
 ) -> jnp.ndarray:
     """(F, n, n) focal stack over a 2-D ('focus', 'source') mesh: defocus
     settings sharded across 'focus', source points across 'source'."""
@@ -124,7 +128,8 @@ def through_focus_sharded(
         def one(aberr):
             pup = pupil_function(aberr, config, dtype=spec.dtype)
             local = accumulate_intensity(
-                pup, spec, s, w, config, solver=solver, chunk=chunk
+                pup, spec, s, w, config, solver=solver, chunk=chunk,
+                max_abs_shift=max_abs_shift,
             )
             return jax.lax.psum(local, SOURCE_AXIS)
 

@@ -129,3 +129,17 @@ def test_through_focus_socs_matches_abbe(setup):
     assert socs_stack.shape == abbe_stack.shape
     err = np.sqrt(np.mean((socs_stack - abbe_stack) ** 2)) / abbe_stack.max()
     assert err < 5e-4
+
+
+def test_sharded_windowed_matches_dense(setup):
+    """The windowed zoom-DFT contraction works inside shard_map too."""
+    spec, pup, src = setup
+    mesh = source_mesh()
+    shifts, weights, _ = padded_source_arrays(src, mesh.shape["source"] * 4)
+    ms = int(np.abs(np.asarray(shifts)).max())
+    a = np.asarray(abbe_image_sharded(spec, pup, shifts, weights, CFG, mesh,
+                                      chunk=4, engine="matmul"))
+    b = np.asarray(abbe_image_sharded(spec, pup, shifts, weights, CFG, mesh,
+                                      chunk=4, engine="matmul",
+                                      max_abs_shift=ms))
+    np.testing.assert_array_equal(b, a)
