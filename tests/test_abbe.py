@@ -180,3 +180,28 @@ def test_windowed_matmul_engine_exact():
     windowed = np.asarray(abbe_image_points(spec, pup, shifts, weights, cfg,
                                             engine="matmul", max_abs_shift=ms))
     np.testing.assert_array_equal(windowed, dense)
+
+
+def test_demo_image_shifted_source_matches_reference(golden, rms):
+    """Off-axis (shifted) source imaging end-to-end parity."""
+    ref = golden("demo_aerial_image_fft_shifted_perfect")
+    src_ref = golden("demo_source_shifted_small")
+    ours_src = np.asarray(LightSource(DEMO_CONFIG, sigma_in=0.2, sigma_out=0.6,
+                                      shift_x=0.3, shift_y=-0.2).annular())
+    np.testing.assert_array_equal(ours_src, src_ref)
+    spec = spectrum_fft(demo_bars(DEMO_CONFIG).geometry, DEMO_CONFIG)
+    pup = pupil_function(np.zeros(1), DEMO_CONFIG)
+    img = np.asarray(abbe_image(spec, pup, ours_src, DEMO_CONFIG))
+    assert rms(img, ref) < 1e-5
+
+
+def test_demo_image_dipole_matches_reference(golden, rms):
+    ref = golden("demo_aerial_image_fft_dipole_perfect")
+    src_ref = golden("demo_source_dipole")
+    ours_src = np.asarray(LightSource(DEMO_CONFIG, sigma_in=0.5, sigma_out=0.8)
+                          .quasar(2, 0.0))
+    np.testing.assert_array_equal(ours_src, src_ref)
+    spec = spectrum_fft(demo_bars(DEMO_CONFIG).geometry, DEMO_CONFIG)
+    pup = pupil_function(np.zeros(1), DEMO_CONFIG)
+    img = np.asarray(abbe_image(spec, pup, ours_src, DEMO_CONFIG))
+    assert rms(img, ref) < 1e-5

@@ -105,6 +105,24 @@ def main() -> None:
                                        m.deltaK, wavelength, True, device)
     save("demo_aerial_image_fft_annular_perfect", img_ann)
 
+    # off-axis shifted source + dipole, imaged end to end
+    shifted_src = lightsource.LightSource(
+        sigmaIn=0.2, sigmaOut=0.6, shiftX=0.3, shiftY=-0.2, device=device
+    ).generateAnnular()
+    save("demo_source_shifted_small", shifted_src)
+    img_shift = imageformation.abbeImage(m, mask_ft_fft, pupil0, shifted_src,
+                                         m.pixelSize, m.deltaK, wavelength,
+                                         True, device)
+    save("demo_aerial_image_fft_shifted_perfect", img_shift)
+
+    dipole = lightsource.LightSource(sigmaIn=0.5, sigmaOut=0.8, device=device
+                                     ).generateQuasar(2, 0.0)
+    save("demo_source_dipole", dipole)
+    img_dip = imageformation.abbeImage(m, mask_ft_fft, pupil0, dipole,
+                                       m.pixelSize, m.deltaK, wavelength,
+                                       True, device)
+    save("demo_aerial_image_fft_dipole_perfect", img_dip)
+
     # ------------------------------------------------------------------
     # 2. Direct (non-FFT) solver on a small grid: 32^2 random binary mask,
     #    classical source sigma=0.3, defocus-only pupil.
