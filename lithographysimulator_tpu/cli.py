@@ -175,7 +175,6 @@ def cmd_focus(args) -> int:
     import jax.numpy as jnp
 
     from .models.resist import ResistModel, critical_dimension
-    from .ops.abbe import source_points
     from .ops.focus import focus_stack_aberrations, through_focus_images
     from .ops.fraunhofer import mask_spectrum
     from .parallel import padded_source_arrays

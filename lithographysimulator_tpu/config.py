@@ -19,7 +19,6 @@ Grid conventions (shared-grid invariant of the whole framework):
 from __future__ import annotations
 
 import dataclasses
-import math
 
 SIGMA_SPAN = 2.0  # sigma grid spans [-2, 2); unit pupil is the central half.
 

@@ -41,7 +41,7 @@ import numpy as np
 from ..config import OpticsConfig
 from .fourier import centered_ifft2, crop_center, pad_center
 from .fraunhofer import separable_dft
-from .resize import bilinear_resize, interp_matrix, output_size
+from .resize import bilinear_resize
 
 Solver = Literal["gau23", "direct"]
 

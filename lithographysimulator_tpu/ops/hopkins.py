@@ -32,13 +32,12 @@ TPU-native structure:
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import SIGMA_SPAN, OpticsConfig
+from ..config import OpticsConfig
 from ..xfer import to_device_complex, to_host_complex
 from .abbe import source_points
 from .fourier import centered_ifft2, crop_center, pad_center

@@ -19,8 +19,6 @@ backward pass) over ICI.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

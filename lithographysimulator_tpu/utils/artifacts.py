@@ -14,7 +14,6 @@ import hashlib
 import json
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
