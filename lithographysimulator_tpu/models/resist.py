@@ -170,3 +170,84 @@ class MackResist:
     def develop_binary(self, image, dose: float = 1.0):
         return (self.cleared_depth_nm(image, dose)
                 >= self.thickness_nm).astype(jnp.float32)
+
+
+def meef(
+    mask_geometry,
+    image_fn,
+    config: OpticsConfig,
+    model: "ResistModel",
+    *,
+    bias_px: int = 1,
+) -> float:
+    """Mask Error Enhancement Factor: d(printed CD)/d(mask CD), by central
+    finite difference of a +-``bias_px`` edge bias on the mask's vertical
+    features. ``image_fn(geometry) -> aerial image`` is the caller's imaging
+    pipeline (so MEEF composes with any solver/source)."""
+    geom = np.asarray(mask_geometry)
+
+    def bias(g, px):
+        if px == 0:
+            return g
+        out = g.copy()
+        for _ in range(abs(px)):
+            if px > 0:  # dilate horizontally (wider lines)
+                out = np.maximum(out, np.roll(out, 1, axis=1))
+                out = np.maximum(out, np.roll(out, -1, axis=1))
+            else:  # erode
+                out = np.minimum(out, np.roll(out, 1, axis=1))
+                out = np.minimum(out, np.roll(out, -1, axis=1))
+        return out
+
+    cds = []
+    for px in (-bias_px, bias_px):
+        biased = bias(geom, px)
+        profile = model.develop_binary(image_fn(biased), config)
+        cds.append(critical_dimension(profile, config))
+    mask_delta_nm = 4 * bias_px * config.pixel_size  # both edges, both signs
+    if mask_delta_nm == 0:
+        return 0.0
+    return float((cds[1] - cds[0]) / mask_delta_nm)
+
+
+def process_window(
+    focus_exposure_cds,
+    defocus_nm,
+    doses,
+    *,
+    target_cd_nm: float,
+    tolerance: float = 0.10,
+) -> dict:
+    """Depth of focus and exposure latitude from a focus-exposure matrix.
+
+    ``focus_exposure_cds[i][j]`` is the printed CD at ``defocus_nm[i]``,
+    ``doses[j]``. A (focus, dose) cell is in spec when its CD is within
+    ``tolerance`` of ``target_cd_nm``. Returns the largest in-spec defocus
+    range at any single dose (DoF) and the largest in-spec dose range at any
+    single focus (EL), the usual rectangle-free summary.
+    """
+    cds = np.asarray(focus_exposure_cds, np.float64)
+    defocus_nm = np.asarray(defocus_nm, np.float64)
+    doses = np.asarray(doses, np.float64)
+    in_spec = np.abs(cds - target_cd_nm) <= tolerance * target_cd_nm
+
+    def longest_true_span(flags, coords):
+        best = 0.0
+        i = 0
+        while i < len(flags):
+            if flags[i]:
+                j = i
+                while j + 1 < len(flags) and flags[j + 1]:
+                    j += 1
+                best = max(best, float(coords[j] - coords[i]))
+                i = j + 1
+            else:
+                i += 1
+        return best
+
+    dof = max((longest_true_span(in_spec[:, j], defocus_nm)
+               for j in range(len(doses))), default=0.0)
+    el = max((longest_true_span(in_spec[i, :], doses)
+              for i in range(len(defocus_nm))), default=0.0)
+    return {"depth_of_focus_nm": dof, "exposure_latitude": el,
+            "in_spec_fraction": float(in_spec.mean())}

@@ -77,3 +77,39 @@ def test_mack_resist_physics():
     # differentiable w.r.t. the image
     g = jax.grad(lambda im: model.develop(im).sum())(img)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_meef_positive_for_lines():
+    from lithographysimulator_tpu import (LightSource, ResistModel,
+                                          mask_spectrum, pupil_function)
+    from lithographysimulator_tpu.models.resist import meef
+    from lithographysimulator_tpu.ops.abbe import abbe_image_points
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    cfg = OpticsConfig(pixel_number=64)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    shifts, weights, _ = padded_source_arrays(src, 4)
+    pup = pupil_function(np.zeros(1), cfg)
+
+    def image_fn(geometry):
+        spec = mask_spectrum(np.asarray(geometry, np.float32), cfg)
+        return abbe_image_points(spec, pup, shifts, weights, cfg, chunk=4,
+                                 normalize=True)
+
+    value = meef(demo_bars(cfg).geometry, image_fn, cfg,
+                 ResistModel(threshold=0.4))
+    assert 0.2 < value < 10.0  # wider mask lines print wider
+
+
+def test_process_window():
+    from lithographysimulator_tpu.models.resist import process_window
+
+    defocus = [-100, -50, 0, 50, 100]
+    doses = [0.8, 0.9, 1.0, 1.1, 1.2]
+    # synthetic FEM: CD = 100 + 0.1*|defocus| + 80*(dose-1)
+    cds = [[100 + 0.1 * abs(f) + 80 * (d - 1) for d in doses] for f in defocus]
+    win = process_window(cds, defocus, doses, target_cd_nm=100.0,
+                         tolerance=0.10)
+    assert win["depth_of_focus_nm"] == 200.0  # all defocus in spec at dose 1
+    assert 0.2 <= win["exposure_latitude"] <= 0.4
+    assert 0 < win["in_spec_fraction"] < 1
