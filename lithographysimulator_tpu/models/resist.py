@@ -186,17 +186,26 @@ def meef(
     pipeline (so MEEF composes with any solver/source)."""
     geom = np.asarray(mask_geometry)
 
+    def shift0(g, s):
+        """Horizontal shift with zero fill (no wrap-around at field edges)."""
+        out = np.zeros_like(g)
+        if s > 0:
+            out[:, s:] = g[:, :-s]
+        elif s < 0:
+            out[:, :s] = g[:, -s:]
+        else:
+            out[:] = g
+        return out
+
     def bias(g, px):
         if px == 0:
             return g
         out = g.copy()
         for _ in range(abs(px)):
             if px > 0:  # dilate horizontally (wider lines)
-                out = np.maximum(out, np.roll(out, 1, axis=1))
-                out = np.maximum(out, np.roll(out, -1, axis=1))
-            else:  # erode
-                out = np.minimum(out, np.roll(out, 1, axis=1))
-                out = np.minimum(out, np.roll(out, -1, axis=1))
+                out = np.maximum(out, np.maximum(shift0(out, 1), shift0(out, -1)))
+            else:  # erode (zero boundary: features at the field edge shrink)
+                out = np.minimum(out, np.minimum(shift0(out, 1), shift0(out, -1)))
         return out
 
     cds = []
@@ -239,7 +248,8 @@ def process_window(
                 j = i
                 while j + 1 < len(flags) and flags[j + 1]:
                     j += 1
-                best = max(best, float(coords[j] - coords[i]))
+                # abs(): supports descending defocus/dose sweeps too
+                best = max(best, abs(float(coords[j] - coords[i])))
                 i = j + 1
             else:
                 i += 1

@@ -150,6 +150,11 @@ def socs_image(
     from .abbe import _postprocess_gau23, resolve_engine  # shared post stage
 
     engine = resolve_engine(engine)
+    if engine not in ("fft", "matmul"):
+        # Unlike the Abbe engine, SOCS has no pallas path; fail loudly rather
+        # than silently degrading to a different engine (ADVICE r1).
+        raise ValueError(
+            f"socs_image supports engines 'fft'/'matmul'/'auto', got {engine!r}")
 
     n = config.n
     fft_size = config.wavelength_scaling().fft_size

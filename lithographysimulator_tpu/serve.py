@@ -50,6 +50,13 @@ def _decode_array(obj) -> np.ndarray:
 class LithoService:
     """Request handling, separated from HTTP plumbing for testability."""
 
+    # Request-body limits: a hostile/buggy pixel_number or socs_rank would
+    # trigger multi-GB allocations and minutes-long compiles, wedging the
+    # server. Out-of-range values are rejected with 400.
+    MAX_PIXEL_NUMBER = 2048
+    MAX_SOCS_RANK = 1024
+    MAX_CHUNK = 64
+
     def __init__(self):
         self.started = time.time()
         self.requests_served = 0
@@ -71,8 +78,20 @@ class LithoService:
         from .models.source import LightSource
         from .simulate import simulate
 
+        pixel_number = int(body.get("pixel_number", 64))
+        socs_rank = int(body.get("socs_rank", 128))
+        chunk = int(body.get("chunk", 4))
+        if not 8 <= pixel_number <= self.MAX_PIXEL_NUMBER:
+            raise ValueError(
+                f"pixel_number {pixel_number} out of range [8, {self.MAX_PIXEL_NUMBER}]")
+        if not 1 <= socs_rank <= self.MAX_SOCS_RANK:
+            raise ValueError(
+                f"socs_rank {socs_rank} out of range [1, {self.MAX_SOCS_RANK}]")
+        if not 1 <= chunk <= self.MAX_CHUNK:
+            raise ValueError(f"chunk {chunk} out of range [1, {self.MAX_CHUNK}]")
+
         config = OpticsConfig(
-            pixel_number=int(body.get("pixel_number", 64)),
+            pixel_number=pixel_number,
             pixel_size=float(body.get("pixel_size", 25.0)),
             wavelength=float(body.get("wavelength", 193.0)),
             na=float(body.get("na", 0.7)),
@@ -106,9 +125,9 @@ class LithoService:
             result = simulate(
                 mask, source, body.get("aberrations"),
                 solver=body.get("solver", "gau23"),
-                chunk=int(body.get("chunk", 4)),
+                chunk=chunk,
                 normalize=bool(body.get("normalize", False)),
-                socs_rank=int(body.get("socs_rank", 128)),
+                socs_rank=socs_rank,
             )
             self.requests_served += 1
         return {"image": _encode_array(result.image), "report": result.report}

@@ -22,8 +22,8 @@ class StageTimer:
     """Collects named stage wall-clock times with device sync at the edges.
 
     >>> timer = StageTimer()
-    >>> with timer.stage("spectrum"):
-    ...     spectrum = mask_spectrum(geom, cfg)
+    >>> with timer.stage("spectrum") as out:
+    ...     out.append(mask_spectrum(geom, cfg))
     >>> timer.report()
     {'spectrum': 0.0123}
     """
@@ -34,15 +34,26 @@ class StageTimer:
         self.times: dict[str, float] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, *outputs):
+    def stage(self, name: str):
+        """Times a block. Yields a list: append the block's device outputs to
+        it so the exit barrier blocks on the *actual* stage work —
+
+        >>> with timer.stage("spectrum") as out:
+        ...     out.append(mask_spectrum(geom, cfg))
+
+        With nothing appended, falls back to a generic barrier
+        (``jax.effects_barrier`` + a dummy transfer), which may under-report
+        stages whose async dispatches are still in flight.
+        """
+        outputs: list = []
         if self.sync:
             _sync()
         t0 = time.perf_counter()
         try:
-            yield
+            yield outputs
         finally:
             if self.sync:
-                _sync()
+                _sync(*outputs)
             elapsed = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + elapsed
             if self.log:
@@ -52,9 +63,14 @@ class StageTimer:
         return dict(self.times)
 
 
-def _sync():
-    """Barrier on all live device work (cheap dummy computation + block)."""
+def _sync(*outputs):
+    """Barrier on device work: blocks on ``outputs`` when given (the only
+    reliable completion signal under async dispatch), plus a best-effort
+    global barrier."""
     try:
+        if outputs:
+            jax.block_until_ready(outputs)
+        jax.effects_barrier()
         jax.block_until_ready(jax.device_put(0.0))
     except Exception:  # pragma: no cover - sync is best-effort
         pass

@@ -70,6 +70,20 @@ def test_bad_requests(server):
     assert status == 404
 
 
+def test_resource_limits_rejected(server):
+    # Oversized pixel_number / socs_rank must 400 before any allocation
+    # or compile happens (ADVICE r1: a huge value would wedge the server).
+    mask = _encode_array(np.zeros((32, 32)))
+    for body in (
+        {"pixel_number": 65536, "mask": mask},
+        {"pixel_number": 4, "mask": mask},
+        {"pixel_number": 32, "mask": mask, "socs_rank": 10**6},
+        {"pixel_number": 32, "mask": mask, "chunk": 10**6},
+    ):
+        status, payload = _post(server, "/simulate", body)
+        assert status == 400 and "out of range" in payload["error"]
+
+
 def test_requests_counted(server):
     with urllib.request.urlopen(server + "/health", timeout=30) as resp:
         payload = json.loads(resp.read())

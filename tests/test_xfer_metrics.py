@@ -113,3 +113,32 @@ def test_process_window():
     assert win["depth_of_focus_nm"] == 200.0  # all defocus in spec at dose 1
     assert 0.2 <= win["exposure_latitude"] <= 0.4
     assert 0 < win["in_spec_fraction"] < 1
+
+    # Descending sweep axes give the same window (ADVICE r1: spans were
+    # signed and collapsed to 0 on descending coordinates).
+    win_desc = process_window(
+        [row[::-1] for row in cds[::-1]], defocus[::-1], doses[::-1],
+        target_cd_nm=100.0, tolerance=0.10)
+    assert win_desc == win
+
+
+def test_meef_edge_bias_does_not_wrap():
+    from lithographysimulator_tpu.models.resist import meef
+
+    cfg = OpticsConfig(pixel_number=16)
+    # A feature touching the left field boundary: a circular roll would leak
+    # its dilation onto the right edge and corrupt the finite difference.
+    geom = np.zeros((16, 16), np.float32)
+    geom[:, 0:3] = 1.0
+
+    seen = []
+
+    def image_fn(geometry):
+        seen.append(np.asarray(geometry))
+        # CD proxy: identity image, develop threshold picks up the geometry
+        return np.asarray(geometry, np.float32)
+
+    from lithographysimulator_tpu import ResistModel
+    meef(geom, image_fn, cfg, ResistModel(threshold=0.5), bias_px=1)
+    for g in seen:
+        assert g[:, -1].max() == 0.0, "edge bias wrapped around the field"
