@@ -1,26 +1,27 @@
-"""Benchmark: 1024^2 quadrupole aerial image on one TPU chip.
+"""Benchmark: 1024^2 (and 2048^2) quadrupole aerial image on one TPU chip.
 
 Workload (BASELINE.md tracked metric): 1024^2 line/space mask, 25 nm pixels,
 lambda=193 nm, NA=0.7, quadrupole source sigma 0.4/0.8 (~49.4k source
 points), aberration-free pupil.
 
-Two solvers are timed:
+Timed pipelines:
 
 * **SOCS** (Hopkins TCC eigenkernels, ops/hopkins.py): build rank-256
-  kernels once (~1.7 s), then image = 256 weighted coherent systems
-  (~0.42 s). Matches the exact Abbe engine to <1e-4 relative RMS at this
-  config (measured on-chip; the reference's own fp16 grids sit at ~1e-3).
-  The headline value is the full cold image: spectrum + kernel build +
-  image application.
-* **Abbe** (exact per-source-point engine, same algorithm as the
-  reference): reported per-point throughput from a 1/8 segment — the axon
-  TPU tunnel faults on single dispatches over ~30 s, so the full 88 s scan
-  is split outside this benchmark.
+  kernels once, then image = 256 weighted coherent systems. The headline
+  value is the full cold image: spectrum + kernel build + image.
+* **Abbe exact** (per-source-point engine, the reference's own algorithm,
+  reference imageformation.py:47-77): the int8 limb-emulated Pallas engine
+  (ops/kernels/intensity_int8.py). MEASURED end-to-end over all 8 segments
+  (the axon tunnel faults on single dispatches over ~30 s, so the scan is
+  dispatched in 8 pieces and the wall-clock includes every piece
+  back-to-back — no extrapolation).
+* **Abbe f32** ('matmul' engine, fp32-highest contractions): 1/8 segment,
+  reported for the accuracy-over-speed configuration.
 
 Baseline: the reference's loop is linear in source points;
 tools/bench_reference.py measured its per-point CPU cost at this grid size
-and extrapolated 11765 s for the full run (tools/reference_baseline.json).
-vs_baseline = reference_s / ours_s.
+and extrapolated 11765 s for the full 1024^2 run
+(tools/reference_baseline.json). vs_baseline = reference_s / ours_s.
 
 Prints exactly one JSON line.
 """
@@ -33,10 +34,12 @@ from pathlib import Path
 
 import numpy as np
 
-REFERENCE_BASELINE_S = 11764.6  # tools/reference_baseline.json @1024^2
+REFERENCE_BASELINE_S = 11764.6   # tools/reference_baseline.json @1024^2
+REFERENCE_2048_S = 163591.3      # tools/reference_baseline.json @2048^2
 N = 1024
 RANK = 256
 CHUNK = 4
+SEGMENTS = 8
 
 
 def main() -> None:
@@ -84,36 +87,76 @@ def main() -> None:
     t_apply = time.perf_counter() - t0
     total = t_build + t_apply
 
-    # --- Abbe per-point throughput (1/8 segment) ------------------------
-    shifts, weights, _ = padded_source_arrays(src, CHUNK * 8)
-    seg = shifts.shape[0] // 8
-
+    # --- Abbe exact: MEASURED over all 8 segments -----------------------
+    shifts, weights, _ = padded_source_arrays(src, CHUNK * SEGMENTS)
+    seg = shifts.shape[0] // SEGMENTS
     max_shift = int(np.abs(np.asarray(shifts)).max())
 
-    @jax.jit
-    def abbe_seg(geom, a, sh, w):
-        return accumulate_intensity(
-            pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
-            chunk=CHUNK, max_abs_shift=max_shift)
+    def make_seg(engine):
+        @jax.jit
+        def abbe_seg(geom, a, sh, w):
+            return accumulate_intensity(
+                pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
+                chunk=CHUNK, engine=engine, max_abs_shift=max_shift)
+        return abbe_seg
 
-    args = (mask.geometry, aberrations, shifts[:seg], weights[:seg])
-    jax.block_until_ready(abbe_seg(*args))  # compile
+    abbe_int8 = make_seg("int8")
+    seg_args = [(mask.geometry, aberrations,
+                 shifts[k * seg:(k + 1) * seg], weights[k * seg:(k + 1) * seg])
+                for k in range(SEGMENTS)]
+    jax.block_until_ready(abbe_int8(*seg_args[0]))  # compile (one shape)
     t0 = time.perf_counter()
-    jax.block_until_ready(abbe_seg(*args))
-    t_seg = time.perf_counter() - t0
-    abbe_full_est = t_seg * 8.0
+    partials = [abbe_int8(*a) for a in seg_args]
+    abbe_image_full = jax.block_until_ready(sum(partials))
+    abbe_measured = time.perf_counter() - t0
 
-    # throughput mode: bf16x3 matmul passes (~1.3e-5 extra rel error)
-    @jax.jit
-    def abbe_seg_high(geom, a, sh, w):
-        return accumulate_intensity(
-            pupil_function(a, cfg), mask_spectrum(geom, cfg), sh, w, cfg,
-            chunk=CHUNK, matmul_precision="high", max_abs_shift=max_shift)
-
-    jax.block_until_ready(abbe_seg_high(*args))
+    # --- Abbe f32 'matmul' engine: 1/8 segment (accuracy config) --------
+    abbe_f32 = make_seg("matmul")
+    jax.block_until_ready(abbe_f32(*seg_args[0]))
     t0 = time.perf_counter()
-    jax.block_until_ready(abbe_seg_high(*args))
-    abbe_high_est = (time.perf_counter() - t0) * 8.0
+    jax.block_until_ready(abbe_f32(*seg_args[0]))
+    abbe_f32_est = (time.perf_counter() - t0) * SEGMENTS
+
+    # --- 2048^2: SOCS cold + exact-Abbe segment throughput --------------
+    n2 = 2048
+    cfg2 = lt.OpticsConfig(pixel_number=n2)
+    mask2 = lt.lines_and_spaces(cfg2, line_width_px=n2 // 16, pitch_px=n2 // 8)
+    src2 = np.asarray(
+        lt.LightSource(cfg2, sigma_in=0.4, sigma_out=0.8).quasar(4, -np.pi / 8))
+    points2 = int(src2.sum())
+
+    @jax.jit
+    def socs_cold_2048(geom, a, s_map):
+        k = randomized_socs(pupil_function(a, cfg2), s_map, cfg2,
+                            rank=RANK, power_iters=2)
+        return socs_image(mask_spectrum(geom, cfg2), k, cfg2, chunk=CHUNK)
+
+    args2 = (mask2.geometry, aberrations, jnp.asarray(src2))
+    jax.block_until_ready(socs_cold_2048(*args2))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(socs_cold_2048(*args2))
+    t_socs_2048 = time.perf_counter() - t0
+
+    # exact-Abbe per-point throughput at 2048^2 (one 1/64 segment: the full
+    # ~198k-point run would take minutes of tunnel time; throughput is flat
+    # in segment count at fixed shapes)
+    segs2 = 64
+    shifts2, weights2, _ = padded_source_arrays(src2, CHUNK * segs2)
+    seg2 = shifts2.shape[0] // segs2
+    max_shift2 = int(np.abs(np.asarray(shifts2)).max())
+
+    @jax.jit
+    def abbe_seg_2048(geom, a, sh, w):
+        return accumulate_intensity(
+            pupil_function(a, cfg2), mask_spectrum(geom, cfg2), sh, w, cfg2,
+            chunk=CHUNK, engine="int8", max_abs_shift=max_shift2)
+
+    a2 = (mask2.geometry, aberrations, shifts2[:seg2], weights2[:seg2])
+    jax.block_until_ready(abbe_seg_2048(*a2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(abbe_seg_2048(*a2))
+    t_seg_2048 = time.perf_counter() - t0
+    abbe_2048_pts_per_s = seg2 / t_seg_2048
 
     result = {
         "metric": f"1024^2 quadrupole aerial image wall-clock ({points} src pts, SOCS rank {RANK})",
@@ -123,13 +166,22 @@ def main() -> None:
         "socs_build_s": round(t_build, 4),
         "socs_image_s": round(t_apply, 4),
         "socs_image_amortized_vs_baseline": round(REFERENCE_BASELINE_S / t_apply, 1),
-        "abbe_exact_est_s": round(abbe_full_est, 2),
-        "abbe_vs_baseline": round(REFERENCE_BASELINE_S / abbe_full_est, 1),
-        "abbe_points_per_s": round(points / abbe_full_est, 1),
-        "abbe_high_precision_est_s": round(abbe_high_est, 2),
-        "abbe_high_vs_baseline": round(REFERENCE_BASELINE_S / abbe_high_est, 1),
+        "abbe_exact_s": round(abbe_measured, 2),
+        "abbe_exact_measured": True,
+        "abbe_vs_baseline": round(REFERENCE_BASELINE_S / abbe_measured, 1),
+        "abbe_points_per_s": round(points / abbe_measured, 1),
+        "abbe_engine": "int8",
+        "abbe_f32_est_s": round(abbe_f32_est, 2),
+        "abbe_f32_vs_baseline": round(REFERENCE_BASELINE_S / abbe_f32_est, 1),
+        "socs_cold_2048_s": round(t_socs_2048, 3),
+        "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
+        "abbe_2048_points_per_s": round(abbe_2048_pts_per_s, 1),
+        "abbe_2048_est_s": round(points2 / abbe_2048_pts_per_s, 1),
+        "abbe_2048_vs_baseline": round(
+            REFERENCE_2048_S / (points2 / abbe_2048_pts_per_s), 1),
         "device": str(jax.devices()[0]),
         "image_peak": float(np.asarray(image).max()),
+        "abbe_image_peak": float(np.asarray(abbe_image_full).max()),
     }
     print(json.dumps(result))
 

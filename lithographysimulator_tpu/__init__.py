@@ -33,6 +33,7 @@ from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
 from .ops.tiled import default_halo, tiled_socs_image, tiled_socs_image_scan
+from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
 from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
 from .simulate import SimulationResult, simulate
 
@@ -79,6 +80,9 @@ __all__ = [
     "tiled_socs_image_scan",
     "through_focus_images",
     "unit_disk_mask",
+    "vector_abbe_image",
+    "vector_pupils",
+    "polarization_states",
     "wavefront_error",
     "zernike_basis",
 ]

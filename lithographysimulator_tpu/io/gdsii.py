@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -25,6 +26,7 @@ import numpy as np
 HEADER, BGNLIB, LIBNAME, UNITS, ENDLIB = 0x00, 0x01, 0x02, 0x03, 0x04
 BGNSTR, STRNAME, ENDSTR = 0x05, 0x06, 0x07
 BOUNDARY, PATH, SREF, AREF = 0x08, 0x09, 0x0A, 0x0B
+TEXT, NODE = 0x0C, 0x15
 LAYER, DATATYPE, WIDTH, XY, ENDEL = 0x0D, 0x0E, 0x0F, 0x10, 0x11
 SNAME, COLROW = 0x12, 0x13
 PATHTYPE, STRANS, MAG, ANGLE = 0x21, 0x1A, 0x1B, 0x1C
@@ -142,27 +144,90 @@ def _float_to_real8(value: float) -> bytes:
     return struct.pack(">Q", (sign << 63) | ((exponent + 64) << 56) | mantissa)
 
 
+def _disc(center, radius, segments):
+    th = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+    return center + radius * np.stack([np.cos(th), np.sin(th)], axis=-1)
+
+
 def path_to_polygons(centerline_nm: np.ndarray, width_nm: float,
-                     pathtype: int = 0) -> list:
-    """Expand a PATH centerline into per-segment rectangles (butt ends for
-    pathtype 0/4; pathtype 2 extends each end by half the width). Segment
-    rectangles overlap at bends; the rasterizer unions polygons, so joins
-    fill correctly."""
+                     pathtype: int = 0, *, join: str = "round",
+                     miter_limit: float = 4.0,
+                     circle_segments: int = 16) -> list:
+    """Expand a PATH centerline into union-ready polygons.
+
+    Per-segment rectangles carry the body; ``join`` fills the outer wedge at
+    each bend (downstream rasterization unions polygons, so overlaps are
+    harmless):
+
+    * ``'round'`` (default) — a disc at each interior vertex: the GDSII
+      PATH semantics (the locus within width/2 of the centerline).
+    * ``'miter'`` — the outer edges extended to their intersection, falling
+      back to bevel past ``miter_limit`` (ratio of miter length to width).
+    * ``'bevel'`` — a triangle joining the two outer corners.
+
+    Ends: pathtype 0/4 butt (flush), 1 round caps, 2 extended by half the
+    width (Calma GDSII PATHTYPE semantics)."""
     v = np.asarray(centerline_nm, np.float64)
     half = width_nm / 2.0
-    rects = []
+    if half <= 0 or len(v) < 2:
+        return []
+    if join not in ("round", "miter", "bevel"):
+        raise ValueError(f"unknown path join style {join!r}")
+    polys = []
+    units = []
     for a, b in zip(v[:-1], v[1:]):
         d = b - a
         length = float(np.hypot(*d))
         if length == 0:
+            units.append(None)
             continue
         u = d / length
+        units.append(u)
+        a_ext, b_ext = a, b
         if pathtype == 2:
-            a = a - u * half
-            b = b + u * half
+            a_ext = a - u * half
+            b_ext = b + u * half
         normal = np.array([-u[1], u[0]]) * half
-        rects.append(np.array([a + normal, b + normal, b - normal, a - normal]))
-    return rects
+        polys.append(np.array([a_ext + normal, b_ext + normal,
+                               b_ext - normal, a_ext - normal]))
+
+    # joins at interior vertices
+    for i in range(1, len(v) - 1):
+        u_in = units[i - 1]
+        u_out = units[i]
+        if u_in is None or u_out is None:
+            continue
+        cross = u_in[0] * u_out[1] - u_in[1] * u_out[0]
+        if abs(cross) < 1e-12:  # collinear: nothing to fill
+            continue
+        p = v[i]
+        if join == "round":
+            polys.append(_disc(p, half, circle_segments))
+            continue
+        # outer side: the side the path turns AWAY from
+        sign = -1.0 if cross > 0 else 1.0
+        n_in = sign * np.array([-u_in[1], u_in[0]]) * half
+        n_out = sign * np.array([-u_out[1], u_out[0]]) * half
+        c_in = p + n_in    # outer corner of the incoming rectangle
+        c_out = p + n_out  # outer corner of the outgoing rectangle
+        if join == "bevel":
+            polys.append(np.array([p, c_in, c_out]))
+            continue
+        # miter: intersect the two outer edges (lines through c_in along u_in
+        # and c_out along u_out)
+        denom = cross
+        diff = c_out - c_in
+        t = (diff[0] * u_out[1] - diff[1] * u_out[0]) / denom
+        m = c_in + t * u_in
+        if np.hypot(*(m - p)) > miter_limit * half:
+            polys.append(np.array([p, c_in, c_out]))  # bevel fallback
+        else:
+            polys.append(np.array([p, c_in, m, c_out]))
+
+    if pathtype == 1:  # round caps
+        polys.append(_disc(v[0], half, circle_segments))
+        polys.append(_disc(v[-1], half, circle_segments))
+    return polys
 
 
 def _records(blob: bytes):
@@ -206,6 +271,13 @@ def read_gds(path) -> GDSLibrary:
             element = {"kind": "ref", "sname": "", "xy": None, "mag": 1.0,
                        "angle": 0.0, "reflect": False, "colrow": (1, 1),
                        "aref": rectype == AREF}
+        elif rectype in (TEXT, NODE):
+            # annotation elements carry no mask geometry: skip to ENDEL
+            kind = "TEXT" if rectype == TEXT else "NODE"
+            warnings.warn(
+                f"GDSII {kind} element skipped (no mask geometry)",
+                stacklevel=2)
+            element = {"kind": "skip"}
         elif rectype == LAYER and element is not None:
             element["layer"] = struct.unpack(">h", payload[:2])[0]
         elif rectype in (DATATYPE, BOXTYPE) and element is not None:

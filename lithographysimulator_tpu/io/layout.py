@@ -44,7 +44,7 @@ def mask_from_polygons(
     return from_array(grid, config)
 
 
-def mask_from_gds(
+def mask_from_layout(
     path,
     config: OpticsConfig,
     *,
@@ -53,11 +53,25 @@ def mask_from_gds(
     origin=None,
     antialias: int = 0,
 ) -> Mask:
-    """Load a GDSII file, flatten ``cell`` (default: the top cell), keep
-    ``layer`` (default: all layers), and rasterize onto the config grid."""
-    lib = read_gds(path)
+    """Load a GDSII or OASIS file (dispatch on the OASIS magic bytes),
+    flatten ``cell`` (default: the top cell), keep ``layer`` (default: all
+    layers), and rasterize onto the config grid."""
+    from pathlib import Path
+
+    head = Path(path).open("rb").read(13)
+    if head == b"%SEMI-OASIS\r\n":
+        from .oasis import read_oasis
+
+        lib = read_oasis(path)
+    else:
+        lib = read_gds(path)
     polys = lib.flatten(cell)
     if layer is not None:
         polys = [p for p in polys if p.layer == layer]
     return mask_from_polygons([p.xy_nm for p in polys], config,
                               origin=origin, antialias=antialias)
+
+
+# Backwards-compatible aliases
+mask_from_gds = mask_from_layout
+mask_from_oasis = mask_from_layout

@@ -46,20 +46,32 @@ from .resize import bilinear_resize
 Solver = Literal["gau23", "direct"]
 
 
-def resolve_engine(engine: str) -> str:
-    """'auto' -> 'matmul' on TPU-class backends, 'fft' elsewhere.
+def resolve_engine(engine: str, *, allowed=("fft", "matmul", "int8")) -> str:
+    """'auto' -> fastest engine for the backend; validates explicit names.
 
-    Measured on TPU v5e: XLA's large c64 FFT runs at ~100 GB/s effective,
-    while the algebraically identical zoom-DFT matmuls ride the MXU —
-    2.7x faster at 512^2, 3.7x at 1024^2. On CPU the O(n^3) matmuls lose to
-    FFT, so 'auto' keeps the FFT there (the two agree to ~3e-8 relative).
+    Measured on TPU v5e at 1024^2 (262 us/pt for the round-1 windowed
+    'highest' matmul engine):
+
+    * ``fft``: XLA's large c64 FFT runs at ~100 GB/s effective — the right
+      engine on CPU, 2.7-3.7x slower than matmuls on TPU.
+    * ``matmul``: phase-free windowed zoom-DFT, f32 'highest' 3M complex
+      matmuls — 207 us/pt, engine-exact (~7e-8 vs round-1).
+    * ``int8``: fused Pallas kernels emulating fp32 contractions with int8
+      limb dots (the v5e MXU runs int8 at ~1.7x its bf16 rate) — 144 us/pt
+      at ~1e-6 normalized RMS vs the f32 engine (reference's own fp16
+      grids floor at ~1e-3). 'pallas' is accepted as an alias.
     """
-    if engine not in ("auto", "fft", "matmul", "pallas"):
-        raise ValueError(f"unknown field-transform engine {engine!r}")
+    if engine == "pallas":
+        engine = "int8"
+    if engine != "auto" and engine not in allowed:
+        raise ValueError(
+            f"unknown field-transform engine {engine!r} (allowed: {allowed})")
     if engine != "auto":
         return engine
     platform = jax.devices()[0].platform
-    return "matmul" if platform in ("tpu", "axon") else "fft"
+    if platform not in ("tpu", "axon"):
+        return "fft"
+    return "int8" if "int8" in allowed else "matmul"
 
 
 # ---------------------------------------------------------------------------
@@ -182,33 +194,118 @@ def _window_size(n: int) -> int:
     return min(n, ((n // 2 + 3 + 7) // 8) * 8)
 
 
-def _fields_gau23_windowed(pupil_tiled, spectrum, shifts, fft_size,
-                           matmul_precision="highest"):
-    """Exact windowed zoom-DFT: for sources inside the pupil (|shift| < n/4),
-    the rolled product roll(P, s) * M is nonzero only in an (w, w) window
-    (w ~ n/2) at a shift-dependent offset, so E = T X T^T contracts as
-    T[:, rows] @ X_w @ T[:, cols]^T — 0.375x the dense matmul FLOPs with
-    identical results (the omitted entries are exactly zero)."""
-    n = spectrum.shape[-1]
+@functools.lru_cache(maxsize=16)
+def _zoom_dft_window(n: int, fft_size: int) -> np.ndarray:
+    """Static (n, w) slice T0 = T[:, lo:lo+w] shared by every source point
+    in the phase-free windowed contraction (requires fft_size >= n so T is
+    the pure chirp with no central-band mask)."""
+    assert fft_size >= n
     w = _window_size(n)
-    t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
-    prec = _PRECISIONS[matmul_precision]
-    lo = n // 4 - 1  # window start at zero shift (disk low edge minus guard)
+    lo = n // 4 - 1
+    return _zoom_dft_kernel(n, fft_size)[:, lo:lo + w]
 
-    fields = []
+
+def _windowed_products(pupil_tiled, spectrum, shifts, w: int, lo: int):
+    """(B, w, w) windows of roll(P, s_b) * M, one fused dynamic slice each.
+
+    For |shift| <= n/4 - 2 the rolled pupil's unit disk stays interior, so
+    the product's support lies in a (w, w) window at (lo + shift) — the
+    window fully captures every nonzero entry (exactness guard in
+    ``accumulate_intensity``)."""
+    n = spectrum.shape[-1]
+    xs = []
     for b in range(shifts.shape[0]):
         r0 = jnp.clip(lo + shifts[b, 0], 0, n - w)
         c0 = jnp.clip(lo + shifts[b, 1], 0, n - w)
-        start0 = (-shifts[b, 0]) % n
-        start1 = (-shifts[b, 1]) % n
-        rolled = jax.lax.dynamic_slice(pupil_tiled, (start0, start1), (n, n))
-        x = rolled * spectrum
-        x_w = jax.lax.dynamic_slice(x, (r0, c0), (w, w))
-        t_rows = jax.lax.dynamic_slice(t, (0, r0), (n, w))
-        t_cols = jax.lax.dynamic_slice(t, (0, c0), (n, w))
-        y = jnp.einsum("iw,wv->iv", t_rows, x_w, precision=prec)
-        fields.append(jnp.einsum("iv,jv->ij", y, t_cols, precision=prec))
-    return jnp.stack(fields)
+        start0 = (-shifts[b, 0]) % n + r0
+        start1 = (-shifts[b, 1]) % n + c0
+        pup = jax.lax.dynamic_slice(pupil_tiled, (start0, start1), (w, w))
+        spec = jax.lax.dynamic_slice(spectrum, (r0, c0), (w, w))
+        xs.append(pup * spec)
+    return jnp.stack(xs)
+
+
+def _cmatmul_3m(ar, ai, br, bi, contract: str, precision):
+    """Complex matmul as 3 real contractions (Karatsuba): 25% fewer real
+    FLOPs than the 4-multiplication form at identical pass precision."""
+    m1 = jnp.einsum(contract, ar, br, precision=precision)
+    m2 = jnp.einsum(contract, ai, bi, precision=precision)
+    m3 = jnp.einsum(contract, ar + ai, br + bi, precision=precision)
+    return m1 - m2, m3 - m1 - m2
+
+
+def _intensity_windowed_3m(x, t0, weights, matmul_precision="highest"):
+    """sum_b w_b |T0 @ X_b @ T0^T|^2 — phase-free windowed zoom-DFT.
+
+    The per-point column slices of T differ from T0 only by unit-magnitude
+    per-row/column phases (T[i, r0+j] = T[i, lo+j] exp(2i pi (i-n/2)(r0-lo)/N)),
+    which vanish under |.|^2, so ONE static T0 serves every source point.
+    Replaces the reference's per-point pad+ifft2 (imageformation.py:32-45).
+    """
+    prec = _PRECISIONS[matmul_precision]
+    t0r = jnp.asarray(t0.real, jnp.float32)
+    t0i = jnp.asarray(t0.imag, jnp.float32)
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    yr, yi = _cmatmul_3m(t0r, t0i, xr, xi, "iw,bwv->biv", prec)
+    er, ei = _cmatmul_3m(yr, yi, t0r, t0i, "biv,jv->bij", prec)
+    return jnp.sum(weights[:, None, None] * (er * er + ei * ei), axis=0)
+
+
+@jax.custom_vjp
+def _intensity_windowed_int8(x, t0r, t0i, weights):
+    """Same contraction as :func:`_intensity_windowed_3m` but on fused
+    Pallas int8 limb kernels (~1.8x the f32 engine on v5e; ~1e-6 normalized
+    RMS vs it). Forward-only int8: the VJP recomputes through the f32 path
+    (limb rounding has no useful gradient), so ILT/SMO losses differentiate
+    correctly through this engine."""
+    from .kernels.intensity_int8 import (
+        column_intensity_int8, fused_window_intensity_int8,
+        prepare_t0_limbs, row_transform_int8)
+
+    n, w = t0r.shape
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    t_limbs, t_scales = prepare_t0_limbs(t0r, t0i)
+    # The fused row kernel holds all three (3, 1, w, w) int8 X-limb blocks
+    # double-buffered in VMEM: past w ~ 800 that overflows the ~16 MB scoped
+    # budget, so larger windows use the f32 XLA row transform instead. The
+    # column kernel streams (tile, w) blocks and just needs smaller tiles.
+    tile_n = 128 if w > 768 else 256
+    if n % 128 == 0 and w <= 768:
+        ylr, yli, yls, ysc = row_transform_int8(
+            x, t_limbs, t_scales, interpret=interpret)
+        return column_intensity_int8(
+            (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
+            tile_n=tile_n, interpret=interpret)
+    # Small or very large grids: f32 row transform (XLA), fused int8 column
+    # kernel (the row kernel's scale blocks also need n % 128 == 0).
+    prec = _PRECISIONS["highest"]
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    yr, yi = _cmatmul_3m(t0r, t0i, xr, xi, "iw,bwv->biv", prec)
+    return fused_window_intensity_int8(
+        yr, yi, t_limbs, t_scales, weights, tile_n=tile_n,
+        interpret=interpret)
+
+
+def _intensity_windowed_int8_fwd(x, t0r, t0i, weights):
+    return _intensity_windowed_int8(x, t0r, t0i, weights), (x, t0r, t0i, weights)
+
+
+def _intensity_windowed_int8_bwd(res, g):
+    x, t0r, t0i, weights = res
+    t0 = t0r + 1j * t0i
+
+    def f32_path(x_, w_):
+        return _intensity_windowed_3m(x_, t0, w_)
+
+    _, vjp = jax.vjp(f32_path, x, weights)
+    gx, gw = vjp(g)
+    return gx, jnp.zeros_like(t0r), jnp.zeros_like(t0i), gw
+
+
+_intensity_windowed_int8.defvjp(_intensity_windowed_int8_fwd,
+                                _intensity_windowed_int8_bwd)
 
 
 def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft",
@@ -231,23 +328,6 @@ def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft",
     padded = pad_center(prods, fft_size)
     fields = centered_ifft2(padded)         # batched iFFT
     return crop_center(fields, n)
-
-
-def _intensity_gau23_pallas(pupil_tiled, spectrum, shifts, weights, fft_size,
-                            interpret=False):
-    """Chunk intensity via the fused Pallas column-transform kernel: the
-    row transform Y = T @ X runs as an XLA MXU matmul, the column transform
-    and weighted |.|^2 accumulation fuse in VMEM (the (B, n, n) field stack
-    never reaches HBM). Opt-in; numerically equivalent to the matmul engine.
-    """
-    from .kernels.intensity import fused_column_transform_intensity
-
-    n = spectrum.shape[-1]
-    prods = _rolled_products(pupil_tiled, spectrum, shifts)
-    t = jnp.asarray(_zoom_dft_kernel(n, fft_size), spectrum.dtype)
-    y = jnp.einsum("ij,bjk->bik", t, prods,
-                   precision=jax.lax.Precision.HIGHEST)
-    return fused_column_transform_intensity(y, t, weights, interpret=interpret)
 
 
 def _fields_direct(pupil_tiled, spectrum, shifts, config):
@@ -292,27 +372,38 @@ def accumulate_intensity(
     engine = resolve_engine(engine)
     fft_size = config.wavelength_scaling().fft_size
     # Windowed contraction is exact only when every rolled pupil stays
-    # interior (no wraparound): requires a static bound on |shift|.
-    windowed = (engine == "matmul" and max_abs_shift is not None
-                and max_abs_shift <= n // 4 - 2 and _window_size(n) < n)
+    # interior (no wraparound): requires a static bound on |shift|. The
+    # phase-free shared-T0 form additionally needs the unmasked chirp
+    # (fft_size >= n).
+    windowed = (engine in ("matmul", "int8") and max_abs_shift is not None
+                and max_abs_shift <= n // 4 - 2 and _window_size(n) < n
+                and fft_size >= n)
+    if engine == "int8" and (not windowed or solver != "gau23"):
+        engine = "matmul"  # int8 kernels exist for the windowed path only
     real_dtype = jnp.real(spectrum).dtype
 
     shifts = shifts.reshape(p // chunk, chunk, 2)
     weights = weights.reshape(p // chunk, chunk).astype(real_dtype)
     pupil_tiled = _tiled(pupil)
 
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if windowed and solver == "gau23":
+        w_win = _window_size(n)
+        lo = n // 4 - 1
+        t0 = _zoom_dft_window(n, fft_size)
+        t0_c = jnp.asarray(t0, spectrum.dtype)
+        t0r = jnp.asarray(t0.real, jnp.float32)
+        t0i = jnp.asarray(t0.imag, jnp.float32)
 
     def body(acc, sw):
         s, w = sw
-        if solver == "gau23" and engine == "pallas":
-            part = _intensity_gau23_pallas(
-                pupil_tiled, spectrum, s, w, fft_size, interpret=interpret)
-            return acc + part, None
         if solver == "gau23" and windowed:
-            fields = _fields_gau23_windowed(pupil_tiled, spectrum, s,
-                                            fft_size, matmul_precision)
-        elif solver == "gau23":
+            x = _windowed_products(pupil_tiled, spectrum, s, w_win, lo)
+            if engine == "int8":
+                part = _intensity_windowed_int8(x, t0r, t0i, w)
+            else:
+                part = _intensity_windowed_3m(x, t0_c, w, matmul_precision)
+            return acc + part, None
+        if solver == "gau23":
             fields = _fields_gau23(pupil_tiled, spectrum, s, fft_size, engine,
                                    matmul_precision)
         else:

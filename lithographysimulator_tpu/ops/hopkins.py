@@ -149,12 +149,10 @@ def socs_image(
     handled identically to the Abbe engine)."""
     from .abbe import _postprocess_gau23, resolve_engine  # shared post stage
 
-    engine = resolve_engine(engine)
-    if engine not in ("fft", "matmul"):
-        # Unlike the Abbe engine, SOCS has no pallas path; fail loudly rather
-        # than silently degrading to a different engine (ADVICE r1).
-        raise ValueError(
-            f"socs_image supports engines 'fft'/'matmul'/'auto', got {engine!r}")
+    # Unlike the Abbe engine, SOCS has no int8/pallas path: 'auto' resolves
+    # within (fft, matmul) and other explicit names fail loudly rather than
+    # silently degrading to a different engine (ADVICE r1).
+    engine = resolve_engine(engine, allowed=("fft", "matmul"))
 
     n = config.n
     fft_size = config.wavelength_scaling().fft_size

@@ -38,16 +38,27 @@ class SimulationResult:
 
 @functools.lru_cache(maxsize=32)
 def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
-                       normalize: bool, max_abs_shift: int | None):
+                       normalize: bool, max_abs_shift: int | None,
+                       polarization=None, apodize: bool = True):
     @functools.partial(jax.jit)
     def run(geometry, aberrations, shifts, weights):
         spectrum = mask_spectrum(geometry, config, solver=solver)
         pupil = pupil_function(aberrations, config)
-        image = abbe_image_points(
-            spectrum, pupil, shifts, weights, config,
-            solver=solver, chunk=chunk, normalize=normalize,
-            max_abs_shift=max_abs_shift,
-        )
+        if polarization is None:
+            image = abbe_image_points(
+                spectrum, pupil, shifts, weights, config,
+                solver=solver, chunk=chunk, normalize=normalize,
+                max_abs_shift=max_abs_shift,
+            )
+        else:
+            from .ops.vector import vector_abbe_image
+
+            image = vector_abbe_image(
+                spectrum, pupil, shifts, weights, config,
+                polarization=polarization, apodize=apodize,
+                solver=solver, chunk=chunk, normalize=normalize,
+                max_abs_shift=max_abs_shift,
+            )
         return image, spectrum, pupil
 
     return run
@@ -81,13 +92,20 @@ def simulate(
     normalize: bool = False,
     block: bool = True,
     socs_rank: int = 128,
+    polarization=None,
+    apodize: bool = True,
 ) -> SimulationResult:
     """Run the full pipeline. ``source_map`` is a concrete (n, n) weight map
     (e.g. from :class:`..models.source.LightSource`).
 
     ``solver='socs'`` runs the Hopkins eigenkernel fast path (rank
     ``socs_rank``) — approximate to ~1e-4 relative but dramatically faster
-    for dense sources; 'gau23'/'direct' are the exact Abbe solvers."""
+    for dense sources; 'gau23'/'direct' are the exact Abbe solvers.
+
+    ``polarization`` (None = scalar imaging): 'unpolarized', 'x', 'y', or a
+    Jones 2-vector — switches to the vector/high-NA Jones-pupil engine
+    (:mod:`.ops.vector`); ``apodize`` adds the 1/sqrt(cos theta) radiometric
+    obliquity factor."""
     config = mask.config
     t0 = time.perf_counter()
 
@@ -101,14 +119,21 @@ def simulate(
         aberrations = np.zeros((1,), np.float32)
     aberrations = jnp.asarray(aberrations, jnp.float32)
 
+    if isinstance(polarization, (list, np.ndarray)):
+        polarization = tuple(complex(v) for v in polarization)
+
     if solver == "socs":
+        if polarization is not None:
+            raise ValueError(
+                "vector imaging (polarization=...) requires the exact Abbe "
+                "solvers ('gau23'/'direct'), not 'socs'")
         run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(src_np))
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,
-                                 max_abs_shift)
+                                 max_abs_shift, polarization, apodize)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(shifts), jnp.asarray(weights))
     if block:
@@ -126,6 +151,8 @@ def simulate(
         "fft_size": ws.fft_size,
         "epsilon": ws.epsilon,
         "source_points": pts.live_count,
+        "polarization": (str(polarization) if polarization is not None
+                         else "scalar"),
         "wall_clock_s": elapsed,
     }
     return SimulationResult(

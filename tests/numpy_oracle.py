@@ -101,6 +101,46 @@ def spectrum64(geometry: np.ndarray, pixel_size: float, wavelength: float):
     return crop_center64(spec, n), big_n, eps
 
 
+def _separable_kernel64(n: int, pixel_size: float, wavelength: float,
+                        sign: int) -> np.ndarray:
+    """Trapezoid-weighted separable Fraunhofer kernel
+    Kw[a, b] = exp(sign*2i*pi/lambda * k[a] * x[b]) * w[b], complex128."""
+    dk = 4.0 / n
+    k = -2.0 + dk * np.arange(n)
+    x = -(n / 2) * pixel_size + pixel_size * np.arange(n)
+    w = np.ones(n)
+    w[0] = w[-1] = 0.5
+    c = sign * 2j * np.pi / wavelength
+    return np.exp(c * np.outer(k, x)) * w[None, :]
+
+
+def direct_spectrum64(geometry, pixel_size: float, wavelength: float):
+    """Direct (non-FFT) Fraunhofer mask spectrum in complex128 — the
+    reference's 4-D trapz integral (mask.py:42-59) in separable form."""
+    n = geometry.shape[0]
+    kw = _separable_kernel64(n, pixel_size, wavelength, +1)
+    return kw @ geometry.astype(np.complex128) @ kw.T
+
+
+def direct_abbe64(geometry, source_map, aberrations, *, pixel_size: float,
+                  wavelength: float, na: float) -> np.ndarray:
+    """Direct-solver aerial image in complex128 (reference
+    imageformation.py:3-30 / :47-77 with fft=False): per illuminated source
+    point, inverse-transform (constant -2i*pi/lambda) the rolled-pupil x
+    direct-spectrum product and accumulate |E|^2."""
+    n = geometry.shape[0]
+    spec = direct_spectrum64(geometry, pixel_size, wavelength)
+    pup = pupil64(aberrations, n, na, wavelength)
+    kb = _separable_kernel64(n, pixel_size, wavelength, -1)
+    image = np.zeros((n, n))
+    pts = np.argwhere(np.asarray(source_map) > 0) - n // 2
+    for dy, dx in pts:
+        prod = np.roll(pup, (dy, dx), axis=(0, 1)) * spec
+        e = kb @ prod @ kb.T
+        image += np.abs(e) ** 2
+    return image
+
+
 def abbe64(geometry, source_map, aberrations, *, pixel_size: float,
            wavelength: float, na: float) -> np.ndarray:
     n = geometry.shape[0]

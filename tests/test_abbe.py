@@ -74,7 +74,11 @@ def test_small_image_fft_matches_reference(golden, rms):
 
 def test_small_image_direct_matches_reference(golden, rms):
     """Direct (non-FFT) solver parity: the reference's O(n^4) trapz integral
-    vs our separable matmul transform (imageformation.py:3-30)."""
+    vs our separable matmul transform (imageformation.py:3-30).
+
+    The 5e-3 tolerance here is the reference's own fp16 k/x grids; our
+    numerics are pinned at <= 1e-6 against a complex128 oracle in
+    test_accuracy.py::test_direct_solver_matches_f64_oracle."""
     geom = golden("small_mask_geometry")
     ref = golden("small_aerial_image_direct")
     cfg = OpticsConfig(pixel_number=32)
@@ -140,6 +144,9 @@ def test_direct_vs_fft_solver_cross_check():
     img_dir = np.asarray(simulate(mask, src, solver="direct", normalize=True).image)
     # The direct path has no epsilon resampling; normalize each to peak 1 and
     # compare shape. (norm='forward' ifft vs trapz scaling differ globally.)
+    # The 0.05 budget is the *algorithmic* Gau'23 resampling gap — quantified
+    # against the complex128 oracle in
+    # test_accuracy.py::test_solver_gap_is_algorithmic_not_numerical.
     a = img_fft / img_fft.max()
     b = img_dir / img_dir.max()
     assert np.sqrt(np.mean((a - b) ** 2)) < 0.05
@@ -163,8 +170,9 @@ def test_image_is_real_nonnegative():
 
 
 def test_windowed_matmul_engine_exact():
-    """The windowed zoom-DFT contraction (pupil-support window only) is
-    exactly the dense matmul engine — the omitted entries are true zeros."""
+    """The windowed zoom-DFT contraction (pupil-support window only) equals
+    the dense matmul engine — the omitted entries are true zeros; only the
+    rounding order differs (phase-free 3M vs dense complex contraction)."""
     cfg = OpticsConfig(pixel_number=64)
     spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
     pup = pupil_function(np.array([0, 0, 0.01, 0, 100], np.float32), cfg)
@@ -179,7 +187,8 @@ def test_windowed_matmul_engine_exact():
                                          engine="matmul"))
     windowed = np.asarray(abbe_image_points(spec, pup, shifts, weights, cfg,
                                             engine="matmul", max_abs_shift=ms))
-    np.testing.assert_array_equal(windowed, dense)
+    np.testing.assert_allclose(windowed, dense, rtol=2e-6,
+                               atol=2e-6 * np.abs(dense).max())
 
 
 def test_demo_image_shifted_source_matches_reference(golden, rms):

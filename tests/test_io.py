@@ -122,15 +122,97 @@ def test_path_to_polygons():
     from lithographysimulator_tpu.io.gdsii import path_to_polygons
     from lithographysimulator_tpu.io import rasterize
 
-    # L-shaped wire, 50 nm wide
-    rects = path_to_polygons(np.array([(100.0, 125.0), (400.0, 125.0),
+    # L-shaped wire, 50 nm wide: two segment rectangles + one round join
+    polys = path_to_polygons(np.array([(100.0, 125.0), (400.0, 125.0),
                                        (400.0, 400.0)]), 50.0)
-    assert len(rects) == 2
-    g = rasterize(rects, origin=(0, 0), pixel_size=25.0, n=32)
+    assert len(polys) == 3
+    g = rasterize(polys, origin=(0, 0), pixel_size=25.0, n=32)
     # horizontal arm: 300x50 nm = 24 px; vertical arm 275x50 = 22 px; the
     # elbow overlap is unioned, not double counted
     assert 40 <= g.sum() <= 50
     assert g[5, 8] == 1.0  # on the horizontal arm (y=137.5 -> row 5)
+
+
+def test_path_join_styles():
+    """Round/miter/bevel joins fill the outer wedge of a bend; butt-only
+    rectangles leave it notched."""
+    from lithographysimulator_tpu.io.gdsii import path_to_polygons
+    from lithographysimulator_tpu.io import rasterize
+
+    # right-angle bend turning so the OUTER corner is at the top-left
+    center = np.array([(100.0, 100.0), (400.0, 100.0), (400.0, 400.0)])
+    width = 100.0
+
+    def area(join):
+        polys = path_to_polygons(center, width, join=join)
+        return rasterize(polys, origin=(0, 0), pixel_size=5.0, n=128).sum()
+
+    # segment-rectangle union only (notched elbow)
+    segs = path_to_polygons(center, width)[:2]
+    notched = rasterize(segs, origin=(0, 0), pixel_size=5.0, n=128).sum()
+    a_bevel = area("bevel")
+    a_round = area("round")
+    a_miter = area("miter")
+    # outer wedge at a right angle: bevel adds w^2/8, round pi*w^2/8... the
+    # quarter-disc pi*w^2/16? For a 90-degree bend: bevel triangle = w^2/4?
+    # Just assert the ordering and that every join adds area to the notch.
+    assert notched < a_bevel < a_round <= a_miter
+    # miter of a right angle completes the square outer corner, so the union
+    # is the exact rectilinear L: horizontal arm 350x100 + vertical arm
+    # 250x100 (butt ends, outer edges at x=450 / y=400)
+    exact_l = (350 * 100 + 250 * 100) / 25.0  # px at 5 nm pitch
+    assert abs(a_miter - exact_l) / exact_l < 0.02
+
+
+def test_path_round_caps_pathtype1():
+    from lithographysimulator_tpu.io.gdsii import path_to_polygons
+
+    polys = path_to_polygons(np.array([(0.0, 0.0), (100.0, 0.0)]), 20.0,
+                             pathtype=1)
+    # one rectangle + two cap discs
+    assert len(polys) == 3
+
+
+def test_gds_text_node_skipped(tmp_path):
+    """TEXT/NODE elements skip with a warning instead of corrupting state."""
+    import struct
+    from lithographysimulator_tpu.io.gdsii import (
+        BGNLIB, BGNSTR, BOUNDARY, DATATYPE, ENDEL, ENDLIB, ENDSTR, HEADER,
+        LAYER, LIBNAME, STRNAME, TEXT, UNITS, XY, _DT_ASCII, _DT_INT16,
+        _DT_INT32, _DT_NONE, _DT_REAL8, _float_to_real8)
+
+    def rec(t, d, payload=b""):
+        return struct.pack(">HBB", 4 + len(payload), t, d) + payload
+
+    ts = struct.pack(">12h", *([2026, 1, 1, 0, 0, 0] * 2))
+    square = np.array([[0, 0], [200, 0], [200, 200], [0, 200], [0, 0]],
+                      ">i4")
+    blob = b"".join([
+        rec(HEADER, _DT_INT16, struct.pack(">h", 600)),
+        rec(BGNLIB, _DT_INT16, ts),
+        rec(LIBNAME, _DT_ASCII, b"LIB\x00"),
+        rec(UNITS, _DT_REAL8, _float_to_real8(1e-3) + _float_to_real8(1e-9)),
+        rec(BGNSTR, _DT_INT16, ts),
+        rec(STRNAME, _DT_ASCII, b"TOP\x00"),
+        rec(TEXT, _DT_NONE),
+        rec(LAYER, _DT_INT16, struct.pack(">h", 1)),
+        rec(XY, _DT_INT32, struct.pack(">2i", 50, 50)),
+        rec(ENDEL, _DT_NONE),
+        rec(BOUNDARY, _DT_NONE),
+        rec(LAYER, _DT_INT16, struct.pack(">h", 1)),
+        rec(DATATYPE, _DT_INT16, struct.pack(">h", 0)),
+        rec(XY, _DT_INT32, square.tobytes()),
+        rec(ENDEL, _DT_NONE),
+        rec(ENDSTR, _DT_NONE),
+        rec(ENDLIB, _DT_NONE),
+    ])
+    p = tmp_path / "text.gds"
+    p.write_bytes(blob)
+    with pytest.warns(UserWarning, match="TEXT"):
+        lib = read_gds(p)
+    polys = lib.flatten("TOP")
+    assert len(polys) == 1  # the TEXT element contributed nothing
+    assert polys[0].xy_nm.shape == (4, 2)
 
 
 def test_mask_from_gds_images(tmp_path):

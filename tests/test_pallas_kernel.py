@@ -1,5 +1,13 @@
-"""Pallas fused intensity kernel (interpret mode on CPU)."""
+"""Fused int8-limb Pallas kernels (interpret mode on CPU).
 
+The int8 engine emulates fp32 contractions with radix-256 limb dots
+(ops/kernels/intensity_int8.py); these tests pin its accuracy against the
+f32 'highest' implementations and check gradients flow through the
+custom-vjp f32 backward path.
+"""
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -11,38 +19,151 @@ from lithographysimulator_tpu import (
     pupil_function,
     spectrum_fft,
 )
-from lithographysimulator_tpu.ops.kernels.intensity import (
-    fused_column_transform_intensity,
-    reference_column_transform_intensity,
+from lithographysimulator_tpu.ops.abbe import (
+    _intensity_windowed_3m,
+    _intensity_windowed_int8,
+    _window_size,
+    _windowed_products,
+    _zoom_dft_window,
+    _tiled,
+)
+from lithographysimulator_tpu.ops.kernels.intensity_int8 import (
+    column_intensity_int8,
+    fused_window_intensity_int8,
+    prepare_t0_limbs,
+    quantize_rows,
+    reference_window_intensity_int8,
+    row_transform_int8,
 )
 
 
-def test_kernel_matches_reference_impl():
+def test_quantize_rows_roundtrip():
     rng = np.random.default_rng(0)
-    b, n = 4, 128
-    y = (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))).astype(np.complex64)
-    t = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))).astype(np.complex64)
-    w = rng.random(b).astype(np.float32)
-    ref = np.asarray(reference_column_transform_intensity(y, t, w))
-    out = np.asarray(fused_column_transform_intensity(
-        y, t, w, tile_m=64, tile_n=64, interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5 * ref.max())
+    a = (rng.normal(size=(5, 64)) * 10.0 ** rng.integers(-3, 4, (5, 1))).astype(
+        np.float32)
+    limbs, scale = quantize_rows(jnp.asarray(a))
+    limbs = np.asarray(limbs, np.float64)
+    back = (limbs[0] + limbs[1] / 256.0 + limbs[2] / 65536.0) * np.asarray(
+        scale)[..., None]
+    err = np.abs(back - a).max(axis=-1)
+    rowmax = np.abs(a).max(axis=-1)
+    assert (err <= rowmax * 2.0 ** -23).all()
 
 
-def test_pallas_engine_end_to_end():
-    cfg = OpticsConfig(pixel_number=32)
-    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
-    pup = pupil_function(np.zeros(1), cfg)
-    src = np.asarray(LightSource(cfg, sigma_out=0.4).classical())
-    a = np.asarray(abbe_image(spec, pup, src, cfg, engine="matmul"))
-    b = np.asarray(abbe_image(spec, pup, src, cfg, engine="pallas"))
-    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5 * a.max())
+def test_col_kernel_matches_f32_reference():
+    rng = np.random.default_rng(1)
+    b, n, w = 3, 64, 40
+    yr = rng.normal(size=(b, n, w)).astype(np.float32)
+    yi = rng.normal(size=(b, n, w)).astype(np.float32)
+    t0 = np.exp(1j * rng.normal(size=(n, w))).astype(np.complex64)
+    t0r = jnp.asarray(t0.real)
+    t0i = jnp.asarray(t0.imag)
+    weights = rng.random(b).astype(np.float32)
+
+    t_limbs, t_scales = prepare_t0_limbs(t0r, t0i)
+    out = np.asarray(fused_window_intensity_int8(
+        jnp.asarray(yr), jnp.asarray(yi), t_limbs, t_scales,
+        jnp.asarray(weights), interpret=True))
+    ref = np.asarray(reference_window_intensity_int8(
+        jnp.asarray(yr), jnp.asarray(yi), t_limbs, t_scales,
+        jnp.asarray(weights)))
+    # kernel vs XLA impl of the SAME limb math: tight
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6 * ref.max())
+
+    # limb math vs true f32: limb quantization error only
+    hi = jax.lax.Precision.HIGHEST
+    er = (jnp.einsum("biw,jw->bij", yr, t0r, precision=hi)
+          - jnp.einsum("biw,jw->bij", yi, t0i, precision=hi))
+    ei = (jnp.einsum("biw,jw->bij", yr, t0i, precision=hi)
+          + jnp.einsum("biw,jw->bij", yi, t0r, precision=hi))
+    f32 = np.asarray(jnp.sum(
+        jnp.asarray(weights)[:, None, None] * (er * er + ei * ei), axis=0))
+    rms = np.sqrt(np.mean((out - f32) ** 2)) / np.abs(f32).max()
+    assert rms < 1e-6
 
 
-def test_kernel_rejects_bad_tiles():
-    y = np.zeros((2, 100, 100), np.complex64)
-    t = np.zeros((100, 100), np.complex64)
-    w = np.ones(2, np.float32)
+def test_row_kernel_matches_f32(rms):
+    rng = np.random.default_rng(2)
+    b, n, w = 2, 128, 72
+    x = (rng.normal(size=(b, w, w)) + 1j * rng.normal(size=(b, w, w))).astype(
+        np.complex64)
+    t0 = np.exp(1j * rng.normal(size=(n, w))).astype(np.complex64)
+    t0r = jnp.asarray(t0.real)
+    t0i = jnp.asarray(t0.imag)
+    t_limbs, t_scales = prepare_t0_limbs(t0r, t0i)
+
+    ylr, yli, yls, ysc = row_transform_int8(
+        jnp.asarray(x), t_limbs, t_scales, interpret=True)
+    # dequantize the row-kernel outputs and compare to the f32 transform
+    def deq(limbs, s):
+        limbs = np.asarray(limbs, np.float64)
+        return (limbs[0] + limbs[1] / 256.0
+                + limbs[2] / 65536.0) * np.asarray(s)[..., None]
+    yr = deq(ylr, ysc[0])
+    yi = deq(yli, ysc[1])
+    y_f32 = np.einsum("iw,bwv->biv", t0, np.asarray(x))
+    assert rms(yr + 1j * yi, y_f32) < 1e-6
+    # the 's' plane must equal yr + yi (within its own quantization)
+    assert rms(deq(yls, ysc[2]), yr + yi) < 1e-6
+
+
+CFG = OpticsConfig(pixel_number=32)
+
+
+def _setup():
+    spec = spectrum_fft(demo_bars(CFG).geometry, CFG)
+    pup = pupil_function(np.zeros(1), CFG)
+    src = np.asarray(LightSource(CFG, sigma_out=0.4).classical())
+    return spec, pup, src
+
+
+def test_int8_engine_end_to_end():
+    spec, pup, src = _setup()
+    a = np.asarray(abbe_image(spec, pup, src, CFG, engine="fft"))
+    b = np.asarray(abbe_image(spec, pup, src, CFG, engine="int8"))
+    rms = np.sqrt(np.mean((b - a) ** 2)) / a.max()
+    assert rms < 1e-5
+
+
+def test_matmul_windowed_phase_free_end_to_end():
+    spec, pup, src = _setup()
+    a = np.asarray(abbe_image(spec, pup, src, CFG, engine="fft"))
+    b = np.asarray(abbe_image(spec, pup, src, CFG, engine="matmul"))
+    rms = np.sqrt(np.mean((b - a) ** 2)) / a.max()
+    assert rms < 1e-6
+
+
+def test_pallas_alias_resolves_to_int8():
+    from lithographysimulator_tpu.ops.abbe import resolve_engine
+
+    assert resolve_engine("pallas") == "int8"
     with pytest.raises(ValueError):
-        fused_column_transform_intensity(y, t, w, tile_m=64, tile_n=64,
-                                         interpret=True)
+        resolve_engine("warp9")
+
+
+def test_int8_gradients_flow_through_f32_vjp():
+    n = CFG.n
+    fft_size = CFG.wavelength_scaling().fft_size
+    w = _window_size(n)
+    t0 = _zoom_dft_window(n, fft_size)
+    t0r = jnp.asarray(t0.real, jnp.float32)
+    t0i = jnp.asarray(t0.imag, jnp.float32)
+    t0_c = jnp.asarray(t0, jnp.complex64)
+
+    spec, pup, _ = _setup()
+    pupil_tiled = _tiled(pup)
+    shifts = jnp.asarray([[0, 1], [2, -1]], jnp.int32)
+    weights = jnp.asarray([1.0, 0.5], jnp.float32)
+
+    def loss_int8(spectrum):
+        x = _windowed_products(pupil_tiled, spectrum, shifts, w, n // 4 - 1)
+        return jnp.sum(_intensity_windowed_int8(x, t0r, t0i, weights))
+
+    def loss_f32(spectrum):
+        x = _windowed_products(pupil_tiled, spectrum, shifts, w, n // 4 - 1)
+        return jnp.sum(_intensity_windowed_3m(x, t0_c, weights))
+
+    g8 = np.asarray(jax.grad(loss_int8)(spec))
+    g32 = np.asarray(jax.grad(loss_f32)(spec))
+    scale = np.abs(g32).max()
+    np.testing.assert_allclose(g8, g32, atol=1e-6 * scale)

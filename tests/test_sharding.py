@@ -142,4 +142,7 @@ def test_sharded_windowed_matches_dense(setup):
     b = np.asarray(abbe_image_sharded(spec, pup, shifts, weights, CFG, mesh,
                                       chunk=4, engine="matmul",
                                       max_abs_shift=ms))
-    np.testing.assert_array_equal(b, a)
+    # The windowed path is the phase-free 3M (Karatsuba) contraction: same
+    # math as the dense complex matmul but different rounding order, so
+    # tight-tolerance rather than bit-equal.
+    np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6 * np.abs(a).max())
