@@ -19,9 +19,12 @@ from .models.mask import (
     from_array,
     lines_and_spaces,
 )
+from .metrology import tiled_fem, tiled_focus_images, tiled_meef
 from .models.pupil import Pupil, pupil_function
-from .models.resist import MackResist, ResistModel, critical_dimension, pattern_fidelity
+from .models.resist import (DepthResist, MackResist, ResistModel,
+                            critical_dimension, pattern_fidelity)
 from .models.source import LightSource
+from .ops.compensated import matmul_compensated
 from .ops.abbe import (
     SourcePoints,
     abbe_image,
@@ -34,8 +37,10 @@ from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
 from .ops.tiled import default_halo, tiled_socs_image, tiled_socs_image_scan
 from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
-from .ops.zernike import osa_index_to_mn, wavefront_error, zernike_basis
-from .simulate import SimulationResult, simulate
+from .ops.zernike import (fringe_index_to_mn, noll_index_to_mn,
+                          osa_index_to_mn, to_osa_coefficients,
+                          wavefront_error, zernike_basis)
+from .simulate import SimulationResult, simulate, simulate_batch
 
 __version__ = "0.1.0"
 
@@ -61,6 +66,12 @@ __all__ = [
     "critical_dimension",
     "default_halo",
     "demo_bars",
+    "DepthResist",
+    "matmul_compensated",
+    "simulate_batch",
+    "tiled_fem",
+    "tiled_focus_images",
+    "tiled_meef",
     "focus_stack_aberrations",
     "from_array",
     "lines_and_spaces",
@@ -68,6 +79,9 @@ __all__ = [
     "nearest_pow2",
     "pattern_fidelity",
     "osa_index_to_mn",
+    "noll_index_to_mn",
+    "fringe_index_to_mn",
+    "to_osa_coefficients",
     "pupil_function",
     "randomized_socs",
     "simulate",

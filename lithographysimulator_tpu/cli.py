@@ -117,25 +117,36 @@ def cmd_simulate(args) -> int:
 
 
 def cmd_socs(args) -> int:
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
     from .models.pupil import pupil_function
-    from .ops.hopkins import randomized_socs, socs_energy_captured
+    from .ops.hopkins import randomized_socs
     from .utils.artifacts import save_socs
 
     config = _build_config(args)
     source = _build_source(args, config)
     aberr = jnp.asarray(args.aberrations if args.aberrations else [0.0], jnp.float32)
-    pupil = pupil_function(aberr, config)
+
+    # complex math must stay under jit on the TPU tunnel (CLAUDE.md)
+    @functools.partial(jax.jit, static_argnames=())
+    def build(a, s_map):
+        pupil = pupil_function(a, config)
+        socs = randomized_socs(pupil, s_map, config,
+                               rank=args.rank, power_iters=args.power_iters)
+        return socs, jnp.sum(jnp.abs(pupil) ** 2)
+
     t0 = time.perf_counter()
-    socs = randomized_socs(pupil, np.asarray(source), config,
-                           rank=args.rank, power_iters=args.power_iters)
+    socs, r0 = jax.block_until_ready(build(aberr, jnp.asarray(np.asarray(source))))
     elapsed = time.perf_counter() - t0
     ev = np.asarray(socs.eigenvalues)
+    trace = float(np.asarray(source).sum()) * float(r0)
     print(json.dumps({
         "rank": int(socs.rank), "build_s": round(elapsed, 3),
         "eig_max": float(ev[0]), "eig_min_kept": float(ev[-1]),
-        "energy_captured": round(socs_energy_captured(socs, pupil, source), 6),
+        "energy_captured": round(float(ev.sum()) / trace, 6) if trace > 0 else 1.0,
     }))
     if args.out:
         save_socs(args.out, socs)
@@ -250,6 +261,50 @@ def cmd_smo(args) -> int:
     return 0
 
 
+def cmd_fem(args) -> int:
+    """Full-chip focus-exposure matrix + process window on the tiled SOCS
+    path: one call images an arbitrarily large mask (e.g. 8192^2) through a
+    focus x dose grid and reports DoF / exposure latitude."""
+    from .config import OpticsConfig
+    from .metrology import tiled_fem
+    from .models.resist import ResistModel
+
+    tile_config = _build_config(args)  # optics of each tile
+    big_n = args.big_n or tile_config.n
+    big_cfg = OpticsConfig(
+        pixel_number=big_n, pixel_size=args.pixel_size,
+        wavelength=args.wavelength, na=args.na)
+    mask_big = np.abs(np.asarray(_build_mask(args, big_cfg).geometry,
+                                 np.float32))
+    source = _build_source(args, tile_config)
+    defocus = np.linspace(args.focus_min, args.focus_max, args.focus_steps)
+
+    t0 = time.perf_counter()
+    result = tiled_fem(
+        mask_big, tile_config, source,
+        defocus_nm=defocus, doses=args.doses,
+        target_cd_nm=args.target_cd,
+        resist=ResistModel(threshold=args.threshold),
+        tolerance=args.cd_tolerance,
+        rank=args.rank, halo=args.halo,
+        tiles_per_dispatch=args.tiles_per_dispatch,
+    )
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "big_n": big_n,
+        "tile_n": tile_config.n,
+        "defocus_nm": [float(d) for d in result["defocus_nm"]],
+        "doses": [float(d) for d in result["doses"]],
+        "cd_nm": np.asarray(result["cd_nm"]).tolist(),
+        "target_cd_nm": result["target_cd_nm"],
+        "depth_of_focus_nm": result["depth_of_focus_nm"],
+        "exposure_latitude": result["exposure_latitude"],
+        "in_spec_fraction": result["in_spec_fraction"],
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    return 0
+
+
 def cmd_demo(args) -> int:
     """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
     mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
@@ -317,6 +372,28 @@ def main(argv=None) -> int:
     p_smo.add_argument("--chunk", type=int, default=4)
     p_smo.add_argument("--out", default=None, help="optimized mask .npy path")
     p_smo.set_defaults(func=cmd_smo)
+
+    p_fem = sub.add_parser(
+        "fem", help="full-chip focus-exposure matrix (tiled SOCS path)")
+    _add_common(p_fem)
+    p_fem.add_argument("--big-n", type=int, default=None,
+                       help="full-chip mask size in px (default: one tile; "
+                            "--pixel-number sets the tile size)")
+    p_fem.add_argument("--focus-min", type=float, default=-100.0)
+    p_fem.add_argument("--focus-max", type=float, default=100.0)
+    p_fem.add_argument("--focus-steps", type=int, default=5)
+    p_fem.add_argument("--doses", type=float, nargs="+",
+                       default=[0.8, 0.9, 1.0, 1.1, 1.2])
+    p_fem.add_argument("--target-cd", type=float, default=None,
+                       help="target CD in nm (default: self-calibrate to the "
+                            "center-of-window CD)")
+    p_fem.add_argument("--cd-tolerance", type=float, default=0.10)
+    p_fem.add_argument("--threshold", type=float, default=0.4)
+    p_fem.add_argument("--rank", type=int, default=128)
+    p_fem.add_argument("--halo", type=int, default=None,
+                       help="tile halo px (default: optics-derived)")
+    p_fem.add_argument("--tiles-per-dispatch", type=int, default=8)
+    p_fem.set_defaults(func=cmd_fem)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

@@ -172,6 +172,96 @@ class MackResist:
                 >= self.thickness_nm).astype(jnp.float32)
 
 
+@dataclasses.dataclass(frozen=True)
+class DepthResist:
+    """Depth-resolved positive resist (beyond :class:`MackResist`'s thin-film
+    approximation): Beer-Lambert absorption and through-film defocus shape a
+    3-D latent image, and development is integrated vertically.
+
+    The film of ``mack.thickness_nm`` is discretized into ``nz`` slabs at
+    depths z_k (cell centers, z = 0 at the resist top). The latent image is
+
+        I(x, y, z) = I_stack(x, y, z) * exp(-absorbance_per_um * z)
+        m(x, y, z) = exp(-C * dose * I)                       (Dill exposure)
+
+    where ``I_stack`` is either one aerial image (broadcast through depth —
+    absorption only) or a (nz, n, n) focal stack imaged at the defocus
+    offsets :meth:`film_defocus_nm` (through-film defocus; build it with
+    :func:`..ops.focus.through_focus_images`). Development follows the
+    standard vertical-propagation model: the etch front reaches depth z at
+
+        t(z) = int_0^z dz' / r(m(x, y, z'))                  (Mack rate r)
+
+    so the cleared depth after ``mack.develop_s`` is the piecewise-linear
+    inverse of t — exact per slab and differentiable (clip subgradients),
+    so 3-D resist profiles compose with dose/OPC optimization. Lateral
+    development and standing waves are not modeled (documented limits; the
+    reference has no resist model at all, README.md:19 roadmap).
+    """
+
+    mack: MackResist = MackResist()
+    absorbance_per_um: float = 0.5  # lumped Dill A + B, 1/um
+    nz: int = 8
+
+    @property
+    def depths_nm(self) -> np.ndarray:
+        """Slab-center depths below the resist top, (nz,)."""
+        dz = self.mack.thickness_nm / self.nz
+        return (np.arange(self.nz) + 0.5) * dz
+
+    def film_defocus_nm(self, *, n_resist: float = 1.7,
+                        best_focus_nm: float = 0.0) -> np.ndarray:
+        """Defocus values (nm) to image each slab at: optical path inside the
+        film scales by 1/n_resist, zeroed at mid-film + ``best_focus_nm``."""
+        mid = self.mack.thickness_nm / 2.0
+        return best_focus_nm + (self.depths_nm - mid) / n_resist
+
+    def latent(self, image_stack, dose: float = 1.0, *,
+               normalize: bool = True) -> jnp.ndarray:
+        """(nz, n, n) remaining photo-active compound m."""
+        stack = jnp.asarray(image_stack)
+        if stack.ndim == 2:
+            stack = jnp.broadcast_to(stack, (self.nz, *stack.shape))
+        if stack.shape[0] != self.nz:
+            raise ValueError(
+                f"image stack has {stack.shape[0]} planes, expected nz={self.nz}")
+        if normalize:
+            stack = stack / jnp.maximum(jnp.max(stack), 1e-30)
+        atten = jnp.exp(-self.absorbance_per_um * 1e-3 * self.depths_nm)
+        stack = stack * jnp.asarray(atten, stack.dtype)[:, None, None]
+        return jnp.exp(-self.mack.dill_c * dose * 100.0 * stack)
+
+    def cleared_depth_nm(self, image_stack, dose: float = 1.0, *,
+                         normalize: bool = True) -> jnp.ndarray:
+        """(n, n) etch-front depth after ``mack.develop_s`` of development."""
+        m = self.latent(image_stack, dose, normalize=normalize)
+        rate = self.mack.development_rate(m)  # (nz, n, n), nm/s
+        dz = self.mack.thickness_nm / self.nz
+        dt = dz / rate  # time to etch through each slab
+        t_bottom = jnp.cumsum(dt, axis=0)
+        t_top = t_bottom - dt
+        frac = jnp.clip((self.mack.develop_s - t_top) / dt, 0.0, 1.0)
+        return dz * jnp.sum(frac, axis=0)
+
+    def height_map_nm(self, image_stack, dose: float = 1.0, *,
+                      normalize: bool = True) -> jnp.ndarray:
+        """(n, n) remaining resist thickness after development."""
+        return self.mack.thickness_nm - self.cleared_depth_nm(
+            image_stack, dose, normalize=normalize)
+
+    def develop(self, image_stack, dose: float = 1.0, *,
+                steepness: float = 0.2, normalize: bool = True) -> jnp.ndarray:
+        """Differentiable cleared-to-substrate fraction in [0, 1]."""
+        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize)
+        return jax.nn.sigmoid(
+            steepness * (depth - (1.0 - 1e-6) * self.mack.thickness_nm))
+
+    def develop_binary(self, image_stack, dose: float = 1.0, *,
+                       normalize: bool = True) -> jnp.ndarray:
+        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize)
+        return (depth >= (1.0 - 1e-6) * self.mack.thickness_nm).astype(jnp.float32)
+
+
 def meef(
     mask_geometry,
     image_fn,

@@ -40,6 +40,7 @@ import numpy as np
 from ..config import OpticsConfig
 from ..xfer import to_device_complex, to_host_complex
 from .abbe import source_points
+from .compensated import matmul_compensated
 from .fourier import centered_ifft2, crop_center, pad_center
 from .fraunhofer import separable_dft
 
@@ -86,13 +87,29 @@ def tcc_eigensystem(
     *,
     rank: int | None = None,
     energy_tol: float = 1e-4,
+    side: str = "auto",
 ) -> SOCSKernels:
-    """Build the passband-restricted TCC and eigendecompose it.
+    """Build the passband-restricted TCC and eigendecompose it exactly.
 
     ``rank=None`` keeps every kernel with eigenvalue > energy_tol * max;
     ``rank=k`` keeps the top k. Eigenvalue units match the Abbe engine's
     unnormalized source-weight sum, so full-rank SOCS reproduces
     :func:`..ops.abbe.abbe_image` exactly.
+
+    ``side`` picks which Gram matrix to eigendecompose — both give the same
+    nonzero eigenpairs (T = A^H A and G = A A^H are isospectral):
+
+    * ``"frequency"``: eigh the (D, D) TCC over the passband support —
+      O(D^3), intractable beyond ~64^2 grids (D ~ pi (1.6 n/4)^2).
+    * ``"source"``: eigh the (P, P) source-side Gram with P = #source
+      points, then lift eigenvectors through A^H — O(P^2 D + P^3). Since
+      rank(TCC) <= P << D for real illuminators, this makes the *exact*
+      dense decomposition tractable at production grid sizes (128^2
+      quadrupole: P ~ 1e3 vs D ~ 8e3).
+    * ``"auto"`` (default): whichever side is smaller.
+
+    Wide contractions use compensated (double-float) accumulation so the
+    result is an fp64-grade oracle for the randomized path.
     """
     n = config.n
     pts = source_points(np.asarray(source_map))
@@ -101,6 +118,9 @@ def tcc_eigensystem(
     support = passband_support(pupil_np, pts.shifts)
     sup_idx = np.argwhere(support)  # (D, 2)
     d = len(sup_idx)
+    p = len(pts.shifts)
+    if side == "auto":
+        side = "source" if p < d else "frequency"
 
     # A[s, d] = sqrt(w_s) * P(k_d - s): gather with wraparound (the integer
     # sigma-grid shift invariant, same as the Abbe roll).
@@ -109,18 +129,39 @@ def tcc_eigensystem(
     a = to_device_complex(pupil_np[ky, kx])
     a = a * jnp.sqrt(jnp.asarray(pts.weights))[:, None].astype(a.dtype)
 
-    tcc = jnp.matmul(a.conj().T, a,
-                     precision=jax.lax.Precision.HIGHEST)  # (D, D) Hermitian PSD
-    eigvals, eigvecs = jnp.linalg.eigh(tcc)  # ascending
-    eigvals = eigvals[::-1]
-    eigvecs = eigvecs[:, ::-1]
+    if side == "source":
+        gram = matmul_compensated(a, a.conj().T)  # (P, P) Hermitian PSD
+        gram = 0.5 * (gram + gram.conj().T)
+        eigvals, u = jnp.linalg.eigh(gram)  # ascending
+        eigvals = eigvals[::-1]
+        u = u[:, ::-1]
+        limit = min(p, d)
+    else:
+        tcc = jnp.matmul(a.conj().T, a,
+                         precision=jax.lax.Precision.HIGHEST)  # (D, D)
+        eigvals, eigvecs = jnp.linalg.eigh(tcc)  # ascending
+        eigvals = eigvals[::-1]
+        eigvecs = eigvecs[:, ::-1]
+        limit = d
 
     eigvals_np = np.asarray(eigvals)
     if rank is None:
         keep = int(np.sum(eigvals_np > energy_tol * max(eigvals_np[0], 1e-30)))
         keep = max(keep, 1)
     else:
-        keep = min(rank, d)
+        keep = min(rank, limit)
+
+    if side == "source":
+        # Lift source-side eigenvectors to frequency side: v_j = A^H u_j /
+        # sqrt(lambda_j) (unit norm exactly for nonzero eigenvalues; dead
+        # eigenvalues get a zero kernel, mirroring randomized_socs).
+        lam = eigvals[:keep].real
+        alive = lam > 1e-12 * jnp.maximum(eigvals[0].real, 1e-30)
+        scale = jnp.where(alive,
+                          1.0 / jnp.sqrt(jnp.where(alive, lam, 1.0)), 0.0)
+        eigvecs = jnp.matmul(a.conj().T, u[:, :keep],
+                             precision=jax.lax.Precision.HIGHEST)
+        eigvecs = eigvecs * scale[None, :].astype(eigvecs.dtype)
 
     # I(x) = c^H T c with c = M . f_x, so each rank-1 term is
     # lambda_j |phi_j^H c|^2 = lambda_j |F(conj(phi_j) * M)|^2 — the kernel
@@ -131,7 +172,7 @@ def tcc_eigensystem(
     return SOCSKernels(
         kernels=kernels,
         eigenvalues=jnp.clip(eigvals[:keep].real, 0.0, None).astype(jnp.float32),
-        total_rank=d,
+        total_rank=limit,
     )
 
 
@@ -215,6 +256,14 @@ def socs_image(
 # at any grid size, in O((rank + oversample) * n^2 log n).
 
 
+# Gram-whitening rank-deficiency clip, relative to the leading eigenvalue
+# (of the SQUARED singular values): directions whose norm has collapsed
+# below sqrt(clip) of the leading one carry only fp32 rounding noise —
+# whitening would renormalize that noise to unit length and pollute the
+# Rayleigh-Ritz basis, so they are zeroed instead.
+_WHITEN_CLIP = 1e-12
+
+
 def pupil_autocorrelation(pupil: jnp.ndarray) -> jnp.ndarray:
     """R(t) = sum_u P(u + t) conj(P(u)) with circular wraparound, via FFT."""
     f = jnp.fft.fft2(pupil)
@@ -254,11 +303,25 @@ def randomized_socs(
     power_iters: int = 2,
     seed: int = 0,
     probe_chunk: int | None | str = "auto",
+    compensated: bool = True,
+    krylov: bool = False,
 ) -> SOCSKernels:
     """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
     of the source-side Gram operator. Exact circulant structure; accuracy set
-    by ``power_iters``/``oversample`` (defaults give ~1e-5 relative image
-    error for fast-decaying spectra). Scales to arbitrarily fine grids."""
+    by ``power_iters``/``oversample``. Scales to arbitrarily fine grids.
+
+    ``compensated=True`` (default) computes the K = n^2 contractions of the
+    whitening Gram and the Rayleigh-Ritz projection with double-float
+    cross-chunk accumulation (:func:`..ops.compensated.matmul_compensated`),
+    removing the plain-fp32 eps*sqrt(K) accumulation floor (~5e-5 relative
+    image error). Same MXU FLOPs; only kernel-build time is affected.
+
+    ``krylov=True`` does Rayleigh-Ritz on the full block-Krylov subspace
+    [Omega, G Omega, ..., G^q Omega] (Musco & Musco 2015) instead of the last
+    iterate only — far faster convergence on the slowly-decaying TCC tail
+    (randomized-vs-dense image agreement ~1e-6 at matched rank instead of
+    ~1e-5), at (power_iters + 1)x the probe-field memory. Default off: the
+    plain subspace iteration is the at-scale production path."""
     n = config.n
     if probe_chunk == "auto":
         probe_chunk = 8 if n >= 2048 else None
@@ -276,43 +339,109 @@ def randomized_socs(
              + 1j * jax.random.normal(k2, (l, n, n))).astype(jnp.complex64)
 
     def matvec_all(block):
-        if probe_chunk is None or l % probe_chunk:
+        b = block.shape[0]
+        if probe_chunk is None or b % probe_chunk:
             return _gram_matvec(block, sqrt_w, r_fft)
-        chunked = block.reshape(l // probe_chunk, probe_chunk, n, n)
+        chunked = block.reshape(b // probe_chunk, probe_chunk, n, n)
         out = jax.lax.map(lambda c: _gram_matvec(c, sqrt_w, r_fft), chunked)
-        return out.reshape(l, n, n)
+        return out.reshape(b, n, n)
 
     def orthonormalize(block):
         # Tall-skinny orthonormalization via Gram whitening: Householder QR
         # of an (n^2, L) complex matrix is pathologically slow on TPU, while
         # the (L, L) Gram matmul rides the MXU and its eigh is tiny. Small
         # eigenvalues are clipped, which also handles rank deficiency.
-        flat = block.reshape(l, -1)  # (L, n^2), rows are vectors
+        b = block.shape[0]
+        flat = block.reshape(b, -1)  # (L, n^2), rows are vectors
 
         hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
 
+        def wide_matmul(x, y):
+            return (matmul_compensated(x, y) if compensated
+                    else jnp.matmul(x, y, precision=hi))
+
         def whiten_once(f):
-            gram = jnp.matmul(f, f.conj().T, precision=hi)
+            gram = wide_matmul(f, f.conj().T)
             gram = 0.5 * (gram + gram.conj().T)
             s, v = jnp.linalg.eigh(gram)
             inv_sqrt = jnp.where(
-                s > 1e-12 * jnp.max(s), 1.0 / jnp.sqrt(jnp.abs(s)), 0.0)
+                s > _WHITEN_CLIP * jnp.max(s), 1.0 / jnp.sqrt(jnp.abs(s)), 0.0)
             whiten = jnp.matmul(v * inv_sqrt[None, :], v.conj().T, precision=hi)
             return jnp.matmul(whiten, f, precision=hi)
 
         # Two passes (CholQR2-style): one whitening squares the condition
         # number in fp32; the second restores orthogonality to ~machine eps.
-        return whiten_once(whiten_once(flat)).reshape(l, n, n)
+        return whiten_once(whiten_once(flat)).reshape(b, n, n)
 
-    y = matvec_all(omega)
-    for _ in range(power_iters):
-        y = orthonormalize(y)
-        y = matvec_all(y)
-    q = orthonormalize(y)  # (L, n, n) orthonormal basis of the range
+    def project_out(block, basis_blocks):
+        # Block Gram-Schmidt pass: remove the span of every earlier Krylov
+        # block. Later blocks converge toward the same dominant eigenspace,
+        # so WITHOUT this the concatenated basis has condition number far
+        # beyond what fp32 Gram whitening survives (cond^2 < 1/eps).
+        flat = block.reshape(block.shape[0], -1)
+        for qb in basis_blocks:
+            qf = qb.reshape(qb.shape[0], -1)
+            coef = (matmul_compensated(jnp.conj(qf), flat.T) if compensated
+                    else jnp.matmul(jnp.conj(qf), flat.T,
+                                    precision=jax.lax.Precision.HIGHEST))
+            flat = flat - jnp.matmul(coef.T, qf,
+                                     precision=jax.lax.Precision.HIGHEST)
+        return flat.reshape(block.shape)
 
+    if krylov:
+        # Block-Krylov: Rayleigh-Ritz over ALL iterates [Q_0, G Q_0, ...,
+        # G^q Q_0] (Musco & Musco 2015). Same matvec count as subspace
+        # iteration, (q+1)x the basis — and convergence on clustered TCC
+        # tails that plain iteration cannot reach in fp32.
+        #
+        # Orthogonalization is the project -> whiten -> project -> whiten
+        # sandwich: the projected residual of a converging block is tiny and
+        # internally ill-conditioned, so the first whiten re-amplifies
+        # projection rounding along earlier blocks by 1/sigma_min; the
+        # second projection removes that at O(1) scale (plain BCGS2-then-
+        # whiten loses orthogonality here at the 1e-3 level, which corrupts
+        # leading Rayleigh-Ritz eigenvalues at ~1e-4 relative).
+        blocks = [orthonormalize(omega)]
+        for _ in range(power_iters):
+            y = matvec_all(blocks[-1])
+            # Noise-floor guard: the genuinely-new Krylov content of a block
+            # decays with the spectrum tail each iteration; once a projected
+            # residual direction falls below ~1e-5 of the block's strongest
+            # direction it is fp32 projection noise, and whitening would
+            # promote that noise to a unit basis vector whose Rayleigh
+            # quotient can land anywhere in the spectrum — corrupting even
+            # the LEADING eigenpairs. Zero such directions instead (zero
+            # basis rows are inert through whitening, Rayleigh-Ritz, and
+            # kernel synthesis).
+            y_energy = jnp.sum(jnp.abs(y.reshape(y.shape[0], -1)) ** 2, axis=1)
+            r = project_out(y, blocks)
+            energy = jnp.sum(jnp.abs(r.reshape(r.shape[0], -1)) ** 2, axis=1)
+            # reference is the PRE-projection scale: if the whole residual
+            # block is noise, a residual-relative threshold would keep the
+            # loudest noise
+            keep = energy > 1e-10 * jnp.maximum(jnp.max(y_energy), 1e-30)
+            r = r * keep[:, None, None].astype(r.dtype)
+            y = orthonormalize(r)
+            blocks.append(orthonormalize(project_out(y, blocks)))
+        q = jnp.concatenate(blocks, axis=0)
+        # Final joint polish: blocks are now mutually orthogonal to ~fp32
+        # eps, so the joint Gram is ~I and one whitening pass is stable.
+        q = orthonormalize(q)
+    else:
+        y = matvec_all(omega)
+        for _ in range(power_iters):
+            y = orthonormalize(y)
+            y = matvec_all(y)
+        q = orthonormalize(y)  # (L, n, n) orthonormal basis of the range
+
+    lq = q.shape[0]  # L, or L * (power_iters + 1) on the Krylov path
     gq = matvec_all(q)
-    small = jnp.matmul(q.reshape(l, -1).conj(), gq.reshape(l, -1).T,
-                       precision=jax.lax.Precision.HIGHEST)  # (L, L)
+    if compensated:
+        small = matmul_compensated(q.reshape(lq, -1).conj(),
+                                   gq.reshape(lq, -1).T)  # (L, L)
+    else:
+        small = jnp.matmul(q.reshape(lq, -1).conj(), gq.reshape(lq, -1).T,
+                           precision=jax.lax.Precision.HIGHEST)
     small = 0.5 * (small + small.conj().T)
     eigvals, eigvecs = jnp.linalg.eigh(small)  # ascending
     eigvals = jnp.clip(eigvals[::-1].real, 0.0, None)

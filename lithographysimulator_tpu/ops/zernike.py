@@ -45,6 +45,67 @@ def mn_to_osa_index(m: int, n: int) -> int:
     return (n * (n + 2) + m) // 2
 
 
+def noll_index_to_mn(j: int) -> tuple[int, int]:
+    """Noll single index (1-based) -> (m, n). Noll's convention: radial
+    order ascending; within an order, |m| ascending with the sign chosen so
+    even j <-> cosine (m >= 0) and odd j <-> sine (m < 0). (The reference
+    leaves alternative indexings as a TODO, ``pupil.py:82``.)"""
+    if j < 1:
+        raise ValueError(f"Noll index is 1-based, got {j}")
+    n = 0
+    k = j - 1
+    while k > n:
+        n += 1
+        k -= n
+    m = (-1) ** j * ((n % 2) + 2 * ((k + ((n + 1) % 2)) // 2))
+    return m, n
+
+
+def fringe_index_to_mn(j: int) -> tuple[int, int]:
+    """Fringe / University-of-Arizona single index (1-based) -> (m, n).
+    Fringe orders by (n + |m|)/2 (wavefront 'order'), then |m| descending,
+    cosine before sine: j = (1 + (n + |m|)/2)^2 - 2|m| + (1 - sgn m)/2."""
+    if j < 1:
+        raise ValueError(f"Fringe index is 1-based, got {j}")
+    # invert by search over the bounded (m, n) table
+    order = 1
+    while order**2 < j:
+        order += 1
+    for n in range(2 * order + 1):
+        for m in sorted(range(-n, n + 1), key=lambda v: (-abs(v), -v)):
+            if (n - abs(m)) % 2:
+                continue
+            jf = (1 + (n + abs(m)) // 2) ** 2 - 2 * abs(m) + (0 if m >= 0 else 1)
+            if jf == j:
+                return m, n
+    raise ValueError(f"no Fringe term with index {j}")
+
+
+_INDEXINGS = {"osa": lambda j: osa_index_to_mn(j),
+              "noll": noll_index_to_mn,
+              "fringe": fringe_index_to_mn}
+
+
+def to_osa_coefficients(coefficients, scheme: str = "noll") -> np.ndarray:
+    """Re-order a Noll- or Fringe-indexed coefficient vector (1-based,
+    ``coefficients[0]`` is term 1) into the OSA-ordered vector the rest of
+    the pipeline consumes (``pupil_function`` / ``wavefront_error``)."""
+    scheme = scheme.lower()
+    if scheme == "osa":
+        return np.asarray(coefficients, np.float64)
+    try:
+        index_to_mn = _INDEXINGS[scheme]
+    except KeyError:
+        raise ValueError(
+            f"unknown Zernike indexing {scheme!r} (osa, noll, fringe)") from None
+    coefficients = np.asarray(coefficients, np.float64)
+    pairs = [index_to_mn(j) for j in range(1, len(coefficients) + 1)]
+    out = np.zeros(max(mn_to_osa_index(m, n) for m, n in pairs) + 1)
+    for c, (m, n) in zip(coefficients, pairs):
+        out[mn_to_osa_index(m, n)] += c
+    return out
+
+
 def radial_polynomial(m: int, n: int, r: np.ndarray) -> np.ndarray:
     """R_mn(r): sum over k of the factorial-coefficient terms."""
     am = abs(m)

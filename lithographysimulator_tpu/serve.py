@@ -1,8 +1,19 @@
-"""Lightweight HTTP serving endpoint for the imaging pipeline.
+"""HTTP serving for the imaging pipeline: batching workers and a multi-chip
+router.
 
-A stdlib-only JSON-over-HTTP server for production-style deployment: one
-process owns the accelerator, keeps jit caches and SOCS kernel sets warm
-across requests, and serves imaging to many clients.
+Production layout (one accelerator per process — jax owns a chip whole):
+
+* ``LithoService`` + :func:`make_server` — a backend worker. Requests are
+  parsed on handler threads (``ThreadingHTTPServer``), then **batched across
+  clients**: concurrent ``/simulate`` requests with the same optical
+  signature (config + source + solver + aberrations) are stacked onto one
+  compiled vmap dispatch (:func:`.simulate.simulate_batch`), so the
+  pupil/source/SOCS work is paid once per batch. A single worker thread owns
+  the device — jax dispatch per device is serialized by design.
+* ``Router`` + :func:`make_router` — a stdlib round-robin fan-out over N
+  backend workers (one per chip), with failover to the next backend on
+  connection errors. Start one worker per chip (pin each process to its chip
+  via the platform's visible-devices env) and front them with the router.
 
 Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
 
@@ -10,24 +21,45 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``source`` spec (kind/sigmas/poles/rotation/shift), optional
   ``aberrations``, ``solver``, ``normalize``. Returns the aerial image
   (base64 float32) + the run report.
-* ``/health`` — GET; device info + uptime.
+* ``/health`` — GET; device info + uptime + batching stats (router: per-
+  backend health).
 
-Start: ``python -m lithographysimulator_tpu.serve --port 8100`` or
-:func:`serve` programmatically. Single-threaded by design: requests
-serialize onto the one device (jax dispatch is not thread-safe per device);
-front with a load balancer across chips for scale-out.
+Start a worker: ``python -m lithographysimulator_tpu.serve --port 8100``.
+Start a router: ``python -m lithographysimulator_tpu.serve --router \
+    --backends http://127.0.0.1:8100 http://127.0.0.1:8101 --port 8000``.
 """
 
 from __future__ import annotations
 
 import argparse
 import base64
+import functools
 import json
 import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _source_from_sig(config, source_sig) -> np.ndarray:
+    from .models.source import LightSource
+
+    kind, s_in, s_out, sx, sy, poles, rotation = source_sig
+    ls = LightSource(config, sigma_in=s_in, sigma_out=s_out,
+                     shift_x=sx, shift_y=sy)
+    if kind == "annular":
+        return np.asarray(ls.annular())
+    if kind == "classical":
+        return np.asarray(ls.classical())
+    if kind == "quasar":
+        return np.asarray(ls.quasar(poles, rotation))
+    if kind == "dipole":
+        return np.asarray(ls.dipole(rotation))
+    return np.asarray(ls.monopole())
 
 
 def _encode_array(arr: np.ndarray) -> dict:
@@ -47,8 +79,27 @@ def _decode_array(obj) -> np.ndarray:
     return np.asarray(obj, np.float32)
 
 
+class _Pending:
+    """One enqueued /simulate request: its optical signature, mask, and the
+    slot its result (or error) lands in."""
+
+    __slots__ = ("signature", "mask", "event", "image", "error")
+
+    def __init__(self, signature, mask):
+        self.signature = signature
+        self.mask = mask
+        self.event = threading.Event()
+        self.image = None
+        self.error: Exception | None = None
+
+
 class LithoService:
-    """Request handling, separated from HTTP plumbing for testability."""
+    """Request handling, separated from HTTP plumbing for testability.
+
+    ``batching=True`` (default) routes /simulate through a single worker
+    thread that coalesces same-signature requests arriving within
+    ``batch_window_s`` into one vmapped device dispatch. ``batching=False``
+    runs each request inline under the device lock (still thread-safe)."""
 
     # Request-body limits: a hostile/buggy pixel_number or socs_rank would
     # trigger multi-GB allocations and minutes-long compiles, wedging the
@@ -57,10 +108,138 @@ class LithoService:
     MAX_SOCS_RANK = 1024
     MAX_CHUNK = 64
 
-    def __init__(self):
+    def __init__(self, *, batching: bool = True, batch_window_s: float = 0.005,
+                 max_batch: int = 8):
         self.started = time.time()
         self.requests_served = 0
-        self._lock = threading.Lock()
+        self.batches_run = 0
+        self.batched_requests = 0
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self.batching = batching
+        self._lock = threading.Lock()  # device + counter lock
+        self._cv = threading.Condition()
+        self._queue: list[_Pending] = []
+        if batching:
+            self._worker = threading.Thread(
+                target=self._drain_forever, daemon=True,
+                name="litho-batch-worker")
+            self._worker.start()
+
+    # -- request parsing -----------------------------------------------------
+
+    def _parse(self, body: dict):
+        """Validate + canonicalize a /simulate body into (signature, mask).
+        The signature is hashable and identifies everything EXCEPT the mask —
+        requests sharing it can ride one batched dispatch."""
+        from .config import OpticsConfig
+
+        pixel_number = int(body.get("pixel_number", 64))
+        socs_rank = body.get("socs_rank", "auto")
+        if socs_rank != "auto":
+            socs_rank = int(socs_rank)
+        chunk = int(body.get("chunk", 4))
+        if not 8 <= pixel_number <= self.MAX_PIXEL_NUMBER:
+            raise ValueError(
+                f"pixel_number {pixel_number} out of range [8, {self.MAX_PIXEL_NUMBER}]")
+        if socs_rank != "auto" and not 1 <= socs_rank <= self.MAX_SOCS_RANK:
+            raise ValueError(
+                f"socs_rank {socs_rank} out of range [1, {self.MAX_SOCS_RANK}]")
+        if not 1 <= chunk <= self.MAX_CHUNK:
+            raise ValueError(f"chunk {chunk} out of range [1, {self.MAX_CHUNK}]")
+        solver = body.get("solver", "gau23")
+        if solver not in ("gau23", "direct", "socs"):
+            raise ValueError(f"unknown solver {solver!r}")
+
+        config = OpticsConfig(
+            pixel_number=pixel_number,
+            pixel_size=float(body.get("pixel_size", 25.0)),
+            wavelength=float(body.get("wavelength", 193.0)),
+            na=float(body.get("na", 0.7)),
+        )
+        mask = _decode_array(body["mask"])
+        if mask.shape != (config.n, config.n):
+            raise ValueError(
+                f"mask shape {mask.shape} != ({config.n}, {config.n})")
+
+        src_spec = body.get("source", {})
+        kind = src_spec.get("kind", "classical")
+        if kind not in ("annular", "classical", "quasar", "dipole", "monopole"):
+            raise ValueError(f"unknown source kind {kind!r}")
+        source_sig = (
+            kind,
+            float(src_spec.get("sigma_in", 0.0)),
+            float(src_spec.get("sigma_out", 0.6)),
+            float(src_spec.get("shift_x", 0.0)),
+            float(src_spec.get("shift_y", 0.0)),
+            int(src_spec.get("poles", 4)),
+            float(src_spec.get("rotation", -np.pi / 8)),
+        )
+        aberr = tuple(float(a) for a in (body.get("aberrations") or ()))
+        signature = (config, source_sig, aberr, solver, chunk,
+                     bool(body.get("normalize", False)), socs_rank)
+        return signature, mask
+
+    # -- execution -----------------------------------------------------------
+
+    def _run_batch(self, signature, masks: np.ndarray) -> np.ndarray:
+        """(B, n, n) masks -> (B, n, n) images, one compiled dispatch.
+        The batch is padded to a power of two so jit sees at most
+        log2(max_batch)+1 distinct batch shapes per signature."""
+        from .simulate import simulate_batch
+
+        config, source_sig, aberr, solver, chunk, normalize, socs_rank = signature
+        source = _source_from_sig(config, source_sig)
+        b = len(masks)
+        padded_b = 1 << (b - 1).bit_length()  # next power of two
+        if padded_b != b:
+            masks = np.concatenate(
+                [masks, np.broadcast_to(masks[:1], (padded_b - b, *masks.shape[1:]))])
+        images = simulate_batch(
+            masks, config, source,
+            np.asarray(aberr, np.float32) if aberr else None,
+            solver=solver, chunk=chunk, normalize=normalize,
+            socs_rank=socs_rank)
+        return np.asarray(images)[:b]
+
+    def _drain_once(self, timeout: float | None = None) -> bool:
+        """Pull one same-signature batch off the queue and execute it.
+        Returns False if the queue stayed empty through ``timeout``."""
+        with self._cv:
+            if not self._queue and not self._cv.wait_for(
+                    lambda: bool(self._queue), timeout=timeout):
+                return False
+            # Coalescing window: let same-signature stragglers arrive.
+            if self.batch_window_s > 0 and len(self._queue) < self.max_batch:
+                self._cv.wait(self.batch_window_s)
+            signature = self._queue[0].signature
+            batch = [p for p in self._queue if p.signature == signature]
+            batch = batch[: self.max_batch]
+            for p in batch:
+                self._queue.remove(p)
+        try:
+            masks = np.stack([p.mask for p in batch])
+            with self._lock:
+                images = self._run_batch(signature, masks)
+                self.requests_served += len(batch)
+                self.batches_run += 1
+                if len(batch) > 1:
+                    self.batched_requests += len(batch)
+            for p, img in zip(batch, images):
+                p.image = img
+        except Exception as exc:  # noqa: BLE001 - delivered to each waiter
+            for p in batch:
+                p.error = exc
+        finally:
+            for p in batch:
+                p.event.set()
+        return True
+
+    def _drain_forever(self):
+        while True:
+            self._drain_once(timeout=None)
+
+    # -- endpoints -----------------------------------------------------------
 
     def health(self) -> dict:
         from .utils.profiling import device_info
@@ -69,68 +248,36 @@ class LithoService:
             "status": "ok",
             "uptime_s": round(time.time() - self.started, 1),
             "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "batched_requests": self.batched_requests,
+            "batching": self.batching,
             **device_info(),
         }
 
     def simulate(self, body: dict) -> dict:
-        from .config import OpticsConfig
-        from .models.mask import from_array
-        from .models.source import LightSource
-        from .simulate import simulate
-
-        pixel_number = int(body.get("pixel_number", 64))
-        socs_rank = int(body.get("socs_rank", 128))
-        chunk = int(body.get("chunk", 4))
-        if not 8 <= pixel_number <= self.MAX_PIXEL_NUMBER:
-            raise ValueError(
-                f"pixel_number {pixel_number} out of range [8, {self.MAX_PIXEL_NUMBER}]")
-        if not 1 <= socs_rank <= self.MAX_SOCS_RANK:
-            raise ValueError(
-                f"socs_rank {socs_rank} out of range [1, {self.MAX_SOCS_RANK}]")
-        if not 1 <= chunk <= self.MAX_CHUNK:
-            raise ValueError(f"chunk {chunk} out of range [1, {self.MAX_CHUNK}]")
-
-        config = OpticsConfig(
-            pixel_number=pixel_number,
-            pixel_size=float(body.get("pixel_size", 25.0)),
-            wavelength=float(body.get("wavelength", 193.0)),
-            na=float(body.get("na", 0.7)),
-        )
-        mask = from_array(_decode_array(body["mask"]), config)
-
-        src_spec = body.get("source", {})
-        ls = LightSource(
-            config,
-            sigma_in=float(src_spec.get("sigma_in", 0.0)),
-            sigma_out=float(src_spec.get("sigma_out", 0.6)),
-            shift_x=float(src_spec.get("shift_x", 0.0)),
-            shift_y=float(src_spec.get("shift_y", 0.0)),
-        )
-        kind = src_spec.get("kind", "classical")
-        if kind == "annular":
-            source = ls.annular()
-        elif kind == "classical":
-            source = ls.classical()
-        elif kind == "quasar":
-            source = ls.quasar(int(src_spec.get("poles", 4)),
-                               float(src_spec.get("rotation", -np.pi / 8)))
-        elif kind == "dipole":
-            source = ls.dipole(float(src_spec.get("rotation", 0.0)))
-        elif kind == "monopole":
-            source = ls.monopole()
+        signature, mask = self._parse(body)
+        t0 = time.perf_counter()
+        if self.batching:
+            pending = _Pending(signature, mask)
+            with self._cv:
+                self._queue.append(pending)
+                self._cv.notify_all()
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+            image = pending.image
         else:
-            raise ValueError(f"unknown source kind {kind!r}")
-
-        with self._lock:  # one device, serialize jax dispatch
-            result = simulate(
-                mask, source, body.get("aberrations"),
-                solver=body.get("solver", "gau23"),
-                chunk=chunk,
-                normalize=bool(body.get("normalize", False)),
-                socs_rank=socs_rank,
-            )
-            self.requests_served += 1
-        return {"image": _encode_array(result.image), "report": result.report}
+            with self._lock:
+                image = self._run_batch(signature, mask[None])[0]
+                self.requests_served += 1
+        config, source_sig, _, solver, *_ = signature
+        report = {
+            "solver": solver,
+            "pixel_number": config.n,
+            "source_points": int((_source_from_sig(config, source_sig) > 0).sum()),
+            "wall_clock_s": round(time.perf_counter() - t0, 4),
+        }
+        return {"image": _encode_array(image), "report": report}
 
     def dispatch(self, path: str, body: dict | None) -> tuple[int, dict]:
         try:
@@ -145,8 +292,69 @@ class LithoService:
             return 500, {"error": f"{type(exc).__name__}: {exc}"}
 
 
-def make_server(host: str = "127.0.0.1", port: int = 8100) -> HTTPServer:
-    service = LithoService()
+class Router:
+    """Round-robin fan-out over backend workers (one per chip) with
+    failover: a backend that refuses connections is skipped (and retried on
+    later requests — no permanent ejection, workers restart in place)."""
+
+    def __init__(self, backends: list[str], *, timeout_s: float = 300.0):
+        if not backends:
+            raise ValueError("router needs at least one backend")
+        self.backends = [b.rstrip("/") for b in backends]
+        self.timeout_s = timeout_s
+        self.forwarded = [0] * len(self.backends)
+        self._next = 0
+        self._lock = threading.Lock()
+
+    def _forward_one(self, url: str, body: bytes | None) -> tuple[int, dict]:
+        req = urllib.request.Request(
+            url, data=body,
+            headers={"Content-Type": "application/json"},
+            method="POST" if body is not None else "GET")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as exc:  # backend replied with 4xx/5xx
+            try:
+                payload = json.loads(exc.read())
+            except Exception:  # noqa: BLE001
+                payload = {"error": str(exc)}
+            return exc.code, payload
+
+    def dispatch(self, path: str, raw_body: bytes | None) -> tuple[int, dict]:
+        if path == "/health":
+            per_backend = []
+            for i, backend in enumerate(self.backends):
+                try:
+                    status, payload = self._forward_one(backend + "/health", None)
+                    ok = status == 200
+                except OSError:
+                    ok, payload = False, {"error": "unreachable"}
+                per_backend.append({"backend": backend, "ok": ok,
+                                    "forwarded": self.forwarded[i],
+                                    **({"health": payload} if ok else payload)})
+            return 200, {"status": "ok", "role": "router",
+                         "backends": per_backend}
+        with self._lock:
+            start = self._next
+            self._next = (self._next + 1) % len(self.backends)
+        last_err = None
+        for attempt in range(len(self.backends)):
+            i = (start + attempt) % len(self.backends)
+            try:
+                status, payload = self._forward_one(
+                    self.backends[i] + path, raw_body or b"{}")
+                with self._lock:
+                    self.forwarded[i] += 1
+                return status, payload
+            except OSError as exc:  # connection refused / reset -> failover
+                last_err = exc
+        return 503, {"error": f"all backends unreachable: {last_err}"}
+
+
+def _make_http_server(host: str, port: int, dispatch_json, dispatch_raw=None):
+    """Shared HTTP plumbing: dispatch_json(path, body_dict) for parsed-JSON
+    handlers, dispatch_raw(path, raw_bytes) to forward bodies untouched."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, status: int, payload: dict):
@@ -158,30 +366,60 @@ def make_server(host: str = "127.0.0.1", port: int = 8100) -> HTTPServer:
             self.wfile.write(blob)
 
         def do_GET(self):  # noqa: N802 (stdlib API)
-            status, payload = service.dispatch(self.path, None)
+            status, payload = (dispatch_raw or dispatch_json)(self.path, None)
             self._reply(status, payload)
 
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
-            try:
-                body = json.loads(self.rfile.read(length) or b"{}")
-            except json.JSONDecodeError:
-                self._reply(400, {"error": "invalid JSON body"})
-                return
-            status, payload = service.dispatch(self.path, body)
+            raw = self.rfile.read(length) or b"{}"
+            if dispatch_raw is not None:
+                status, payload = dispatch_raw(self.path, raw)
+            else:
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    self._reply(400, {"error": "invalid JSON body"})
+                    return
+                status, payload = dispatch_json(self.path, body)
             self._reply(status, payload)
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-    server = HTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server
+
+
+def make_server(host: str = "127.0.0.1", port: int = 8100, *,
+                batching: bool = True, batch_window_s: float = 0.005,
+                max_batch: int = 8) -> ThreadingHTTPServer:
+    service = LithoService(batching=batching, batch_window_s=batch_window_s,
+                           max_batch=max_batch)
+    server = _make_http_server(host, port, service.dispatch)
     server.service = service  # type: ignore[attr-defined]
     return server
 
 
-def serve(host: str = "127.0.0.1", port: int = 8100):
-    server = make_server(host, port)
-    print(f"lithographysimulator_tpu serving on http://{host}:{port}")
+def make_router(backends: list[str], host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    router = Router(backends)
+    server = _make_http_server(host, port, None, dispatch_raw=router.dispatch)
+    server.router = router  # type: ignore[attr-defined]
+    return server
+
+
+def serve(host: str = "127.0.0.1", port: int = 8100, **kwargs):
+    server = make_server(host, port, **kwargs)
+    print(f"lithographysimulator_tpu worker on http://{host}:{port}")
+    server.serve_forever()
+
+
+def serve_router(backends: list[str], host: str = "127.0.0.1",
+                 port: int = 8000):
+    server = make_router(backends, host, port)
+    print(f"lithographysimulator_tpu router on http://{host}:{port} -> "
+          f"{len(backends)} backend(s)")
     server.serve_forever()
 
 
@@ -189,5 +427,17 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)
+    ap.add_argument("--no-batching", action="store_true")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--router", action="store_true",
+                    help="run as a round-robin router over --backends "
+                         "(start one worker per chip, each process pinned "
+                         "to its chip)")
+    ap.add_argument("--backends", nargs="+", default=[],
+                    help="worker base URLs for --router")
     a = ap.parse_args()
-    serve(a.host, a.port)
+    if a.router:
+        serve_router(a.backends, a.host, a.port)
+    else:
+        serve(a.host, a.port, batching=not a.no_batching,
+              max_batch=a.max_batch)

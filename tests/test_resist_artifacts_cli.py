@@ -162,6 +162,24 @@ def test_simulate_socs_solver_matches_abbe():
     assert np.sqrt(np.mean((a - b) ** 2)) / a.max() < 2e-4
 
 
+def test_simulate_socs_auto_rank_default():
+    """solver='socs' defaults to auto rank (99.9% captured energy) and
+    reports what it picked; repeated calls reuse the cached build."""
+    import time
+
+    cfg = OpticsConfig(pixel_number=32)
+    src = LightSource(cfg, sigma_out=0.5).classical()
+    a = np.asarray(simulate(demo_bars(cfg), src, normalize=True).image)
+    res = simulate(demo_bars(cfg), src, solver="socs", normalize=True)
+    assert res.report["socs_energy_captured"] >= 0.999
+    assert res.report["socs_rank"] >= 1
+    b = np.asarray(res.image)
+    assert np.sqrt(np.mean((a - b) ** 2)) / a.max() < 2e-3
+    t0 = time.perf_counter()
+    simulate(demo_bars(cfg), src, solver="socs", normalize=True)
+    assert time.perf_counter() - t0 < 2.0  # cached build + compiled apply
+
+
 def test_device_info():
     from lithographysimulator_tpu.utils import device_info
 

@@ -76,3 +76,60 @@ def test_exactly_four_coefficients_ok():
     ab = np.array([0.0, 0.1, 0.2, 0.3], np.float32)
     out = wavefront_error(ab, DEMO_CONFIG)
     assert out.shape == (64, 64)
+
+
+def test_noll_indexing_table():
+    from lithographysimulator_tpu.ops.zernike import noll_index_to_mn
+
+    table = {1: (0, 0), 2: (1, 1), 3: (-1, 1), 4: (0, 2), 5: (-2, 2),
+             6: (2, 2), 7: (-1, 3), 8: (1, 3), 9: (-3, 3), 10: (3, 3),
+             11: (0, 4), 12: (2, 4), 13: (-2, 4), 14: (4, 4), 15: (-4, 4)}
+    for j, mn in table.items():
+        assert noll_index_to_mn(j) == mn
+
+
+def test_fringe_indexing_table():
+    from lithographysimulator_tpu.ops.zernike import fringe_index_to_mn
+
+    # standard Fringe/UA ordering incl. the 'order' regrouping at j=10
+    table = {1: (0, 0), 2: (1, 1), 3: (-1, 1), 4: (0, 2), 5: (2, 2),
+             6: (-2, 2), 7: (1, 3), 8: (-1, 3), 9: (0, 4), 10: (3, 3),
+             11: (-3, 3), 12: (2, 4), 13: (-2, 4), 14: (1, 5), 15: (-1, 5),
+             16: (0, 6)}
+    for j, mn in table.items():
+        assert fringe_index_to_mn(j) == mn
+
+
+def test_to_osa_coefficients_same_wavefront():
+    """A Noll-ordered coefficient vector re-ordered to OSA produces the same
+    wavefront as assembling the named terms directly."""
+    from lithographysimulator_tpu.ops.zernike import (mn_to_osa_index,
+                                                      noll_index_to_mn,
+                                                      to_osa_coefficients)
+
+    noll_coeffs = np.array([0.0, 0.3, 0.0, 0.0, 0.5, 0.0, 0.0, 0.2])
+    osa = to_osa_coefficients(noll_coeffs, "noll")
+    direct = np.zeros_like(osa)
+    for j, c in enumerate(noll_coeffs, start=1):
+        m, n = noll_index_to_mn(j)
+        direct[mn_to_osa_index(m, n)] += c
+    np.testing.assert_array_equal(osa, direct)
+    # OSA slot 4 is defocus-in-nm by pipeline convention; these test values
+    # keep it zero so wavefront comparison is scheme-independent
+    w = np.asarray(wavefront_error(osa.astype(np.float32), DEMO_CONFIG))
+    assert np.isfinite(w).all() and np.abs(w).max() > 0
+
+
+def test_bad_indexing_rejected():
+    import pytest
+
+    from lithographysimulator_tpu.ops.zernike import (fringe_index_to_mn,
+                                                      noll_index_to_mn,
+                                                      to_osa_coefficients)
+
+    with pytest.raises(ValueError):
+        to_osa_coefficients([1.0], "zemax")
+    with pytest.raises(ValueError):
+        noll_index_to_mn(0)
+    with pytest.raises(ValueError):
+        fringe_index_to_mn(0)
