@@ -305,6 +305,48 @@ def cmd_fem(args) -> int:
     return 0
 
 
+def cmd_opc(args) -> int:
+    """Full-chip resist-aware OPC on the tiled SOCS path; reports printed-
+    pattern fidelity (IoU / XOR area / mean EPE) before and after."""
+    from .config import OpticsConfig
+    from .metrology import tiled_focus_images
+    from .models.resist import ResistModel, pattern_fidelity
+    from .optimize import opc_correct_tiled
+
+    tile_config = _build_config(args)
+    big_n = args.big_n or tile_config.n
+    big_cfg = OpticsConfig(
+        pixel_number=big_n, pixel_size=args.pixel_size,
+        wavelength=args.wavelength, na=args.na)
+    target = np.abs(np.asarray(_build_mask(args, big_cfg).geometry, np.float32))
+    source = _build_source(args, tile_config)
+    resist = ResistModel(threshold=args.threshold, steepness=30.0)
+
+    def fidelity(mask_big):
+        img = tiled_focus_images(mask_big, tile_config, source, [0.0],
+                                 rank=args.rank, halo=args.halo)[0]
+        profile = (img / img.max()) > resist.threshold
+        return pattern_fidelity(profile.astype(np.float32), target, tile_config)
+
+    t0 = time.perf_counter()
+    corrected = opc_correct_tiled(
+        target, tile_config, source, resist=resist, halo=args.halo,
+        steps=args.steps, learning_rate=args.lr, rank=args.rank,
+        sweeps=args.sweeps)
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "big_n": big_n, "tile_n": tile_config.n, "steps": args.steps,
+        "sweeps": args.sweeps,
+        "fidelity_before": fidelity(target),
+        "fidelity_after": fidelity(corrected),
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    if args.out:
+        np.save(args.out, corrected)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
     mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
@@ -394,6 +436,20 @@ def main(argv=None) -> int:
                        help="tile halo px (default: optics-derived)")
     p_fem.add_argument("--tiles-per-dispatch", type=int, default=8)
     p_fem.set_defaults(func=cmd_fem)
+
+    p_opc = sub.add_parser(
+        "opc", help="full-chip resist-aware OPC (tiled SOCS path)")
+    _add_common(p_opc)
+    p_opc.add_argument("--big-n", type=int, default=None,
+                       help="full-chip layout size in px (default: one tile)")
+    p_opc.add_argument("--steps", type=int, default=60)
+    p_opc.add_argument("--sweeps", type=int, default=1)
+    p_opc.add_argument("--lr", type=float, default=0.15)
+    p_opc.add_argument("--threshold", type=float, default=0.35)
+    p_opc.add_argument("--rank", type=int, default=64)
+    p_opc.add_argument("--halo", type=int, default=None)
+    p_opc.add_argument("--out", default=None, help="corrected mask .npy path")
+    p_opc.set_defaults(func=cmd_opc)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

@@ -1,24 +1,30 @@
 """Compensated (double-float) accumulation for wide contractions.
 
 fp32 accumulation error of a K-term dot grows like eps * sqrt(K); for the
-SOCS source-side Gram matrices (K = n^2, 16k at 128^2 up to 1M+ at 1024^2)
+SOCS source-side Gram matrices (K = n^2, 16k at 128^2 up to 4M+ at 2048^2)
 that floors the randomized eigendecomposition — and therefore every image
 computed from its kernels — at ~5e-5 relative (VERDICT r1 weak #5). TPU has
 no fp64, so these helpers emulate wide accumulation natively:
 
-* the contraction axis is split into chunks that ride the MXU as one batched
-  fp32 matmul (``precision=HIGHEST``), and
+* the contraction axis is walked in chunks, each chunk riding the MXU as one
+  fp32 matmul (``precision=HIGHEST``) inside a ``lax.scan``, and
 * cross-chunk accumulation is error-free TwoSum (Knuth 1969) double-float,
   so only the *within-chunk* rounding survives: error ~ eps * sqrt(chunk) of
   one chunk's partial norm instead of eps * sqrt(K) of the whole contraction.
 
-With chunk = sqrt(K) this is ~eps * K^(1/4) / sqrt(C) of the naive bound —
-in practice ≤1e-7 relative for the Gram shapes here, i.e. fp64-grade for
+In practice ≤1e-7 relative for the Gram shapes here, i.e. fp64-grade for
 fp32 data. TwoSum is branch-free and componentwise, so it applies to
 complex64 unchanged (each of re/im independently satisfies the identity).
 
-Cost: identical MXU FLOPs (the chunked matmul is the same contraction) plus
-C cheap elementwise adds — negligible at kernel-build time.
+Memory discipline: operands are sliced with ``dynamic_slice`` inside the
+scan — no padded/reshaped/transposed copy of the (L, n^2) operands is ever
+materialized (a batched-einsum formulation of the same math needs ~2x the
+probe block and OOMs HBM at 2048^2). Cost: identical MXU FLOPs plus C cheap
+elementwise adds — negligible at kernel-build time.
+
+Use :func:`rowdot_compensated` (contract the LAST axis of both operands,
+C = A @ B^T) when the natural data layout is row-major vector stacks — it
+avoids the explicit ``.T`` copy entirely.
 """
 
 from __future__ import annotations
@@ -37,14 +43,26 @@ def two_sum(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return s, e
 
 
-def _pad_k(x: jnp.ndarray, axis: int, chunk: int) -> jnp.ndarray:
-    k = x.shape[axis]
-    pad = (-k) % chunk
-    if not pad:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+def _compensated_chunks(partial_fn, k: int, chunk: int, out_shape, dtype):
+    """Scan ``partial_fn(start, size)`` over contraction chunks with
+    double-float accumulation; handles a non-divisible tail chunk."""
+    c_full = k // chunk
+    zero = jnp.zeros(out_shape, dtype=dtype)
+
+    def body(carry, i):
+        s, e = carry
+        s, err = two_sum(s, partial_fn(i * chunk, chunk))
+        return (s, e + err), None
+
+    if c_full:
+        (s, e), _ = jax.lax.scan(body, (zero, zero), jnp.arange(c_full))
+    else:
+        s, e = zero, zero
+    rem = k - c_full * chunk
+    if rem:
+        s, err = two_sum(s, partial_fn(c_full * chunk, rem))
+        e = e + err
+    return s + e
 
 
 def matmul_compensated(
@@ -61,25 +79,53 @@ def matmul_compensated(
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"contraction mismatch: {a.shape} @ {b.shape}")
+    hi = jax.lax.Precision.HIGHEST
     if k <= chunk:
-        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(a, b, precision=hi)
 
-    a = _pad_k(a, 1, chunk)
-    b = _pad_k(b, 0, chunk)
-    c = a.shape[1] // chunk
-    # One batched MXU matmul producing all per-chunk partials (c, M, N).
-    partials = jnp.einsum(
-        "mck,ckn->cmn",
-        a.reshape(m, c, chunk),
-        b.reshape(c, chunk, n),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    def partial(start, size):
+        a_c = jax.lax.dynamic_slice(a, (0, start), (m, size))
+        b_c = jax.lax.dynamic_slice(b, (start, 0), (size, n))
+        return jnp.matmul(a_c, b_c, precision=hi)
 
-    def body(carry, p):
-        s, e = carry
-        s, err = two_sum(s, p)
-        return (s, e + err), None
+    dtype = jnp.result_type(a.dtype, b.dtype)
+    return _compensated_chunks(partial, k, chunk, (m, n), dtype)
 
-    zero = jnp.zeros((m, n), dtype=partials.dtype)
-    (s, e), _ = jax.lax.scan(body, (zero, zero), partials)
-    return s + e
+
+def rowdot_compensated(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    chunk: int = 512,
+    conj_a: bool = False,
+    conj_b: bool = False,
+) -> jnp.ndarray:
+    """``op(a) @ op(b).T`` for row-major stacks (a: (M, K), b: (N, K)) with
+    double-float accumulation — contracts the last axis of BOTH operands so
+    no transposed copy of either is ever created. This is the layout of
+    every wide contraction in the SOCS pipeline (Gram of probe-vector rows,
+    Rayleigh-Ritz projections, block-Gram-Schmidt coefficients).
+
+    ``conj_a``/``conj_b`` conjugate the corresponding operand *per chunk*
+    inside the scan — a whole-array ``jnp.conj`` on a multi-GB probe block
+    would double its HBM footprint."""
+    m, k = a.shape
+    n, k2 = b.shape
+    if k != k2:
+        raise ValueError(f"row-contraction mismatch: {a.shape} x {b.shape}")
+    hi = jax.lax.Precision.HIGHEST
+    dims = (((1,), (1,)), ((), ()))
+
+    def partial(start, size):
+        a_c = jax.lax.dynamic_slice(a, (0, start), (m, size))
+        b_c = jax.lax.dynamic_slice(b, (0, start), (n, size))
+        if conj_a:
+            a_c = jnp.conj(a_c)
+        if conj_b:
+            b_c = jnp.conj(b_c)
+        return jax.lax.dot_general(a_c, b_c, dims, precision=hi)
+
+    if k <= chunk:
+        return partial(0, k)
+    dtype = jnp.result_type(a.dtype, b.dtype)
+    return _compensated_chunks(partial, k, chunk, (m, n), dtype)

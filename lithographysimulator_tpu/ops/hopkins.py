@@ -40,7 +40,7 @@ import numpy as np
 from ..config import OpticsConfig
 from ..xfer import to_device_complex, to_host_complex
 from .abbe import source_points
-from .compensated import matmul_compensated
+from .compensated import rowdot_compensated
 from .fourier import centered_ifft2, crop_center, pad_center
 from .fraunhofer import separable_dft
 
@@ -130,7 +130,7 @@ def tcc_eigensystem(
     a = a * jnp.sqrt(jnp.asarray(pts.weights))[:, None].astype(a.dtype)
 
     if side == "source":
-        gram = matmul_compensated(a, a.conj().T)  # (P, P) Hermitian PSD
+        gram = rowdot_compensated(a, a, conj_b=True)  # (P, P) Hermitian PSD
         gram = 0.5 * (gram + gram.conj().T)
         eigvals, u = jnp.linalg.eigh(gram)  # ascending
         eigvals = eigvals[::-1]
@@ -356,12 +356,19 @@ def randomized_socs(
 
         hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
 
-        def wide_matmul(x, y):
-            return (matmul_compensated(x, y) if compensated
-                    else jnp.matmul(x, y, precision=hi))
+        def wide_rowdot(x, y, conj_b=False):
+            # x @ op(y).T without materializing a transpose or a whole-array
+            # conj (the (L, n^2) operands are GBs at 2048^2 — copies of them
+            # OOM HBM)
+            if compensated:
+                return rowdot_compensated(x, y, conj_b=conj_b)
+            if conj_b:
+                y = jnp.conj(y)
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), precision=hi)
 
         def whiten_once(f):
-            gram = wide_matmul(f, f.conj().T)
+            gram = wide_rowdot(f, f, conj_b=True)
             gram = 0.5 * (gram + gram.conj().T)
             s, v = jnp.linalg.eigh(gram)
             inv_sqrt = jnp.where(
@@ -381,9 +388,10 @@ def randomized_socs(
         flat = block.reshape(block.shape[0], -1)
         for qb in basis_blocks:
             qf = qb.reshape(qb.shape[0], -1)
-            coef = (matmul_compensated(jnp.conj(qf), flat.T) if compensated
-                    else jnp.matmul(jnp.conj(qf), flat.T,
-                                    precision=jax.lax.Precision.HIGHEST))
+            coef = (rowdot_compensated(qf, flat, conj_a=True) if compensated
+                    else jax.lax.dot_general(
+                        jnp.conj(qf), flat, (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST))
             flat = flat - jnp.matmul(coef.T, qf,
                                      precision=jax.lax.Precision.HIGHEST)
         return flat.reshape(block.shape)
@@ -437,11 +445,12 @@ def randomized_socs(
     lq = q.shape[0]  # L, or L * (power_iters + 1) on the Krylov path
     gq = matvec_all(q)
     if compensated:
-        small = matmul_compensated(q.reshape(lq, -1).conj(),
-                                   gq.reshape(lq, -1).T)  # (L, L)
+        small = rowdot_compensated(q.reshape(lq, -1), gq.reshape(lq, -1),
+                                   conj_a=True)  # (L, L)
     else:
-        small = jnp.matmul(q.reshape(lq, -1).conj(), gq.reshape(lq, -1).T,
-                           precision=jax.lax.Precision.HIGHEST)
+        small = jax.lax.dot_general(
+            q.reshape(lq, -1).conj(), gq.reshape(lq, -1),
+            (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
     small = 0.5 * (small + small.conj().T)
     eigvals, eigvecs = jnp.linalg.eigh(small)  # ascending
     eigvals = jnp.clip(eigvals[::-1].real, 0.0, None)

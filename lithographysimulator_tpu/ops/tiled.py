@@ -130,6 +130,98 @@ def tiled_socs_image(
     return stitched[:big_n, :big_n]
 
 
+@functools.lru_cache(maxsize=32)
+def _window_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                     spectrum_solver):
+    """Jitted imager for a batch of pre-extracted tile windows (k, n, n):
+    the streaming path's kernel — no full-chip array exists anywhere."""
+    n = tile_config.n
+
+    @jax.jit
+    def window_batch(windows, socs):
+        def one(window):
+            spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
+            img = socs_image(spectrum, socs, tile_config,
+                             solver=solver, chunk=chunk, engine=engine)
+            return img[halo : halo + step, halo : halo + step]
+
+        return jax.lax.map(one, windows)
+
+    return window_batch
+
+
+def tiled_socs_image_stream(
+    window_fn,
+    big_n: int,
+    socs: SOCSKernels,
+    tile_config: OpticsConfig,
+    *,
+    halo: int | None = None,
+    solver: str = "gau23",
+    chunk: int = 4,
+    engine: str = "auto",
+    spectrum_solver: str = "gau23",
+    tiles_per_dispatch: int = 8,
+) -> jnp.ndarray:
+    """(M, M) aerial image of a chip that never exists as one array.
+
+    ``window_fn(row0, col0) -> (n, n) float32`` supplies the mask window
+    whose low corner sits at CHIP pixel (row0, col0) — both may be negative
+    (halo outside the chip: return zeros there). Windows are produced on the
+    host per dispatch batch, so peak memory is O(tiles_per_dispatch * n^2)
+    regardless of chip size: a 65536^2 layout streams through a 1024^2
+    optical field without a 17-gigapixel raster ever being materialized
+    (pair with :func:`..io.layout.window_provider` to rasterize GDSII/OASIS
+    polygons window by window)."""
+    n = tile_config.n
+    if halo is None:
+        halo = default_halo(tile_config)
+    tiles, step = tile_layout(big_n, n, halo)
+
+    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    total = len(coords)
+    k = max(1, min(tiles_per_dispatch, total))
+    pad_tiles = (-total) % k
+    if pad_tiles:
+        coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
+
+    batch_fn = _window_batch_fn(tile_config, halo, step, solver, chunk,
+                                engine, spectrum_solver)
+    cores = []
+    for start in range(0, len(coords), k):
+        block = coords[start : start + k]
+        windows = np.stack([
+            np.asarray(window_fn(int(ti) * step - halo, int(tj) * step - halo),
+                       np.float32)
+            for ti, tj in block])
+        cores.append(batch_fn(jnp.asarray(windows), socs))
+    cores = jnp.concatenate(cores, axis=0)[:total]
+    grid = cores.reshape(tiles, tiles, step, step)
+    stitched = jnp.concatenate(
+        [jnp.concatenate(list(row), axis=1) for row in grid], axis=0)
+    return stitched[:big_n, :big_n]
+
+
+def array_window_fn(mask_big, n: int):
+    """A ``window_fn`` over an in-memory chip array (zero-padded outside) —
+    the streaming path's reference provider, used to cross-check against
+    :func:`tiled_socs_image`. ``n`` is the tile/window size."""
+    mask_big = np.asarray(mask_big, np.float32)
+    big_n = mask_big.shape[-1]
+
+    def window_fn(row0: int, col0: int) -> np.ndarray:
+        out = np.zeros((n, n), np.float32)
+        r_lo, r_hi = max(row0, 0), min(row0 + n, big_n)
+        c_lo, c_hi = max(col0, 0), min(col0 + n, big_n)
+        if r_lo < r_hi and c_lo < c_hi:
+            out[r_lo - row0 : r_hi - row0, c_lo - col0 : c_hi - col0] = \
+                mask_big[r_lo:r_hi, c_lo:c_hi]
+        return out
+
+    return window_fn
+
+
 def tiled_socs_image_scan(
     mask_big: jnp.ndarray,
     socs: SOCSKernels,

@@ -19,9 +19,11 @@ backward pass) over ICI.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .config import OpticsConfig
@@ -255,3 +257,121 @@ def opc_correct(
         history.append(float(loss))
     corrected = mask_from_latent(params["mask_latent"], problem.mask_steepness)
     return corrected, history
+
+
+# ---------------------------------------------------------------------------
+# Full-chip (tile-streamed) OPC
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _compiled_tile_opc_step(config, halo: int, steepness: float,
+                            learning_rate: float, resist_key):
+    """One Adam step of the per-tile OPC problem, jitted once and reused for
+    every tile of every sweep. The halo ring is FROZEN to ``frozen_tile``
+    (the design on sweep 1, corrected neighbors afterwards) so each core
+    solution is consistent with its surroundings; the loss reads the core
+    only. SOCS kernels ride as a jit argument (pytree)."""
+    from .models.resist import ResistModel
+    from .ops.fraunhofer import mask_spectrum
+    from .ops.hopkins import socs_image
+
+    resist = ResistModel(*resist_key)
+    optimizer = optax.adam(learning_rate)
+    n = config.n
+
+    def mask_of(latent, frozen_tile):
+        soft = jax.nn.sigmoid(steepness * latent)
+        core = jnp.zeros((n, n), bool).at[halo:n - halo, halo:n - halo].set(True)
+        return jnp.where(core, soft, frozen_tile)
+
+    def loss_fn(latent, frozen_tile, target_core, socs):
+        mask = mask_of(latent, frozen_tile)
+        spectrum = mask_spectrum(mask, config, solver="gau23")
+        image = socs_image(spectrum, socs, config)
+        profile = resist.develop(image, config)
+        core = profile[halo:n - halo, halo:n - halo]
+        return jnp.mean((core - target_core) ** 2)
+
+    @jax.jit
+    def step(latent, opt_state, frozen_tile, target_core, socs):
+        loss, grads = jax.value_and_grad(loss_fn)(latent, frozen_tile,
+                                                  target_core, socs)
+        updates, opt_state = optimizer.update(grads, opt_state, latent)
+        return optax.apply_updates(latent, updates), opt_state, loss
+
+    return step, optimizer
+
+
+def opc_correct_tiled(
+    target_big,
+    tile_config,
+    source_map,
+    *,
+    resist=None,
+    halo: int | None = None,
+    steps: int = 60,
+    learning_rate: float = 0.15,
+    mask_steepness: float = 4.0,
+    rank: int = 64,
+    sweeps: int = 1,
+    aberrations=None,
+) -> np.ndarray:
+    """Resist-aware OPC on an arbitrarily large layout, tile by tile.
+
+    Imaging locality (the same property :mod:`.ops.tiled` stitches with)
+    makes OPC local too: each tile is optimized under tile-sized optics with
+    its halo ring frozen — to the original design on the first sweep, to the
+    already-corrected mask on later Gauss-Seidel-style sweeps — and only the
+    halo-free core lands in the output. The per-tile forward model is the
+    Hopkins/SOCS fast path (kernels built once per run, differentiable
+    through ``socs_image``), so full-chip OPC cost is
+    O(sweeps * tiles * steps) SOCS images at tile size, O(tile^2) memory.
+
+    Returns the corrected CONTINUOUS mask (threshold at 0.5 for manufactured
+    geometry). The reference has no OPC at all (README.md:21 roadmap)."""
+    from .models.resist import ResistModel
+    from .ops.tiled import default_halo, tile_layout
+    from .simulate import _compiled_socs_build
+
+    resist = resist or ResistModel(threshold=0.35, steepness=30.0)
+    resist_key = (resist.threshold, resist.steepness, resist.diffusion_nm)
+    if aberrations is None:
+        aberrations = np.zeros((5,), np.float32)
+    n = tile_config.n
+    big_n = np.asarray(target_big).shape[-1]
+    if halo is None:
+        halo = min(default_halo(tile_config), n // 4)
+    tiles, step_px = tile_layout(big_n, n, halo)
+
+    socs = _compiled_socs_build(tile_config, rank)(
+        np.asarray(aberrations, np.float32),
+        np.asarray(source_map, np.float32))[0]
+    step, optimizer = _compiled_tile_opc_step(
+        tile_config, halo, mask_steepness, learning_rate, resist_key)
+
+    target_big = np.asarray(target_big, np.float32)
+    pad_lo = halo
+    pad_hi = tiles * step_px + halo - big_n + (n - step_px)
+    target_pad = np.pad(target_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+    corrected_pad = target_pad.copy()
+
+    for _ in range(max(1, sweeps)):
+        for ti in range(tiles):
+            for tj in range(tiles):
+                y0, x0 = ti * step_px, tj * step_px
+                frozen = jnp.asarray(corrected_pad[y0:y0 + n, x0:x0 + n])
+                target_core = jnp.asarray(
+                    target_pad[y0 + halo:y0 + n - halo,
+                               x0 + halo:x0 + n - halo])
+                latent = latent_from_mask(
+                    target_pad[y0:y0 + n, x0:x0 + n], mask_steepness)
+                opt_state = optimizer.init(latent)
+                for _ in range(steps):
+                    latent, opt_state, _ = step(latent, opt_state, frozen,
+                                                target_core, socs)
+                core = np.asarray(
+                    mask_from_latent(latent, mask_steepness))[
+                        halo:n - halo, halo:n - halo]
+                corrected_pad[y0 + halo:y0 + n - halo,
+                              x0 + halo:x0 + n - halo] = core
+    return corrected_pad[pad_lo:pad_lo + big_n, pad_lo:pad_lo + big_n]

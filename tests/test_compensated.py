@@ -69,6 +69,24 @@ def test_non_divisible_k_padding():
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
 
 
+def test_rowdot_matches_matmul():
+    """rowdot (transpose-free) equals matmul against the explicit .T, and
+    hits the same accuracy floor."""
+    from lithographysimulator_tpu.ops.compensated import rowdot_compensated
+
+    rng = np.random.default_rng(4)
+    k = 3000
+    a64 = (rng.standard_normal((12, k)) + 1j * rng.standard_normal((12, k)))
+    b64 = (rng.standard_normal((10, k)) + 1j * rng.standard_normal((10, k)))
+    ref = a64 @ b64.conj().T
+    a = jnp.asarray(a64, jnp.complex64)
+    b = jnp.asarray(b64, jnp.complex64)
+    out = np.asarray(rowdot_compensated(a, jnp.conj(b)))
+    via_mm = np.asarray(matmul_compensated(a, jnp.conj(b).T))
+    np.testing.assert_allclose(out, via_mm, rtol=0, atol=1e-5 * np.abs(ref).max())
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 5e-7
+
+
 def test_jit_and_shape_mismatch():
     rng = np.random.default_rng(3)
     a = jnp.asarray(rng.standard_normal((4, 2048)), jnp.float32)
