@@ -271,11 +271,21 @@ def cmd_fem(args) -> int:
 
     tile_config = _build_config(args)  # optics of each tile
     big_n = args.big_n or tile_config.n
-    big_cfg = OpticsConfig(
-        pixel_number=big_n, pixel_size=args.pixel_size,
-        wavelength=args.wavelength, na=args.na)
-    mask_big = np.abs(np.asarray(_build_mask(args, big_cfg).geometry,
-                                 np.float32))
+    window_fn = None
+    mask_big = None
+    if args.stream:
+        if not args.mask_file:
+            raise SystemExit("--stream requires --mask-file (GDSII/OASIS)")
+        from .io.layout import layout_window_provider
+
+        window_fn = layout_window_provider(args.mask_file, tile_config,
+                                           big_n, layer=args.gds_layer)
+    else:
+        big_cfg = OpticsConfig(
+            pixel_number=big_n, pixel_size=args.pixel_size,
+            wavelength=args.wavelength, na=args.na)
+        mask_big = np.abs(np.asarray(_build_mask(args, big_cfg).geometry,
+                                     np.float32))
     source = _build_source(args, tile_config)
     defocus = np.linspace(args.focus_min, args.focus_max, args.focus_steps)
 
@@ -288,6 +298,7 @@ def cmd_fem(args) -> int:
         tolerance=args.cd_tolerance,
         rank=args.rank, halo=args.halo,
         tiles_per_dispatch=args.tiles_per_dispatch,
+        window_fn=window_fn, big_n=big_n if window_fn is not None else None,
     )
     elapsed = time.perf_counter() - t0
     print(json.dumps({
@@ -435,6 +446,9 @@ def main(argv=None) -> int:
     p_fem.add_argument("--halo", type=int, default=None,
                        help="tile halo px (default: optics-derived)")
     p_fem.add_argument("--tiles-per-dispatch", type=int, default=8)
+    p_fem.add_argument("--stream", action="store_true",
+                       help="stream tile windows straight from --mask-file "
+                            "(no full-chip raster; any layout size)")
     p_fem.set_defaults(func=cmd_fem)
 
     p_opc = sub.add_parser(

@@ -33,6 +33,8 @@ def tiled_focus_images(
     engine: str = "auto",
     tiles_per_dispatch: int = 8,
     socs_builder=None,
+    window_fn=None,
+    big_n: int | None = None,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
     build for the defocused pupil and one tiled stitch. The host loop over
@@ -40,9 +42,19 @@ def tiled_focus_images(
 
     ``socs_builder`` (optional) maps an aberration vector to a SOCSKernels
     set; the default is the shared jitted build (complex math must stay
-    under jit on the TPU tunnel)."""
+    under jit on the TPU tunnel).
+
+    Pass ``window_fn`` + ``big_n`` instead of ``mask_big`` to STREAM the
+    chip through :func:`..ops.tiled.tiled_socs_image_stream` (e.g. from
+    :func:`..io.layout.layout_window_provider`) — metrology then runs on
+    layouts that never exist as one raster."""
+    from .ops.tiled import tiled_socs_image_stream
     from .simulate import _compiled_socs_build
 
+    if (window_fn is None) == (mask_big is None):
+        raise ValueError("pass exactly one of mask_big or (window_fn, big_n)")
+    if window_fn is not None and big_n is None:
+        raise ValueError("window_fn requires big_n")
     if base_aberrations is None:
         base_aberrations = np.zeros((5,), np.float32)
     src_dev = np.asarray(source_map, np.float32)
@@ -53,9 +65,14 @@ def tiled_focus_images(
     out = []
     for aberr in stack_ab:
         socs = build(aberr)
-        img = tiled_socs_image(
-            mask_big, socs, tile_config, halo=halo, engine=engine,
-            tiles_per_dispatch=tiles_per_dispatch)
+        if window_fn is not None:
+            img = tiled_socs_image_stream(
+                window_fn, big_n, socs, tile_config, halo=halo,
+                engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+        else:
+            img = tiled_socs_image(
+                mask_big, socs, tile_config, halo=halo, engine=engine,
+                tiles_per_dispatch=tiles_per_dispatch)
         out.append(np.asarray(img))
     return np.stack(out)
 
@@ -76,8 +93,12 @@ def tiled_fem(
     halo: int | None = None,
     engine: str = "auto",
     tiles_per_dispatch: int = 8,
+    window_fn=None,
+    big_n: int | None = None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
+    Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``
+    (see :func:`tiled_focus_images`).
 
     Returns ``{"cd_nm": (F, D) matrix, "defocus_nm": ..., "doses": ...,
     "depth_of_focus_nm": ..., "exposure_latitude": ..., "in_spec_fraction":
@@ -92,7 +113,8 @@ def tiled_fem(
     stack = tiled_focus_images(
         mask_big, tile_config, source_map, defocus_nm,
         base_aberrations=base_aberrations, rank=rank, halo=halo,
-        engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+        engine=engine, tiles_per_dispatch=tiles_per_dispatch,
+        window_fn=window_fn, big_n=big_n)
     scale = max(float(stack.max()), 1e-30)
     doses = np.asarray(doses, np.float64)
     cds = np.empty((len(stack), len(doses)))

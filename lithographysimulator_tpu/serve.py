@@ -39,6 +39,7 @@ import threading
 import time
 import urllib.error
 import urllib.request
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -293,18 +294,47 @@ class LithoService:
 
 
 class Router:
-    """Round-robin fan-out over backend workers (one per chip) with
-    failover: a backend that refuses connections is skipped (and retried on
-    later requests — no permanent ejection, workers restart in place)."""
+    """Fan-out over backend workers (one per chip) with failover: a backend
+    that refuses connections is skipped (and retried on later requests — no
+    permanent ejection, workers restart in place).
 
-    def __init__(self, backends: list[str], *, timeout_s: float = 300.0):
+    Routing is SIGNATURE-AFFINE by default: requests whose optical signature
+    (config + source + solver fields) matches are sent to the same worker,
+    so they coalesce into that worker's batched dispatch and share its jit
+    cache; distinct signatures spread across workers. Requests without a
+    parseable signature fall back to round-robin."""
+
+    def __init__(self, backends: list[str], *, timeout_s: float = 300.0,
+                 affinity: bool = True):
         if not backends:
             raise ValueError("router needs at least one backend")
         self.backends = [b.rstrip("/") for b in backends]
         self.timeout_s = timeout_s
+        self.affinity = affinity
         self.forwarded = [0] * len(self.backends)
         self._next = 0
         self._lock = threading.Lock()
+
+    _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
+                         "solver", "chunk", "normalize", "socs_rank",
+                         "aberrations", "source")
+
+    def _pick_start(self, raw_body: bytes | None) -> int:
+        if self.affinity and raw_body:
+            try:
+                body = json.loads(raw_body)
+                sig = json.dumps(
+                    {k: body.get(k) for k in self._SIGNATURE_FIELDS},
+                    sort_keys=True)
+                # crc32, not hash(): str hashing is salted per process, and
+                # affinity must agree across router restarts
+                return zlib.crc32(sig.encode()) % len(self.backends)
+            except (json.JSONDecodeError, TypeError):
+                pass
+        with self._lock:
+            start = self._next
+            self._next = (self._next + 1) % len(self.backends)
+        return start
 
     def _forward_one(self, url: str, body: bytes | None) -> tuple[int, dict]:
         req = urllib.request.Request(
@@ -335,9 +365,7 @@ class Router:
                                     **({"health": payload} if ok else payload)})
             return 200, {"status": "ok", "role": "router",
                          "backends": per_backend}
-        with self._lock:
-            start = self._next
-            self._next = (self._next + 1) % len(self.backends)
+        start = self._pick_start(raw_body)
         last_err = None
         for attempt in range(len(self.backends)):
             i = (start + attempt) % len(self.backends)

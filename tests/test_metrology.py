@@ -117,6 +117,37 @@ def test_cli_fem(capsys):
     assert "depth_of_focus_nm" in payload and "exposure_latitude" in payload
 
 
+def test_fem_streamed_from_layout_matches_dense(tmp_path, source):
+    """FEM driven by a streaming layout provider (no full-chip raster)
+    equals the FEM of the rasterized chip."""
+    from lithographysimulator_tpu.io.gdsii import write_gds
+    from lithographysimulator_tpu.io.layout import layout_window_provider
+    from lithographysimulator_tpu.io.native import rasterize
+
+    px = TILE_CFG.pixel_size
+    cells = []
+    for y in range(16, BIG_N - 24, 36):
+        for x in range(16, BIG_N - 30, 44):
+            cells.append((1, np.array(
+                [(x * px, y * px), ((x + 18) * px, y * px),
+                 ((x + 18) * px, (y + 10) * px), (x * px, (y + 10) * px)])))
+    path = tmp_path / "chip.gds"
+    write_gds(path, {"TOP": cells}, unit_nm=1.0)
+
+    window_fn = layout_window_provider(path, TILE_CFG, BIG_N,
+                                       origin=(0.0, 0.0))
+    kwargs = dict(defocus_nm=[0.0, 80.0], doses=[0.9, 1.1],
+                  target_cd_nm=18 * px, resist=ResistModel(threshold=0.3),
+                  rank=48, halo=16)
+    streamed = tiled_fem(None, TILE_CFG, source, window_fn=window_fn,
+                         big_n=BIG_N, **kwargs)
+    full = rasterize([xy for _, xy in cells], origin=(0.0, 0.0),
+                     pixel_size=px, n=BIG_N)
+    dense = tiled_fem(full, TILE_CFG, source, **kwargs)
+    np.testing.assert_allclose(streamed["cd_nm"], dense["cd_nm"], atol=1e-9)
+    assert streamed["depth_of_focus_nm"] == dense["depth_of_focus_nm"]
+
+
 def test_tiled_meef_reasonable(big_mask, source):
     value = tiled_meef(big_mask, TILE_CFG, source,
                        resist=ResistModel(threshold=0.25), rank=48, halo=16)

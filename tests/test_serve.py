@@ -203,9 +203,10 @@ def test_router_health_lists_backends(fleet):
     assert all(b["ok"] for b in payload["backends"])
 
 
-def test_router_distributes_and_matches(fleet):
+def test_router_affinity_and_matches(fleet):
     url, servers = fleet
     mask = np.asarray(demo_bars(CFG).geometry)
+    before = [srv.service.requests_served for srv in servers]
     for _ in range(4):
         status, payload = _post(url, "/simulate", _simulate_body(mask))
         assert status == 200
@@ -214,9 +215,26 @@ def test_router_distributes_and_matches(fleet):
         demo_bars(CFG), LightSource(CFG, sigma_out=0.5).classical(),
         normalize=True).image)
     np.testing.assert_allclose(image, local, rtol=1e-5, atol=1e-7)
-    # round-robin: both workers served some of the 4 requests
-    counts = [srv.service.requests_served for srv in servers]
-    assert all(c >= 1 for c in counts)
+    # signature affinity: all 4 identical requests land on ONE worker (so
+    # they can batch there and share its jit cache)
+    served = [srv.service.requests_served - b
+              for srv, b in zip(servers, before)]
+    assert sorted(served) == [0, 4]
+
+
+def test_router_spreads_distinct_signatures(fleet):
+    """Distinct optical signatures spread across workers (crc32 affinity);
+    probe several pixel sizes and require that both workers got work."""
+    url, servers = fleet
+    mask = np.asarray(demo_bars(CFG).geometry)
+    before = [srv.service.requests_served for srv in servers]
+    for px in (20.0, 22.0, 24.0, 26.0, 28.0, 30.0):
+        status, _ = _post(url, "/simulate",
+                          _simulate_body(mask, pixel_size=px))
+        assert status == 200
+    served = [srv.service.requests_served - b
+              for srv, b in zip(servers, before)]
+    assert min(served) >= 1  # 6 distinct signatures: both workers hit
 
 
 def test_router_failover_skips_dead_backend():
