@@ -29,15 +29,27 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
+
+def _progress(msg: str) -> None:
+    """Stage marker on stderr (stdout stays one JSON line): long tunnel
+    compiles are otherwise indistinguishable from a hang."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 REFERENCE_BASELINE_S = 11764.6   # tools/reference_baseline.json @1024^2
 REFERENCE_2048_S = 163591.3      # tools/reference_baseline.json @2048^2
 N = 1024
 RANK = 256
+# 2048^2 uses rank 128: the randomized build keeps the (rank+16, n^2)
+# complex probe block plus its whitened copy live, and rank 256 at 2048^2
+# needs ~18 GB > the chip's 15.75 GB HBM (rank 128 -> ~9.7 GB peak).
+RANK_2048 = 128
 CHUNK = 4
 SEGMENTS = 8
 
@@ -76,7 +88,9 @@ def main() -> None:
     def socs_apply(geom, socs):
         return socs_image(mask_spectrum(geom, cfg), socs, cfg, chunk=CHUNK)
 
+    _progress("compiling 1024^2 SOCS build")
     socs = jax.block_until_ready(socs_build(aberrations, src_dev))  # compile
+    _progress("compiling 1024^2 SOCS apply")
     jax.block_until_ready(socs_apply(mask.geometry, socs))          # compile
 
     t0 = time.perf_counter()
@@ -104,7 +118,9 @@ def main() -> None:
     seg_args = [(mask.geometry, aberrations,
                  shifts[k * seg:(k + 1) * seg], weights[k * seg:(k + 1) * seg])
                 for k in range(SEGMENTS)]
+    _progress("compiling 1024^2 int8 Abbe segment")
     jax.block_until_ready(abbe_int8(*seg_args[0]))  # compile (one shape)
+    _progress("measuring 1024^2 int8 Abbe (8 segments)")
     t0 = time.perf_counter()
     partials = [abbe_int8(*a) for a in seg_args]
     abbe_image_full = jax.block_until_ready(sum(partials))
@@ -112,6 +128,7 @@ def main() -> None:
 
     # --- Abbe f32 'matmul' engine: 1/8 segment (accuracy config) --------
     abbe_f32 = make_seg("matmul")
+    _progress("compiling 1024^2 f32 Abbe segment")
     jax.block_until_ready(abbe_f32(*seg_args[0]))
     t0 = time.perf_counter()
     jax.block_until_ready(abbe_f32(*seg_args[0]))
@@ -128,10 +145,11 @@ def main() -> None:
     @jax.jit
     def socs_cold_2048(geom, a, s_map):
         k = randomized_socs(pupil_function(a, cfg2), s_map, cfg2,
-                            rank=RANK, power_iters=2)
+                            rank=RANK_2048, power_iters=2)
         return socs_image(mask_spectrum(geom, cfg2), k, cfg2, chunk=CHUNK)
 
     args2 = (mask2.geometry, aberrations, jnp.asarray(src2))
+    _progress("compiling 2048^2 SOCS cold pipeline")
     jax.block_until_ready(socs_cold_2048(*args2))  # compile
     t0 = time.perf_counter()
     jax.block_until_ready(socs_cold_2048(*args2))
@@ -152,6 +170,7 @@ def main() -> None:
             chunk=CHUNK, engine="int8", max_abs_shift=max_shift2)
 
     a2 = (mask2.geometry, aberrations, shifts2[:seg2], weights2[:seg2])
+    _progress("compiling 2048^2 int8 Abbe segment")
     jax.block_until_ready(abbe_seg_2048(*a2))
     t0 = time.perf_counter()
     jax.block_until_ready(abbe_seg_2048(*a2))

@@ -32,6 +32,7 @@ def _build_config(args):
         pixel_size=args.pixel_size,
         wavelength=args.wavelength,
         na=args.na,
+        immersion_index=args.immersion_index,
     )
 
 
@@ -80,6 +81,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--pixel-size", type=float, default=25.0)
     p.add_argument("--wavelength", type=float, default=193.0)
     p.add_argument("--na", type=float, default=0.7)
+    p.add_argument("--immersion-index", type=float, default=1.0,
+                   help="image-side medium index (1.437 = water at 193 nm; "
+                        "enables hyper-NA vector imaging)")
     p.add_argument("--mask", default="demo", choices=["demo", "lines", "contacts"])
     p.add_argument("--mask-file", default=None,
                    help=".npy array or .gds layout for the mask (overrides --mask)")
@@ -283,7 +287,8 @@ def cmd_fem(args) -> int:
     else:
         big_cfg = OpticsConfig(
             pixel_number=big_n, pixel_size=args.pixel_size,
-            wavelength=args.wavelength, na=args.na)
+            wavelength=args.wavelength, na=args.na,
+            immersion_index=args.immersion_index)
         mask_big = np.abs(np.asarray(_build_mask(args, big_cfg).geometry,
                                      np.float32))
     source = _build_source(args, tile_config)
@@ -328,7 +333,8 @@ def cmd_opc(args) -> int:
     big_n = args.big_n or tile_config.n
     big_cfg = OpticsConfig(
         pixel_number=big_n, pixel_size=args.pixel_size,
-        wavelength=args.wavelength, na=args.na)
+        wavelength=args.wavelength, na=args.na,
+        immersion_index=args.immersion_index)
     target = np.abs(np.asarray(_build_mask(args, big_cfg).geometry, np.float32))
     source = _build_source(args, tile_config)
     resist = ResistModel(threshold=args.threshold, steepness=30.0)

@@ -65,6 +65,13 @@ class OpticsConfig:
     pixel_size: float = 25.0
     wavelength: float = 193.0
     na: float = 0.7
+    #: refractive index of the medium between lens and wafer (1.0 = dry;
+    #: 1.437 = water at 193 nm). Consumed by the vector/high-NA engine:
+    #: sin(theta) = NA * rho / n_medium, and pupil positions with
+    #: NA * rho >= n_medium are evanescent (cannot propagate) and carry no
+    #: field. The scalar engine is index-independent (parity with the
+    #: scalar reference).
+    immersion_index: float = 1.0
 
     def __post_init__(self):
         if self.pixel_number < 2 or self.pixel_number % 2 != 0:
@@ -77,6 +84,9 @@ class OpticsConfig:
             # immersion lithography reaches NA ~1.35 (water) / ~1.55+
             # (high-index fluids); nothing in the sigma-grid math caps at 1
             raise ValueError(f"na must be in (0, 1.7], got {self.na}")
+        if self.immersion_index < 1.0:
+            raise ValueError(
+                f"immersion_index must be >= 1, got {self.immersion_index}")
 
     # --- derived grid constants (reference mask.py:32-35) -----------------
     @property

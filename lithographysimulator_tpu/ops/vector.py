@@ -74,7 +74,17 @@ def _vector_factors(config: OpticsConfig, apodize: bool):
     sy = grid.sigma[:, None]
     rho = np.hypot(sx + 0 * sy, sy + 0 * sx)
     inside = rho <= 1.0
-    sin_t = np.clip(config.na * rho, 0.0, 1.0 - 1e-12)
+    # Angles are measured in the image-side medium (immersion fluid/resist):
+    # sin(theta) = NA rho / n. Pupil positions with NA rho >= n are
+    # EVANESCENT — beyond the total-internal-reflection angle they carry no
+    # propagating field, so they are cut from the vector pupil rather than
+    # clipped (this is what physically limits dry lithography to NA < 1 and
+    # what water immersion at n = 1.437 buys back).
+    n_med = config.immersion_index
+    sin_t = config.na * rho / n_med
+    propagating = sin_t < 1.0 - 1e-12
+    sin_t = np.where(propagating, sin_t, 0.0)
+    inside = inside & propagating
     gamma = np.sqrt(1.0 - sin_t**2)
 
     safe_rho = np.where(rho > 0, rho, 1.0)

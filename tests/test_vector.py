@@ -139,3 +139,60 @@ def test_simulate_polarization_api():
 
     with pytest.raises(ValueError, match="vector imaging"):
         simulate(demo_bars(cfg), src, solver="socs", polarization="x")
+
+
+def test_immersion_restores_hyper_na_pupil():
+    """Dry NA=1.35 is unphysical: pupil positions with NA*rho >= 1 are
+    evanescent and cut. Water immersion (n=1.437) makes the whole pupil
+    propagate again."""
+    from lithographysimulator_tpu.ops.vector import _vector_factors
+
+    dry = OpticsConfig(pixel_number=32, na=1.35)
+    wet = OpticsConfig(pixel_number=32, na=1.35, immersion_index=1.437)
+    v_dry, inside_dry = _vector_factors(dry, False)
+    v_wet, inside_wet = _vector_factors(wet, False)
+    assert inside_dry.sum() < inside_wet.sum()  # TIR cutoff bites dry only
+    # the dry cutoff sits at rho = 1/1.35
+    from lithographysimulator_tpu.grid import Grid
+
+    rho = np.hypot(Grid(dry).sigma[None, :], Grid(dry).sigma[:, None])
+    np.testing.assert_array_equal(inside_dry, (rho <= 1.0) & (1.35 * rho < 1.0 - 1e-12))
+    np.testing.assert_array_equal(inside_wet, rho <= 1.0)
+    # evanescent region carries no field
+    assert np.abs(v_dry[:, :, ~inside_dry]).max() == 0.0
+
+
+def test_immersion_index_one_unchanged():
+    """immersion_index=1 reproduces the pre-immersion vector pupils exactly
+    at sub-unity NA (sin = NA*rho < 1 everywhere inside)."""
+    from lithographysimulator_tpu.ops.vector import _vector_factors
+
+    a = OpticsConfig(pixel_number=32, na=0.9)
+    b = OpticsConfig(pixel_number=32, na=0.9, immersion_index=1.0)
+    va, _ = _vector_factors(a, True)
+    vb, _ = _vector_factors(b, True)
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_immersion_imaging_end_to_end():
+    cfg = OpticsConfig(pixel_number=32, na=1.35, immersion_index=1.437)
+    geom = np.zeros((32, 32), np.float32)
+    geom[12:20, 12:20] = 1.0
+    spec = spectrum_fft(geom, cfg)
+    pup = pupil_function(np.zeros(1), cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    shifts, weights, _ = padded_source_arrays(src, 4)
+    img = np.asarray(vector_abbe_image(spec, pup, shifts, weights, cfg,
+                                       polarization="unpolarized"))
+    assert np.isfinite(img).all() and img.max() > 0
+    # hyper-NA in water keeps a substantial z-component
+    iz = np.asarray(vector_abbe_image(
+        spec, pup, shifts, weights, cfg, polarization="x"))
+    assert iz.max() > 0
+
+
+def test_bad_immersion_index_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        OpticsConfig(pixel_number=32, immersion_index=0.9)
