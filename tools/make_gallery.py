@@ -124,6 +124,94 @@ def main():
         ("developed pattern", model.develop_binary(res.image, cfg)),
     ])
 
+    # 6. Vector / immersion imaging at hyper-NA (water, NA 1.35)
+    from lithographysimulator_tpu.ops.vector import vector_abbe_image
+
+    cfg_i = lt.OpticsConfig(pixel_number=64, na=1.35, immersion_index=1.437)
+    geom_i = np.zeros((64, 64), np.float32)
+    geom_i[26:38, 26:38] = 1.0  # isolated contact: strongest vector effects
+    spec_i = lt.spectrum_fft(geom_i, cfg_i)
+    pup_i = lt.pupil_function(np.zeros(1), cfg_i)
+    src_i = np.asarray(lt.LightSource(cfg_i, sigma_out=0.5).classical())
+    sh_i, w_i, _ = padded_source_arrays(src_i, 4)
+    img_x = vector_abbe_image(spec_i, pup_i, sh_i, w_i, cfg_i,
+                              polarization="x", normalize=True)
+    img_y = vector_abbe_image(spec_i, pup_i, sh_i, w_i, cfg_i,
+                              polarization="y", normalize=True)
+    img_u = vector_abbe_image(spec_i, pup_i, sh_i, w_i, cfg_i,
+                              polarization="unpolarized", normalize=True)
+    save_panels("vector_immersion", [
+        ("contact mask", geom_i),
+        ("x-polarized (NA 1.35, water)", img_x),
+        ("y-polarized", img_y),
+        ("unpolarized", img_u),
+    ], ncols=4)
+
+    # 7. Full-chip tiled OPC: print fidelity before/after
+    from lithographysimulator_tpu.metrology import tiled_focus_images
+    from lithographysimulator_tpu.optimize import opc_correct_tiled
+
+    tile_cfg = lt.OpticsConfig(pixel_number=64)
+    layout = np.zeros((128, 128), np.float32)
+    for y in range(16, 112, 40):
+        for x in range(16, 98, 44):
+            layout[y:y + 12, x:x + 20] = 1.0
+    src_t = np.asarray(lt.LightSource(tile_cfg, sigma_out=0.6).annular())
+    resist = lt.ResistModel(threshold=0.3, steepness=30.0)
+
+    def full_print(mask_big):
+        img = tiled_focus_images(mask_big, tile_cfg, src_t, [0.0],
+                                 rank=48, halo=16)[0]
+        return (img / img.max()) > resist.threshold
+
+    corrected = opc_correct_tiled(layout, tile_cfg, src_t, resist=resist,
+                                  halo=16, steps=25, rank=48,
+                                  learning_rate=0.2)
+    save_panels("opc_full_chip", [
+        ("target layout (128²)", layout),
+        ("print, uncorrected", full_print(layout)),
+        ("OPC-corrected mask", corrected),
+        ("print, corrected", full_print(corrected)),
+    ], ncols=4)
+
+    # 8. Depth-resolved resist: through-film stack -> height map
+    from lithographysimulator_tpu import DepthResist, MackResist
+
+    dr = DepthResist(mack=MackResist(thickness_nm=400.0), nz=4,
+                     absorbance_per_um=1.5)
+    stack_ab8 = focus_stack_aberrations(np.zeros(5), dr.film_defocus_nm())
+    film_stack = through_focus_images(spec, stack_ab8, sh, w, cfg, chunk=8)
+    save_panels("depth_resist", [
+        ("aerial @ resist top", np.asarray(film_stack)[0]),
+        ("aerial @ resist bottom", np.asarray(film_stack)[-1]),
+        ("remaining height (nm)", dr.height_map_nm(film_stack)),
+        ("cleared to substrate", dr.develop_binary(film_stack)),
+    ], ncols=4, cmap="cividis")
+
+    # 9. Full-chip process window (CD through focus x dose)
+    from lithographysimulator_tpu.metrology import tiled_fem
+
+    lines = np.broadcast_to(
+        ((np.arange(128) // 8) % 4 == 0).astype(np.float32), (128, 128)).copy()
+    fem = tiled_fem(lines, tile_cfg, src_t,
+                    defocus_nm=np.linspace(-150, 150, 7),
+                    doses=np.linspace(0.7, 1.3, 7),
+                    resist=lt.ResistModel(threshold=0.25), rank=48, halo=16)
+    fig, ax = plt.subplots(dpi=170, figsize=(4.6, 3.8))
+    im = ax.imshow(fem["cd_nm"], cmap="viridis", aspect="auto",
+                   extent=(fem["doses"][0], fem["doses"][-1],
+                           fem["defocus_nm"][-1], fem["defocus_nm"][0]))
+    ax.set_xlabel("dose")
+    ax.set_ylabel("defocus (nm)")
+    ax.set_title(
+        f"full-chip CD (nm) — DoF {fem['depth_of_focus_nm']:.0f} nm, "
+        f"EL {fem['exposure_latitude']:.2f}", fontsize=9)
+    fig.colorbar(im, ax=ax, shrink=0.85)
+    fig.tight_layout()
+    fig.savefig(DOCS / "process_window.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "process_window.png")
+
     gallery = DOCS / "GALLERY.md"
     gallery.write_text("""# Gallery
 
@@ -137,6 +225,10 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![ilt](inverse_litho.png) | Inverse lithography: gradient-optimized mask recovers the target image |
 | ![focus](through_focus.png) | Through-focus stack (vmap over defocus) |
 | ![resist](resist.png) | Photoresist develop + CD extraction inputs |
+| ![vector](vector_immersion.png) | Hyper-NA vector imaging in water immersion (NA 1.35): polarization-dependent contact images |
+| ![opc](opc_full_chip.png) | Full-chip tile-streamed OPC: corrected mask prints the layout more faithfully |
+| ![depth](depth_resist.png) | Depth-resolved resist: through-film aerial stack → development height map |
+| ![pw](process_window.png) | Full-chip focus-exposure matrix → process window (tiled SOCS path) |
 """)
     print("wrote", gallery)
 
