@@ -175,33 +175,54 @@ class MackResist:
 @dataclasses.dataclass(frozen=True)
 class DepthResist:
     """Depth-resolved positive resist (beyond :class:`MackResist`'s thin-film
-    approximation): Beer-Lambert absorption and through-film defocus shape a
-    3-D latent image, and development is integrated vertically.
+    approximation): Beer-Lambert absorption, substrate standing waves, and
+    through-film defocus shape a 3-D latent image; development is integrated
+    vertically, or propagated as a true 3-D front (lateral etch + undercut)
+    by the eikonal solver (:mod:`..ops.eikonal`).
 
     The film of ``mack.thickness_nm`` is discretized into ``nz`` slabs at
     depths z_k (cell centers, z = 0 at the resist top). The latent image is
 
-        I(x, y, z) = I_stack(x, y, z) * exp(-absorbance_per_um * z)
+        I(x, y, z) = I_stack(x, y, z) * D(z)
         m(x, y, z) = exp(-C * dose * I)                       (Dill exposure)
 
-    where ``I_stack`` is either one aerial image (broadcast through depth —
-    absorption only) or a (nz, n, n) focal stack imaged at the defocus
-    offsets :meth:`film_defocus_nm` (through-film defocus; build it with
-    :func:`..ops.focus.through_focus_images`). Development follows the
-    standard vertical-propagation model: the etch front reaches depth z at
+    with the depth profile D(z) the standard standing-wave form (Mack,
+    "Fundamental Principles of Optical Lithography" ch. 4): the incident
+    attenuated wave, the substrate-reflected wave, and their interference,
 
-        t(z) = int_0^z dz' / r(m(x, y, z'))                  (Mack rate r)
+        D(z) = e^(-a z) + R e^(-a (2 T - z))
+               + 2 sqrt(R) e^(-a T) cos(4 pi n_resist (T - z) / lambda),
 
-    so the cleared depth after ``mack.develop_s`` is the piecewise-linear
-    inverse of t — exact per slab and differentiable (clip subgradients),
-    so 3-D resist profiles compose with dose/OPC optimization. Lateral
-    development and standing waves are not modeled (documented limits; the
-    reference has no resist model at all, README.md:19 roadmap).
+    normalized to D(0) = 1 (a = absorbance/nm, T = thickness, R =
+    ``substrate_reflectivity``; R = 0 recovers pure Beer-Lambert). An
+    optional post-exposure bake blurs m in 3-D (``peb_diffusion_nm``),
+    smoothing standing waves exactly as PEB does physically. ``I_stack`` is
+    either one aerial image (broadcast through depth) or a (nz, n, n) focal
+    stack imaged at the defocus offsets :meth:`film_defocus_nm` (build it
+    with :func:`..ops.focus.through_focus_images`).
+
+    Development, two fidelities:
+
+    * vertical (:meth:`cleared_depth_nm`): the etch front descends each
+      column independently, t(z) = int_0^z dz'/r(m) — exact per slab.
+    * lateral (:meth:`arrival_times` / :meth:`develop_profile`): the front
+      obeys the eikonal equation |grad t| = 1/r, capturing lateral etch and
+      undercuts; solved by monotone Godunov/Jacobi sweeps (TPU-shaped dense
+      stencils, differentiable).
+
+    All pieces are smooth or piecewise-linear, so 3-D resist profiles
+    compose with dose/OPC optimization. (The reference has no resist model
+    at all — photoresist modeling is an unchecked roadmap item, reference
+    README.md:19.)
     """
 
     mack: MackResist = MackResist()
     absorbance_per_um: float = 0.5  # lumped Dill A + B, 1/um
     nz: int = 8
+    substrate_reflectivity: float = 0.0  # intensity reflectance R of substrate
+    n_resist: float = 1.7               # resist refractive index
+    wavelength_nm: float = 193.0        # exposure wavelength (standing waves)
+    peb_diffusion_nm: float = 0.0       # post-exposure-bake 1-sigma diffusion
 
     @property
     def depths_nm(self) -> np.ndarray:
@@ -209,16 +230,62 @@ class DepthResist:
         dz = self.mack.thickness_nm / self.nz
         return (np.arange(self.nz) + 0.5) * dz
 
-    def film_defocus_nm(self, *, n_resist: float = 1.7,
+    def film_defocus_nm(self, *, n_resist: float | None = None,
                         best_focus_nm: float = 0.0) -> np.ndarray:
         """Defocus values (nm) to image each slab at: optical path inside the
         film scales by 1/n_resist, zeroed at mid-film + ``best_focus_nm``."""
         mid = self.mack.thickness_nm / 2.0
-        return best_focus_nm + (self.depths_nm - mid) / n_resist
+        n_r = self.n_resist if n_resist is None else n_resist
+        return best_focus_nm + (self.depths_nm - mid) / n_r
+
+    def depth_profile(self) -> np.ndarray:
+        """(nz,) relative intensity D(z) at the slab centers: Beer-Lambert
+        attenuation plus the substrate standing wave, normalized to D(0)=1."""
+        a = self.absorbance_per_um * 1e-3  # 1/nm
+        t_film = self.mack.thickness_nm
+        rho = np.sqrt(max(self.substrate_reflectivity, 0.0))
+
+        def d_of(z):
+            return (np.exp(-a * z)
+                    + rho * rho * np.exp(-a * (2.0 * t_film - z))
+                    + 2.0 * rho * np.exp(-a * t_film)
+                    * np.cos(4.0 * np.pi * self.n_resist
+                             * (t_film - z) / self.wavelength_nm))
+
+        return d_of(self.depths_nm) / d_of(0.0)
+
+    def _peb_blur(self, m: jnp.ndarray,
+                  pixel_size_nm: float | None) -> jnp.ndarray:
+        """3-D Gaussian PEB diffusion of the latent image m: FFT blur
+        laterally (periodic, matching the imaging engine's circular
+        convention), truncated-renormalized dense kernel through depth
+        (non-periodic film)."""
+        sigma = self.peb_diffusion_nm
+        if sigma <= 0.0:
+            return m
+        if pixel_size_nm is None:
+            raise ValueError(
+                "peb_diffusion_nm > 0 needs pixel_size_nm to scale the "
+                "lateral blur (pass it to latent/arrival_times/...)")
+        n = m.shape[-1]
+        freqs = np.fft.fftfreq(n, d=pixel_size_nm)
+        transfer = np.exp(-2.0 * (np.pi * sigma) ** 2
+                          * (freqs[None, :] ** 2 + freqs[:, None] ** 2))
+        m = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(m)
+                                   * jnp.asarray(transfer, jnp.complex64)))
+        # depth: (nz, nz) row-normalized Gaussian weights (zero-flux film
+        # boundaries: truncation + renormalization preserves a uniform m)
+        z = self.depths_nm
+        k = np.exp(-((z[:, None] - z[None, :]) ** 2) / (2.0 * sigma**2))
+        k /= k.sum(axis=1, keepdims=True)
+        return jnp.einsum("kz,zij->kij", jnp.asarray(k, jnp.float32), m,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def latent(self, image_stack, dose: float = 1.0, *,
-               normalize: bool = True) -> jnp.ndarray:
-        """(nz, n, n) remaining photo-active compound m."""
+               normalize: bool = True,
+               pixel_size_nm: float | None = None) -> jnp.ndarray:
+        """(nz, n, n) remaining photo-active compound m (after PEB if
+        ``peb_diffusion_nm`` > 0, which needs ``pixel_size_nm``)."""
         stack = jnp.asarray(image_stack)
         if stack.ndim == 2:
             stack = jnp.broadcast_to(stack, (self.nz, *stack.shape))
@@ -227,14 +294,18 @@ class DepthResist:
                 f"image stack has {stack.shape[0]} planes, expected nz={self.nz}")
         if normalize:
             stack = stack / jnp.maximum(jnp.max(stack), 1e-30)
-        atten = jnp.exp(-self.absorbance_per_um * 1e-3 * self.depths_nm)
+        atten = self.depth_profile()
         stack = stack * jnp.asarray(atten, stack.dtype)[:, None, None]
-        return jnp.exp(-self.mack.dill_c * dose * 100.0 * stack)
+        m = jnp.exp(-self.mack.dill_c * dose * 100.0 * stack)
+        return self._peb_blur(m, pixel_size_nm)
 
     def cleared_depth_nm(self, image_stack, dose: float = 1.0, *,
-                         normalize: bool = True) -> jnp.ndarray:
-        """(n, n) etch-front depth after ``mack.develop_s`` of development."""
-        m = self.latent(image_stack, dose, normalize=normalize)
+                         normalize: bool = True,
+                         pixel_size_nm: float | None = None) -> jnp.ndarray:
+        """(n, n) etch-front depth after ``mack.develop_s`` of development
+        (vertical propagation: each column etches independently)."""
+        m = self.latent(image_stack, dose, normalize=normalize,
+                        pixel_size_nm=pixel_size_nm)
         rate = self.mack.development_rate(m)  # (nz, n, n), nm/s
         dz = self.mack.thickness_nm / self.nz
         dt = dz / rate  # time to etch through each slab
@@ -243,22 +314,87 @@ class DepthResist:
         frac = jnp.clip((self.mack.develop_s - t_top) / dt, 0.0, 1.0)
         return dz * jnp.sum(frac, axis=0)
 
-    def height_map_nm(self, image_stack, dose: float = 1.0, *,
+    # -- lateral development (eikonal front propagation) ----------------------
+
+    def arrival_times(self, image_stack, dose: float = 1.0, *,
+                      pixel_size_nm: float, iterations: int | None = None,
                       normalize: bool = True) -> jnp.ndarray:
+        """(nz, n, n) etch-front arrival time (s) at each slab *bottom*, by
+        the eikonal model |grad t| = 1/r — includes lateral etch and
+        undercut. ``iterations`` bounds the front's travel distance in cells
+        (default nz + 48 sweeps; unconverged voxels hold safe upper bounds,
+        i.e. truncation under-etches). Vertical-limit check: with laterally
+        uniform rates this equals cumsum(dz / r) exactly."""
+        from ..ops.eikonal import arrival_times as _eikonal
+
+        m = self.latent(image_stack, dose, normalize=normalize,
+                        pixel_size_nm=pixel_size_nm)
+        rate = self.mack.development_rate(m)  # (nz, n, n), nm/s
+        dz = self.mack.thickness_nm / self.nz
+        if iterations is None:
+            iterations = self.nz + 48
+        return _eikonal(1.0 / rate, (dz, pixel_size_nm, pixel_size_nm),
+                        iterations=iterations)
+
+    def develop_profile(self, image_stack, dose: float = 1.0, *,
+                        pixel_size_nm: float, iterations: int | None = None,
+                        steepness: float = 5.0,
+                        normalize: bool = True) -> jnp.ndarray:
+        """(nz, n, n) differentiable cleared fraction in [0, 1] per voxel
+        (1 = resist removed) after ``mack.develop_s`` of 3-D development —
+        the full resist profile, undercuts included."""
+        t = self.arrival_times(image_stack, dose, pixel_size_nm=pixel_size_nm,
+                               iterations=iterations, normalize=normalize)
+        return jax.nn.sigmoid(steepness * (self.mack.develop_s - t))
+
+    def develop_profile_binary(self, image_stack, dose: float = 1.0, *,
+                               pixel_size_nm: float,
+                               iterations: int | None = None,
+                               normalize: bool = True) -> jnp.ndarray:
+        t = self.arrival_times(image_stack, dose, pixel_size_nm=pixel_size_nm,
+                               iterations=iterations, normalize=normalize)
+        return (t <= self.mack.develop_s).astype(jnp.float32)
+
+    def cleared_depth_nm_lateral(self, image_stack, dose: float = 1.0, *,
+                                 pixel_size_nm: float,
+                                 iterations: int | None = None,
+                                 normalize: bool = True) -> jnp.ndarray:
+        """(n, n) per-column removed thickness under 3-D development: the
+        piecewise-linear inverse of the arrival times through each column
+        (with undercut, this counts total removed thickness, voids
+        included)."""
+        t_bottom = self.arrival_times(
+            image_stack, dose, pixel_size_nm=pixel_size_nm,
+            iterations=iterations, normalize=normalize)
+        t_top = jnp.concatenate(
+            [jnp.zeros_like(t_bottom[:1]), t_bottom[:-1]], axis=0)
+        dt = jnp.maximum(t_bottom - t_top, 1e-9)
+        dz = self.mack.thickness_nm / self.nz
+        frac = jnp.clip((self.mack.develop_s - t_top) / dt, 0.0, 1.0)
+        return dz * jnp.sum(frac, axis=0)
+
+    def height_map_nm(self, image_stack, dose: float = 1.0, *,
+                      normalize: bool = True,
+                      pixel_size_nm: float | None = None) -> jnp.ndarray:
         """(n, n) remaining resist thickness after development."""
         return self.mack.thickness_nm - self.cleared_depth_nm(
-            image_stack, dose, normalize=normalize)
+            image_stack, dose, normalize=normalize,
+            pixel_size_nm=pixel_size_nm)
 
     def develop(self, image_stack, dose: float = 1.0, *,
-                steepness: float = 0.2, normalize: bool = True) -> jnp.ndarray:
+                steepness: float = 0.2, normalize: bool = True,
+                pixel_size_nm: float | None = None) -> jnp.ndarray:
         """Differentiable cleared-to-substrate fraction in [0, 1]."""
-        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize)
+        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize,
+                                      pixel_size_nm=pixel_size_nm)
         return jax.nn.sigmoid(
             steepness * (depth - (1.0 - 1e-6) * self.mack.thickness_nm))
 
     def develop_binary(self, image_stack, dose: float = 1.0, *,
-                       normalize: bool = True) -> jnp.ndarray:
-        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize)
+                       normalize: bool = True,
+                       pixel_size_nm: float | None = None) -> jnp.ndarray:
+        depth = self.cleared_depth_nm(image_stack, dose, normalize=normalize,
+                                      pixel_size_nm=pixel_size_nm)
         return (depth >= (1.0 - 1e-6) * self.mack.thickness_nm).astype(jnp.float32)
 
 

@@ -269,7 +269,9 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
     # The fused row kernel holds all three (3, 1, w, w) int8 X-limb blocks
     # double-buffered in VMEM: past w ~ 800 that overflows the ~16 MB scoped
     # budget, so larger windows use the f32 XLA row transform instead. The
-    # column kernel streams (tile, w) blocks and just needs smaller tiles.
+    # column kernel streams (tile, w) blocks and just needs smaller tiles
+    # (tile_m is pinned at 128: the (3, B, tile_m) scale blocks require a
+    # last dim divisible by 128).
     tile_n = 128 if w > 768 else 256
     if n % 128 == 0 and w <= 768:
         ylr, yli, yls, ysc = row_transform_int8(
