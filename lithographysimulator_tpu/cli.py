@@ -364,6 +364,74 @@ def cmd_opc(args) -> int:
     return 0
 
 
+def cmd_resist3d(args) -> int:
+    """3-D resist development: through-film focal stack -> latent image
+    (absorption + substrate standing waves + PEB diffusion) -> eikonal front
+    propagation (lateral etch / undercut) -> 3-D profile + summary stats."""
+    from .models.resist import DepthResist, MackResist
+    from .ops.focus import focus_stack_aberrations, through_focus_images
+    from .ops.fraunhofer import mask_spectrum
+    from .parallel import padded_source_arrays
+
+    config = _build_config(args)
+    mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    dr = DepthResist(
+        mack=MackResist(thickness_nm=args.thickness, develop_s=args.develop_s),
+        nz=args.nz,
+        absorbance_per_um=args.absorbance,
+        substrate_reflectivity=args.reflectivity,
+        peb_diffusion_nm=args.peb,
+        wavelength_nm=config.wavelength,
+    )
+    shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk)
+    base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
+                      np.float32)
+    stack_ab = focus_stack_aberrations(base,
+                                       dr.film_defocus_nm().astype(np.float32))
+    spectrum = mask_spectrum(mask.geometry, config)
+    t0 = time.perf_counter()
+    stack = through_focus_images(spectrum, stack_ab, shifts, weights, config,
+                                 chunk=args.chunk, normalize=True)
+    profile = np.asarray(dr.develop_profile_binary(
+        stack, args.dose, pixel_size_nm=config.pixel_size))  # 1 = removed
+    elapsed = time.perf_counter() - t0
+
+    # Undercut voxels: removed, but with intact resist somewhere above them
+    # in the same column — unreachable by any purely-vertical develop model.
+    resist_above = np.minimum.accumulate(1.0 - profile, axis=0) < 1.0
+    undercut = int(np.logical_and(profile > 0.5, resist_above).sum())
+    print(json.dumps({
+        "nz": dr.nz,
+        "thickness_nm": dr.mack.thickness_nm,
+        "cleared_fraction": float(profile.mean()),
+        "through_print_fraction": float(profile.min(axis=0).mean()),
+        "undercut_voxels": undercut,
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    if args.out:
+        np.savez_compressed(args.out, profile=profile,
+                            depths_nm=dr.depths_nm)
+        print(f"wrote {args.out}")
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        row = config.n // 2
+        fig, axes = plt.subplots(2, 1, figsize=(8, 5), layout="constrained")
+        axes[0].imshow(np.asarray(stack[dr.nz // 2]), cmap="inferno")
+        axes[0].set_title("aerial image (mid-film plane)")
+        axes[1].imshow(1.0 - profile[:, row, :], cmap="copper",
+                       aspect="auto", interpolation="nearest")
+        axes[1].set_title(f"resist x-z cross-section (row {row}; "
+                          "dark = cleared)")
+        axes[1].set_ylabel("depth slab")
+        fig.savefig(args.plot, dpi=130)
+        print(f"wrote {args.plot}")
+    return 0
+
+
 def cmd_demo(args) -> int:
     """The reference's end-to-end demo (imageformation.py:99-149): 64^2 demo
     mask, quadrupole 0.4/0.8, 10 OSA terms with 100 nm defocus, 6-panel
@@ -470,6 +538,25 @@ def main(argv=None) -> int:
     p_opc.add_argument("--halo", type=int, default=None)
     p_opc.add_argument("--out", default=None, help="corrected mask .npy path")
     p_opc.set_defaults(func=cmd_opc)
+
+    p_r3d = sub.add_parser(
+        "resist3d", help="3-D resist develop (eikonal lateral etch)")
+    _add_common(p_r3d)
+    p_r3d.add_argument("--nz", type=int, default=8)
+    p_r3d.add_argument("--thickness", type=float, default=100.0,
+                       help="resist film thickness (nm)")
+    p_r3d.add_argument("--develop-s", type=float, default=30.0)
+    p_r3d.add_argument("--dose", type=float, default=1.0)
+    p_r3d.add_argument("--absorbance", type=float, default=0.5,
+                       help="lumped Dill absorbance (1/um)")
+    p_r3d.add_argument("--reflectivity", type=float, default=0.0,
+                       help="substrate intensity reflectance (standing waves)")
+    p_r3d.add_argument("--peb", type=float, default=0.0,
+                       help="post-exposure-bake diffusion length (nm)")
+    p_r3d.add_argument("--chunk", type=int, default=4)
+    p_r3d.add_argument("--out", default=None, help="3-D profile .npz path")
+    p_r3d.add_argument("--plot", default=None, help="cross-section .png path")
+    p_r3d.set_defaults(func=cmd_resist3d)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

@@ -146,6 +146,23 @@ def test_cli_socs(tmp_path, capsys):
     assert load_socs(out).rank == 8
 
 
+def test_cli_resist3d(tmp_path, capsys):
+    from lithographysimulator_tpu.cli import main
+
+    out = tmp_path / "p.npz"
+    fig = tmp_path / "p.png"
+    rc = main(["resist3d", "--pixel-number", "32", "--source", "annular",
+               "--sigma-in", "0.2", "--sigma-out", "0.6", "--mask", "lines",
+               "--nz", "4", "--reflectivity", "0.2", "--peb", "10",
+               "--out", str(out), "--plot", str(fig)])
+    assert rc == 0 and out.exists() and fig.exists()
+    report = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert report["nz"] == 4
+    assert 0.0 < report["cleared_fraction"] < 1.0
+    profile = np.load(out)["profile"]
+    assert profile.shape == (4, 32, 32)
+
+
 def test_cli_rejects_bad_source():
     from lithographysimulator_tpu.cli import main
 
