@@ -46,9 +46,9 @@ REFERENCE_BASELINE_S = 11764.6   # tools/reference_baseline.json @1024^2
 REFERENCE_2048_S = 163591.3      # tools/reference_baseline.json @2048^2
 N = 1024
 RANK = 256
-# 2048^2 uses rank 128: the randomized build keeps the (rank+16, n^2)
-# complex probe block plus its whitened copy live, and rank 256 at 2048^2
-# needs ~18 GB > the chip's 15.75 GB HBM (rank 128 -> ~9.7 GB peak).
+# 2048^2 uses rank 128 (~9.7 GB standard-build peak, ~5.3 s cold). Rank 256
+# fits HBM via the lean in-place build (ops/hopkins.py lean=...) but costs
+# 14 s cold; 128 captures the energy this benchmark needs, so speed wins.
 RANK_2048 = 128
 CHUNK = 4
 SEGMENTS = 8

@@ -264,6 +264,15 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
         prepare_t0_limbs, row_transform_int8)
 
     n, w = t0r.shape
+    # The column kernel's double-buffered (3, B, 128, w) int8 y-blocks grow
+    # with B*w; past w ~ 1400 a batched call overflows the 16 MB scoped-VMEM
+    # budget (measured at the 2048^2 SOCS full-grid case: 22.6 MB at B=4,
+    # still 16.5 MB at B=2; tile_m and tile_n are both pinned at 128 by
+    # layout rules). Split to single-field calls: B=1 at w=2048 is ~9.4 MB.
+    if w > 1400 and x.shape[0] > 1:
+        h = x.shape[0] // 2
+        return (_intensity_windowed_int8(x[:h], t0r, t0i, weights[:h])
+                + _intensity_windowed_int8(x[h:], t0r, t0i, weights[h:]))
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     t_limbs, t_scales = prepare_t0_limbs(t0r, t0i)
     # The fused row kernel holds all three (3, 1, w, w) int8 X-limb blocks

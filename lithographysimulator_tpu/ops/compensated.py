@@ -129,3 +129,42 @@ def rowdot_compensated(
         return partial(0, k)
     dtype = jnp.result_type(a.dtype, b.dtype)
     return _compensated_chunks(partial, k, chunk, (m, n), dtype)
+
+
+def rowdot3_compensated(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    row_chunk: int = 64,
+    conj_a: bool = False,
+    conj_b: bool = False,
+) -> jnp.ndarray:
+    """``op(a) . op(b)`` contracting the trailing (n, n) image axes of two
+    (M, n, n) / (N, n, n) stacks -> (M, N), with double-float cross-chunk
+    accumulation over image-row chunks.
+
+    Same math as :func:`rowdot_compensated` on flattened operands, but NEVER
+    reshapes: in the lean SOCS build the operands are multi-GB `lax.fori_loop`
+    carries, and a reshape's bitcast forces XLA to materialize a full copy at
+    the loop boundary (measured: two 4 GB copies at 2048^2 rank 256 — the
+    exact OOM the lean build exists to avoid)."""
+    m, n1, n2 = a.shape
+    nb = b.shape[0]
+    if a.shape[1:] != b.shape[1:]:
+        raise ValueError(f"image-axes mismatch: {a.shape} x {b.shape}")
+    hi = jax.lax.Precision.HIGHEST
+    dims = (((1, 2), (1, 2)), ((), ()))
+
+    def partial(start, size):
+        a_c = jax.lax.dynamic_slice(a, (0, start, 0), (m, size, n2))
+        b_c = jax.lax.dynamic_slice(b, (0, start, 0), (nb, size, n2))
+        if conj_a:
+            a_c = jnp.conj(a_c)
+        if conj_b:
+            b_c = jnp.conj(b_c)
+        return jax.lax.dot_general(a_c, b_c, dims, precision=hi)
+
+    if n1 <= row_chunk:
+        return partial(0, n1)
+    dtype = jnp.result_type(a.dtype, b.dtype)
+    return _compensated_chunks(partial, n1, row_chunk, (m, nb), dtype)

@@ -40,7 +40,7 @@ import numpy as np
 from ..config import OpticsConfig
 from ..xfer import to_device_complex, to_host_complex
 from .abbe import source_points
-from .compensated import rowdot_compensated
+from .compensated import rowdot3_compensated, rowdot_compensated
 from .fourier import centered_ifft2, crop_center, pad_center
 from .fraunhofer import separable_dft
 
@@ -324,6 +324,7 @@ def randomized_socs(
     probe_chunk: int | None | str = "auto",
     compensated: bool = True,
     krylov: bool = False,
+    lean: bool | str = "auto",
 ) -> SOCSKernels:
     """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
     of the source-side Gram operator. Exact circulant structure; accuracy set
@@ -340,8 +341,27 @@ def randomized_socs(
     iterate only — far faster convergence on the slowly-decaying TCC tail
     (randomized-vs-dense image agreement ~1e-6 at matched rank instead of
     ~1e-5), at (power_iters + 1)x the probe-field memory. Default off: the
-    plain subspace iteration is the at-scale production path."""
+    plain subspace iteration is the at-scale production path.
+
+    ``lean`` routes to the single-block-peak in-place build (see
+    :func:`_randomized_socs_lean`): ~1x the probe-block memory instead of
+    ~2x, which is what admits rank 256 at 2048^2 inside 15.75 GB HBM.
+    ``"auto"`` turns it on from 2048^2 up (krylov has no lean variant)."""
     n = config.n
+    if lean == "auto":
+        # The standard build's peak is ~2.1x the (rank + oversample, n, n)
+        # complex probe block (measured 9.7 GB at rank 128 / 2048^2); go
+        # lean only when that would not fit the 15.75 GB HBM — the in-place
+        # loops serialize work the batched build overlaps, so lean costs
+        # ~1.5x the build time and is not a free default.
+        peak = 2.2 * (rank + oversample) * n * n * 8
+        lean = peak > 12e9 and not krylov
+    if lean:
+        if krylov:
+            raise ValueError("krylov=True has no lean-memory variant")
+        return _randomized_socs_lean(
+            pupil, source_map, config, rank=rank, oversample=oversample,
+            power_iters=power_iters, seed=seed, compensated=compensated)
     if probe_chunk == "auto":
         probe_chunk = 8 if n >= 2048 else None
     w = jnp.asarray(source_map, jnp.float32)
@@ -352,10 +372,7 @@ def randomized_socs(
     r_fft = pupil_fft * jnp.conj(pupil_fft)  # FFT of the autocorrelation
 
     l = rank + oversample
-    key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
-    omega = (jax.random.normal(k1, (l, n, n))
-             + 1j * jax.random.normal(k2, (l, n, n))).astype(jnp.complex64)
+    omega = _random_probe_block(jax.random.PRNGKey(seed), l, n)
 
     def matvec_all(block):
         b = block.shape[0]
@@ -507,6 +524,267 @@ def randomized_socs(
     return SOCSKernels(
         kernels=kernels,
         eigenvalues=eigvals[:rank].astype(jnp.float32),
+        total_rank=live,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lean-memory randomized SOCS (single-probe-block peak)
+# ---------------------------------------------------------------------------
+#
+# The standard randomized build holds ~2 copies of the (rank + oversample,
+# n, n) complex probe block live at its peaks (matvec out vs in, whitening
+# apply out vs in, Rayleigh-Ritz G Q vs Q, and the final synthesis) — rank
+# 256 at 2048^2 is ~8.9 GB per copy, so two copies OOM the 15.75 GB HBM.
+# The lean build reaches a SINGLE-copy peak by updating the probe block in
+# place: every stage is a `lax.fori_loop` whose carry IS the block, updated
+# chunk-wise with `dynamic_update_slice` (XLA aliases while-loop carries, so
+# no second block is ever allocated), and the block is kept as a
+# (rank, n, n) + (oversample, n, n) buffer PAIR so the final kernels are the
+# first buffer itself — no (L, n, n) -> (rank, n, n) slice copy at the end.
+# The math is identical to `randomized_socs` (same matvec, CholQR2-style
+# double Gram whitening, Rayleigh-Ritz, synthesis); only buffer lifetimes
+# and the probe randomness (independently drawn per buffer) differ.
+# fori_loop is not reverse-differentiable, but nothing differentiates
+# through kernel builds (OPC/ILT treat kernels as constants).
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _random_probe_block(key, rows: int, n: int, *,
+                        row_chunk: int = 16) -> jnp.ndarray:
+    """(rows, n, n) complex64 standard-normal probes, generated chunk-wise
+    into the output buffer. A single `normal(...) + 1j * normal(...)` at full
+    size keeps two f32 (rows, n, n) temporaries plus the complex result live
+    (16 GB at rank 256 / 2048^2 — the build OOMed in *generation* before any
+    linear algebra ran); chunking caps the temporaries at chunk-size."""
+    buf = jnp.zeros((rows, n, n), jnp.complex64)
+    chunk = min(row_chunk, rows)
+    steps, rem = divmod(rows, chunk)
+
+    def gen(i, size):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        return (jax.random.normal(k1, (size, n, n))
+                + 1j * jax.random.normal(k2, (size, n, n))).astype(jnp.complex64)
+
+    def body(i, b):
+        return jax.lax.dynamic_update_slice_in_dim(b, gen(i, chunk), i * chunk, 0)
+
+    buf = jax.lax.fori_loop(0, steps, body, buf)
+    if rem:
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, gen(steps, rem), steps * chunk, 0)
+    return buf
+
+
+def _rows_inplace(fn, buf: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """buf[c] = fn(buf[c]) over leading-axis chunks, sequentially, reusing
+    buf's storage (loop-carry aliasing). fn must be row-local."""
+    l = buf.shape[0]
+    chunk = min(chunk, l)
+    steps, rem = divmod(l, chunk)
+
+    def body(i, b):
+        sl = jax.lax.dynamic_slice_in_dim(b, i * chunk, chunk, 0)
+        return jax.lax.dynamic_update_slice_in_dim(b, fn(sl), i * chunk, 0)
+
+    buf = jax.lax.fori_loop(0, steps, body, buf)
+    if rem:
+        sl = jax.lax.dynamic_slice_in_dim(buf, steps * chunk, rem, 0)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, fn(sl), steps * chunk, 0)
+    return buf
+
+
+_MIX_DIMS = (((1,), (0,)), ((), ()))   # (out, in) @ (in, rc, n) -> (out, rc, n)
+_IMG_DIMS = (((1, 2), (1, 2)), ((), ()))  # contract trailing image axes
+
+
+def _pair_gram(qm: jnp.ndarray, qo: jnp.ndarray, compensated: bool):
+    """Gram of the stacked (rows, n, n) buffers [qm; qo] — no concatenation,
+    no reshape (a reshape bitcast on a loop-carry buffer forces a full copy,
+    see :func:`..compensated.rowdot3_compensated`)."""
+    def dot(a, b):
+        if compensated:
+            return rowdot3_compensated(a, b, conj_b=True)
+        return jax.lax.dot_general(a, jnp.conj(b), _IMG_DIMS, precision=_HI)
+
+    g_mm = dot(qm, qm)
+    g_mo = dot(qm, qo)
+    g_oo = dot(qo, qo)
+    return jnp.concatenate([
+        jnp.concatenate([g_mm, g_mo], axis=1),
+        jnp.concatenate([g_mo.conj().T, g_oo], axis=1),
+    ], axis=0)
+
+
+def _pair_left_apply(mat: jnp.ndarray, qm: jnp.ndarray, qo: jnp.ndarray,
+                     img_row_chunk: int):
+    """[qm; qo] <- mat applied along the stack axis, chunked over image rows
+    in place (both buffers' chunk is read before either is written)."""
+    r_, n = qm.shape[0], qm.shape[1]
+    o_ = qo.shape[0]
+    m_mm, m_mo = mat[:r_, :r_], mat[:r_, r_:]
+    m_om, m_oo = mat[r_:, :r_], mat[r_:, r_:]
+    rc = min(img_row_chunk, n)
+    steps, rem = divmod(n, rc)
+
+    def update(carry, start, size):
+        bm, bo = carry
+        cm = jax.lax.dynamic_slice(bm, (0, start, 0), (r_, size, n))
+        co = jax.lax.dynamic_slice(bo, (0, start, 0), (o_, size, n))
+        nm = (jax.lax.dot_general(m_mm, cm, _MIX_DIMS, precision=_HI)
+              + jax.lax.dot_general(m_mo, co, _MIX_DIMS, precision=_HI))
+        no = (jax.lax.dot_general(m_om, cm, _MIX_DIMS, precision=_HI)
+              + jax.lax.dot_general(m_oo, co, _MIX_DIMS, precision=_HI))
+        return (jax.lax.dynamic_update_slice(bm, nm, (0, start, 0)),
+                jax.lax.dynamic_update_slice(bo, no, (0, start, 0)))
+
+    carry = jax.lax.fori_loop(
+        0, steps, lambda i, c: update(c, i * rc, rc), (qm, qo))
+    if rem:
+        carry = update(carry, steps * rc, rem)
+    return carry
+
+
+def _randomized_socs_lean(
+    pupil: jnp.ndarray,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int,
+    oversample: int,
+    power_iters: int,
+    seed: int,
+    compensated: bool,
+    row_chunk: int = 8,
+) -> SOCSKernels:
+    """Single-block-peak variant of :func:`randomized_socs` (same algorithm,
+    in-place buffer discipline; see the section comment above)."""
+    n = config.n
+    w = jnp.asarray(source_map, jnp.float32)
+    sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
+    pupil_fft = jnp.fft.fft2(pupil)
+    r_fft = pupil_fft * jnp.conj(pupil_fft)
+
+    l = rank + oversample
+    km, ko = jax.random.split(jax.random.PRNGKey(seed))
+    qm = _random_probe_block(km, rank, n)
+    qo = _random_probe_block(ko, oversample, n)
+
+    img_row_chunk = 8  # image rows per in-place matrix-apply step
+    mv = lambda c: _gram_matvec(c, sqrt_w, r_fft)
+
+    def pair_matvec(pm, po):
+        return (_rows_inplace(mv, pm, row_chunk),
+                _rows_inplace(mv, po, row_chunk))
+
+    def whiten_mat(gram):
+        gram = 0.5 * (gram + gram.conj().T)
+        s, v = jnp.linalg.eigh(gram)
+        inv_sqrt = jnp.where(
+            s > _WHITEN_CLIP * jnp.max(s), 1.0 / jnp.sqrt(jnp.abs(s)), 0.0)
+        return jnp.matmul(v * inv_sqrt[None, :], v.conj().T, precision=_HI)
+
+    def orthonormalize(pm, po):
+        for _ in range(2):  # CholQR2-style double whitening (see non-lean)
+            mat = whiten_mat(_pair_gram(pm, po, compensated))
+            pm, po = _pair_left_apply(mat, pm, po, img_row_chunk)
+        return pm, po
+
+    qm, qo = pair_matvec(qm, qo)
+    for _ in range(power_iters):
+        qm, qo = orthonormalize(qm, qo)
+        qm, qo = pair_matvec(qm, qo)
+    qm, qo = orthonormalize(qm, qo)
+
+    # Rayleigh-Ritz small matrix without materializing G Q: per row chunk c,
+    # small[:, c] = [qm; qo]^H (G q_c). The image contraction is fully inside
+    # each rowdot, so compensation needs no cross-chunk state.
+    def small_cols(chunk_rows):
+        gq = mv(chunk_rows)
+        if compensated:
+            top_blk = rowdot3_compensated(qm, gq, conj_a=True)
+            bot_blk = rowdot3_compensated(qo, gq, conj_a=True)
+        else:
+            top_blk = jax.lax.dot_general(jnp.conj(qm), gq, _IMG_DIMS,
+                                          precision=_HI)
+            bot_blk = jax.lax.dot_general(jnp.conj(qo), gq, _IMG_DIMS,
+                                          precision=_HI)
+        return jnp.concatenate([top_blk, bot_blk], axis=0)  # (L, c)
+
+    small = jnp.zeros((l, l), jnp.complex64)
+    for buf, offset in ((qm, 0), (qo, rank)):
+        rows = buf.shape[0]
+        chunk = min(row_chunk, rows)
+        steps, rem = divmod(rows, chunk)
+
+        def body(i, sm, _buf=buf, _off=offset, _chunk=chunk):
+            blk = small_cols(jax.lax.dynamic_slice_in_dim(
+                _buf, i * _chunk, _chunk, 0))
+            return jax.lax.dynamic_update_slice(sm, blk, (0, _off + i * _chunk))
+
+        small = jax.lax.fori_loop(0, steps, body, small)
+        if rem:
+            blk = small_cols(buf[steps * chunk:])
+            small = jax.lax.dynamic_update_slice(
+                small, blk, (0, offset + steps * chunk))
+
+    small = 0.5 * (small + small.conj().T)
+    eigvals, eigvecs = jnp.linalg.eigh(small)  # ascending
+    eigvals = jnp.clip(eigvals[::-1].real, 0.0, None)
+    top = eigvecs[:, ::-1][:, :rank]  # (L, rank)
+
+    # u = conj(top.T @ [qm; qo]) written into qm, image-row-chunked in place
+    # (qo is dead afterwards and freed by XLA).
+    t_m, t_o = top.T[:, :rank], top.T[:, rank:]
+    rc = min(img_row_chunk, n)
+    steps, rem = divmod(n, rc)
+
+    def u_update(bm, start, size):
+        cm = jax.lax.dynamic_slice(bm, (0, start, 0), (rank, size, n))
+        co = jax.lax.dynamic_slice(qo, (0, start, 0), (oversample, size, n))
+        um = (jax.lax.dot_general(t_m, cm, _MIX_DIMS, precision=_HI)
+              + jax.lax.dot_general(t_o, co, _MIX_DIMS, precision=_HI))
+        return jax.lax.dynamic_update_slice(bm, um, (0, start, 0))
+
+    qm = jax.lax.fori_loop(
+        0, steps, lambda i, b: u_update(b, i * rc, rc), qm)
+    if rem:
+        qm = u_update(qm, steps * rc, rem)
+
+    # Synthesis + conjugation + 1/sqrt(lambda) scaling, row-chunked in place:
+    # kernels ARE qm's buffer. (conj(u) folds into the synthesis call; see
+    # the conjugation notes in randomized_socs.)
+    top_vals = eigvals[:rank]
+    alive = top_vals > 1e-12 * jnp.maximum(eigvals[0], 1e-30)
+    scale = jnp.where(alive, 1.0 / jnp.sqrt(jnp.where(alive, top_vals, 1.0)),
+                      0.0).astype(jnp.complex64)
+
+    chunk = min(row_chunk, rank)
+    steps, rem = divmod(rank, chunk)
+
+    def synth_update(b, start, size):
+        u_c = jax.lax.dynamic_slice(b, (start, 0, 0), (size, n, n))
+        s_c = jax.lax.dynamic_slice(scale, (start,), (size,))
+        # u rows here hold top.T @ q; the eigenvector convention needs
+        # conj(.) before synthesis, and the stored kernel is conj(synth).
+        ker = jnp.conj(_synthesize_kernels(jnp.conj(u_c), sqrt_w, pupil_fft))
+        return jax.lax.dynamic_update_slice(
+            b, ker * s_c[:, None, None], (start, 0, 0))
+
+    qm = jax.lax.fori_loop(
+        0, steps, lambda i, b: synth_update(b, i * chunk, chunk), qm)
+    if rem:
+        qm = synth_update(qm, steps * chunk, rem)
+
+    try:
+        live = int(np.asarray(jnp.sum(w > 0)))
+    except jax.errors.TracerArrayConversionError:
+        live = -1
+    return SOCSKernels(
+        kernels=qm,
+        eigenvalues=top_vals.astype(jnp.float32),
         total_rank=live,
     )
 

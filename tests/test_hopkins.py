@@ -76,6 +76,34 @@ def test_randomized_socs_image_exact(setup):
     assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
 
 
+def test_lean_build_matches_standard(setup):
+    """The in-place single-block-peak build computes the same decomposition:
+    eigenvalues match the dense eigh and images match the Abbe loop at the
+    randomized path's accuracy (probe randomness differs, so comparisons run
+    against the exact references, not the standard randomized build)."""
+    spec, pup, src, abbe = setup
+    dense = tcc_eigensystem(pup, src, CFG, rank=12)
+    lean = randomized_socs(pup, src, CFG, rank=12, power_iters=3, lean=True)
+    np.testing.assert_allclose(np.asarray(lean.eigenvalues),
+                               np.asarray(dense.eigenvalues), rtol=1e-3)
+    socs = randomized_socs(pup, src, CFG, rank=64, power_iters=2, lean=True)
+    assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
+
+
+def test_lean_build_uncompensated_and_tail_chunks(setup):
+    """Odd rank (tail chunks on every in-place loop) + compensated=False."""
+    spec, pup, src, abbe = setup
+    socs = randomized_socs(pup, src, CFG, rank=61, power_iters=2, lean=True,
+                           compensated=False, oversample=13)
+    assert rel_rms(socs_image(spec, socs, CFG), abbe) < 5e-4
+
+
+def test_lean_krylov_rejected(setup):
+    _, pup, src, _ = setup
+    with pytest.raises(ValueError):
+        randomized_socs(pup, src, CFG, rank=8, lean=True, krylov=True)
+
+
 def test_randomized_socs_direct_solver(setup):
     """SOCS composes with the direct (matmul-transform) field solver too."""
     spec, pup, src, _ = setup

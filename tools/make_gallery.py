@@ -188,6 +188,34 @@ def main():
         ("cleared to substrate", dr.develop_binary(film_stack)),
     ], ncols=4, cmap="cividis")
 
+    # 8b. 3-D eikonal development: standing waves + lateral etch cross-section
+    # (wide lines so the depth modulation is visible across a feature)
+    dr3 = DepthResist(mack=MackResist(thickness_nm=300.0, develop_s=12.0),
+                      nz=24, absorbance_per_um=0.8,
+                      substrate_reflectivity=0.25, peb_diffusion_nm=0.0)
+    wide = lt.lines_and_spaces(cfg, line_width_px=16, pitch_px=32)
+    spec3 = lt.mask_spectrum(wide.geometry, cfg)
+    stack_ab3 = focus_stack_aberrations(np.zeros(5), dr3.film_defocus_nm())
+    film3 = through_focus_images(spec3, stack_ab3, sh, w, cfg, chunk=8,
+                                 normalize=True)
+    # latent at LOW dose for display: the exponential stays unsaturated, so
+    # the standing-wave bands are visible as depth modulation
+    latent_lo = np.asarray(dr3.latent(film3, dose=0.25))
+    profile = np.asarray(dr3.develop_profile_binary(
+        film3, pixel_size_nm=cfg.pixel_size))
+    dr3_peb = lt.DepthResist(mack=dr3.mack, nz=24, absorbance_per_um=0.8,
+                             substrate_reflectivity=0.25, peb_diffusion_nm=25.0)
+    profile_peb = np.asarray(dr3_peb.develop_profile_binary(
+        film3, pixel_size_nm=cfg.pixel_size))
+    row = 32
+    save_panels("resist3d", [
+        ("latent image x-z, low dose (standing waves)",
+         1.0 - latent_lo[:, row, :]),
+        ("3-D profile x-z (eikonal: scalloped sidewalls)",
+         1.0 - profile[:, row, :]),
+        ("same + 25 nm PEB (waves smoothed)", 1.0 - profile_peb[:, row, :]),
+    ], ncols=3, cmap="copper")
+
     # 9. Full-chip process window (CD through focus x dose)
     from lithographysimulator_tpu.metrology import tiled_fem
 
@@ -228,6 +256,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![vector](vector_immersion.png) | Hyper-NA vector imaging in water immersion (NA 1.35): polarization-dependent contact images |
 | ![opc](opc_full_chip.png) | Full-chip tile-streamed OPC: corrected mask prints the layout more faithfully |
 | ![depth](depth_resist.png) | Depth-resolved resist: through-film aerial stack → development height map |
+| ![resist3d](resist3d.png) | 3-D eikonal development: substrate standing waves in the latent image, lateral etch/undercut in the profile, PEB smoothing |
 | ![pw](process_window.png) | Full-chip focus-exposure matrix → process window (tiled SOCS path) |
 """)
     print("wrote", gallery)
