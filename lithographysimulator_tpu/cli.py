@@ -76,6 +76,18 @@ def _build_mask(args, config):
     raise SystemExit(f"unknown mask kind {args.mask!r}")
 
 
+def _resolve_aberrations(args):
+    """--aberrations reordered from the chosen indexing scheme into the
+    OSA-ordered vector the pipeline consumes (in place on args)."""
+    if args.aberrations and getattr(args, "zernike_indexing", "osa") != "osa":
+        from .ops.zernike import to_osa_coefficients
+
+        args.aberrations = [
+            float(c) for c in to_osa_coefficients(
+                args.aberrations, scheme=args.zernike_indexing)]
+    return args
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--pixel-number", type=int, default=64)
     p.add_argument("--pixel-size", type=float, default=25.0)
@@ -98,7 +110,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--poles", type=int, default=4)
     p.add_argument("--rotation", type=float, default=-np.pi / 8)
     p.add_argument("--aberrations", type=float, nargs="*", default=None,
-                   help="OSA-ordered Zernike coefficients (entry 4 in nm of defocus)")
+                   help="Zernike coefficients in --zernike-indexing order "
+                        "(OSA entry 4 / Noll term 4 is defocus in nm)")
+    p.add_argument("--zernike-indexing", default="osa",
+                   choices=["osa", "noll", "fringe"],
+                   help="single-index convention of --aberrations "
+                        "(reordered to OSA internally)")
 
 
 def cmd_simulate(args) -> int:
@@ -566,7 +583,7 @@ def main(argv=None) -> int:
     p_socs.set_defaults(func=cmd_socs)
 
     args = parser.parse_args(argv)
-    return args.func(args)
+    return args.func(_resolve_aberrations(args))
 
 
 if __name__ == "__main__":

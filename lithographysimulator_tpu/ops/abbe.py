@@ -288,6 +288,18 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
         return column_intensity_int8(
             (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
             tile_n=tile_n, interpret=interpret)
+    if n % 128 == 0 and w % 8 == 0 and w <= 1400:
+        # Mid-size windows (the 2048^2 case is w=1032): the square-block row
+        # kernel overflows VMEM, but the split-K variant blocks the
+        # contraction dim and keeps the whole transform on int8 dots —
+        # without it this range pays the 6-pass f32 row transform.
+        from .kernels.intensity_int8 import row_transform_int8_splitk
+
+        ylr, yli, yls, ysc = row_transform_int8_splitk(
+            x, t_limbs, t_scales, tile_k=256, interpret=interpret)
+        return column_intensity_int8(
+            (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
+            tile_n=tile_n, interpret=interpret)
     # Small or very large grids: f32 row transform (XLA), fused int8 column
     # kernel (the row kernel's scale blocks also need n % 128 == 0).
     prec = _PRECISIONS["highest"]

@@ -287,6 +287,140 @@ def row_transform_int8(
     return ylr, yli, yls, ysc.reshape(3, b, n)
 
 
+def _row_kernel_splitk(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
+                       ylr, yli, yls, ysc, m1_acc, m2_acc, m3_acc):
+    """Split-K variant of :func:`_row_kernel`: the contraction dim (X rows /
+    T0 columns) is blocked over the innermost grid axis with f32 VMEM
+    accumulators, so the X block shrinks from (w, w) to (tile_k, w) and the
+    kernel fits the ~16 MB scoped-VMEM budget for w up to ~1400 (the 2048^2
+    windowed case is w=1032 — square X blocks overflow past w ~ 800).
+    Limb scales are k-independent (T is quantized per full row, X per full
+    column), so they apply once at the final step, together with the
+    in-kernel row requantization for the column kernel."""
+    kb = pl.program_id(0)
+    kk = pl.program_id(2)
+    last = pl.num_programs(2) - 1
+
+    def idot(a, c):
+        return jax.lax.dot_general(
+            a, c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def group(tl, xl):
+        s0 = idot(tl[0], xl[0, 0])
+        s1 = idot(tl[0], xl[1, 0]) + idot(tl[1], xl[0, 0])
+        s2 = (idot(tl[0], xl[2, 0]) + idot(tl[1], xl[1, 0])
+              + idot(tl[2], xl[0, 0]))
+        return (s0.astype(jnp.float32)
+                + s1.astype(jnp.float32) * (1.0 / 256.0)
+                + s2.astype(jnp.float32) * (1.0 / 65536.0))
+
+    @pl.when(kk == 0)
+    def _():
+        m1_acc[...] = jnp.zeros_like(m1_acc)
+        m2_acc[...] = jnp.zeros_like(m2_acc)
+        m3_acc[...] = jnp.zeros_like(m3_acc)
+
+    m1_acc[...] += group(tlr[...], xlr[...])
+    m2_acc[...] += group(tli[...], xli[...])
+    m3_acc[...] += group(tls[...], xls[...])
+
+    @pl.when(kk == last)
+    def _():
+        # xsc arrives whole ((3, B, w): a (3, 1, w) block would break the
+        # last-two-dims tiling rule); index the batch row here.
+        m1 = m1_acc[...] * (tsc[0][:, None] * xsc[0, kb][None, :])
+        m2 = m2_acc[...] * (tsc[1][:, None] * xsc[1, kb][None, :])
+        m3 = m3_acc[...] * (tsc[2][:, None] * xsc[2, kb][None, :])
+        yr = m1 - m2
+        yi = m3 - m1 - m2
+        for plane, out_l, out_s in ((yr, ylr, 0), (yi, yli, 1),
+                                    (yr + yi, yls, 2)):
+            l0, l1, l2, s = _quant_rows_in_kernel(plane)
+            out_l[0, 0] = l0
+            out_l[1, 0] = l1
+            out_l[2, 0] = l2
+            ysc[out_s] = s
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "interpret"))
+def row_transform_int8_splitk(
+    x: jnp.ndarray,        # (B, w, w) complex64 windowed rolled products
+    t_limbs,               # (tlr, tli, tls): each (3, n, w) int8 (row-quant)
+    t_scales: jnp.ndarray,  # (3, n) float32
+    *,
+    tile_m: int = 128,
+    tile_k: int = 256,
+    interpret: bool = False,
+):
+    """Y_b = T0 @ X_b with the contraction split over k-blocks (see
+    :func:`_row_kernel_splitk`); same outputs as :func:`row_transform_int8`.
+
+    ``tile_k`` must be a multiple of 128 (it lands as the LAST dim of the T
+    block, where Mosaic requires 128-divisibility). The contraction dim is
+    zero-padded up to a tile_k multiple — exact, since zero limb rows/cols
+    contribute nothing to the int8 dots and the per-row/column scales are
+    untouched."""
+    b, w, _ = x.shape
+    tlr, tli, tls = t_limbs
+    n = tlr.shape[1]
+    if tile_k % 128 and not interpret:
+        raise ValueError(f"tile_k={tile_k} must be a multiple of 128")
+
+    xr = jnp.real(x)
+    xi = jnp.imag(x)
+    xlr, sxr = quantize_cols(xr)
+    xli, sxi = quantize_cols(xi)
+    xls, sxs = quantize_cols(xr + xi)
+    xsc = jnp.stack([sxr, sxi, sxs])  # (3, B, w)
+
+    w_k = -(-w // tile_k) * tile_k
+    if w_k != w:
+        pad_x = ((0, 0), (0, 0), (0, w_k - w), (0, 0))
+        xlr, xli, xls = (jnp.pad(a, pad_x) for a in (xlr, xli, xls))
+        pad_t = ((0, 0), (0, 0), (0, w_k - w))
+        tlr, tli, tls = (jnp.pad(a, pad_t) for a in (tlr, tli, tls))
+
+    grid = (b, n // tile_m, w_k // tile_k)
+    x_spec = pl.BlockSpec((3, 1, tile_k, w), lambda k, i, kk: (0, k, kk, 0),
+                          memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((3, tile_m, tile_k), lambda k, i, kk: (0, i, kk),
+                          memory_space=pltpu.VMEM)
+    yl_spec = pl.BlockSpec((3, 1, tile_m, w), lambda k, i, kk: (0, k, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
+        jax.ShapeDtypeStruct((3, b * n), jnp.float32),
+    )
+    blocks_per_b = n // tile_m
+    ylr, yli, yls, ysc = pl.pallas_call(
+        _row_kernel_splitk,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            x_spec, x_spec, x_spec,
+            pl.BlockSpec((3, b, w), lambda k, i, kk: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            t_spec, t_spec, t_spec,
+            pl.BlockSpec((3, tile_m), lambda k, i, kk: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(yl_spec, yl_spec, yl_spec,
+                   pl.BlockSpec((3, tile_m),
+                                lambda k, i, kk, _nb=blocks_per_b: (0, k * _nb + i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, w), jnp.float32),
+            pltpu.VMEM((tile_m, w), jnp.float32),
+            pltpu.VMEM((tile_m, w), jnp.float32),
+        ],
+    )(xlr, xli, xls, xsc, tlr, tli, tls, t_scales)
+    return ylr, yli, yls, ysc.reshape(3, b, n)
+
+
 def prepare_t0_limbs(t0r, t0i):
     """Quantize the static T0 planes once per configuration."""
     tlr, str_ = quantize_rows(t0r)

@@ -107,6 +107,38 @@ def test_row_kernel_matches_f32(rms):
     assert rms(deq(yls, ysc[2]), yr + yi) < 1e-6
 
 
+def test_row_kernel_splitk_matches_f32(rms):
+    """Split-K row kernel (mid-size windows): k-blocked contraction with
+    VMEM accumulators agrees with the dense transform, including an uneven
+    tile_k that does not divide 512."""
+    from lithographysimulator_tpu.ops.kernels.intensity_int8 import (
+        row_transform_int8_splitk)
+
+    rng = np.random.default_rng(3)
+    b, n, w = 2, 128, 96
+    x = (rng.normal(size=(b, w, w)) + 1j * rng.normal(size=(b, w, w))).astype(
+        np.complex64)
+    t0 = np.exp(1j * rng.normal(size=(n, w))).astype(np.complex64)
+    t_limbs, t_scales = prepare_t0_limbs(jnp.asarray(t0.real),
+                                         jnp.asarray(t0.imag))
+
+    def deq(limbs, s):
+        limbs = np.asarray(limbs, np.float64)
+        return (limbs[0] + limbs[1] / 256.0
+                + limbs[2] / 65536.0) * np.asarray(s)[..., None]
+
+    y_f32 = np.einsum("iw,bwv->biv", t0, np.asarray(x))
+    # 3 k-steps, a padded contraction (96 -> 128), and the degenerate
+    # single-block case (tile sizes below 128 are interpret-mode-only)
+    for tile_k in (32, 64, 96):
+        ylr, yli, yls, ysc = row_transform_int8_splitk(
+            jnp.asarray(x), t_limbs, t_scales, tile_k=tile_k, interpret=True)
+        yr = deq(ylr, ysc[0])
+        yi = deq(yli, ysc[1])
+        assert rms(yr + 1j * yi, y_f32) < 1e-6
+        assert rms(deq(yls, ysc[2]), yr + yi) < 1e-6
+
+
 CFG = OpticsConfig(pixel_number=32)
 
 

@@ -163,6 +163,24 @@ def test_cli_resist3d(tmp_path, capsys):
     assert profile.shape == (4, 32, 32)
 
 
+def test_cli_zernike_indexing(tmp_path, capsys):
+    """--zernike-indexing noll reorders coefficients: Noll term 4 (defocus)
+    equals OSA entry 4, so the two spellings produce identical images."""
+    from lithographysimulator_tpu.cli import main
+
+    out_noll = tmp_path / "noll.npy"
+    out_osa = tmp_path / "osa.npy"
+    common = ["simulate", "--pixel-number", "32", "--source", "classical",
+              "--sigma-out", "0.4", "--mask", "lines"]
+    assert main(common + ["--zernike-indexing", "noll",
+                          "--aberrations", "0", "0", "0", "80",
+                          "--out", str(out_noll)]) == 0
+    assert main(common + ["--aberrations", "0", "0", "0", "0", "80",
+                          "--out", str(out_osa)]) == 0
+    capsys.readouterr()
+    np.testing.assert_array_equal(np.load(out_noll), np.load(out_osa))
+
+
 def test_cli_rejects_bad_source():
     from lithographysimulator_tpu.cli import main
 
