@@ -223,6 +223,26 @@ class DepthResist:
     n_resist: float = 1.7               # resist refractive index
     wavelength_nm: float = 193.0        # exposure wavelength (standing waves)
     peb_diffusion_nm: float = 0.0       # post-exposure-bake 1-sigma diffusion
+    # Surface inhibition (Mack ch. 7): the development rate near the resist
+    # top is suppressed to ``surface_rate_factor`` of bulk, relaxing over
+    # ``inhibition_depth_nm``: r(m, z) = r(m) (1 - (1 - f) exp(-z / delta)).
+    surface_rate_factor: float = 1.0    # 1.0 disables
+    inhibition_depth_nm: float = 0.0
+
+    def rate_depth_factor(self) -> np.ndarray:
+        """(nz,) multiplicative development-rate factor at slab depths."""
+        if self.surface_rate_factor >= 1.0 or self.inhibition_depth_nm <= 0.0:
+            return np.ones(self.nz)
+        return 1.0 - (1.0 - self.surface_rate_factor) * np.exp(
+            -self.depths_nm / self.inhibition_depth_nm)
+
+    def _rate(self, m: jnp.ndarray) -> jnp.ndarray:
+        """(nz, n, n) development rate with the surface-inhibition profile."""
+        rate = self.mack.development_rate(m)
+        factor = self.rate_depth_factor()
+        if (factor != 1.0).any():
+            rate = rate * jnp.asarray(factor, rate.dtype)[:, None, None]
+        return rate
 
     @property
     def depths_nm(self) -> np.ndarray:
@@ -306,7 +326,7 @@ class DepthResist:
         (vertical propagation: each column etches independently)."""
         m = self.latent(image_stack, dose, normalize=normalize,
                         pixel_size_nm=pixel_size_nm)
-        rate = self.mack.development_rate(m)  # (nz, n, n), nm/s
+        rate = self._rate(m)  # (nz, n, n), nm/s
         dz = self.mack.thickness_nm / self.nz
         dt = dz / rate  # time to etch through each slab
         t_bottom = jnp.cumsum(dt, axis=0)
@@ -329,7 +349,7 @@ class DepthResist:
 
         m = self.latent(image_stack, dose, normalize=normalize,
                         pixel_size_nm=pixel_size_nm)
-        rate = self.mack.development_rate(m)  # (nz, n, n), nm/s
+        rate = self._rate(m)  # (nz, n, n), nm/s
         dz = self.mack.thickness_nm / self.nz
         if iterations is None:
             iterations = self.nz + 48

@@ -128,6 +128,22 @@ def test_lateral_develop_differentiable(aerial):
     assert np.isfinite(float(g)) and float(g) > 0
 
 
+def test_surface_inhibition(aerial):
+    """Surface inhibition slows clearing (strictly, near the top) and
+    factor=1 is an exact no-op; the eikonal path sees the same rates."""
+    base = DepthResist(nz=8)
+    inhib = DepthResist(nz=8, surface_rate_factor=0.2, inhibition_depth_nm=40.0)
+    d0 = np.asarray(base.cleared_depth_nm(aerial))
+    d1 = np.asarray(inhib.cleared_depth_nm(aerial))
+    assert (d1 <= d0 + 1e-6).all() and d1.mean() < d0.mean()
+    f = inhib.rate_depth_factor()
+    assert f[0] < f[-1] < 1.0  # suppressed most at the surface
+    np.testing.assert_array_equal(DepthResist(nz=8).rate_depth_factor(), 1.0)
+    t0 = np.asarray(base.arrival_times(aerial, pixel_size_nm=PX, iterations=12))
+    t1 = np.asarray(inhib.arrival_times(aerial, pixel_size_nm=PX, iterations=12))
+    assert (t1 >= t0 - 1e-5).all()  # inhibited fronts arrive no earlier
+
+
 # -- standing waves + PEB ------------------------------------------------------
 
 
