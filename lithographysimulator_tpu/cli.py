@@ -207,8 +207,7 @@ def cmd_focus(args) -> int:
     import jax.numpy as jnp
 
     from .models.resist import ResistModel, critical_dimension
-    from .ops.focus import focus_stack_aberrations, through_focus_images
-    from .ops.fraunhofer import mask_spectrum
+    from .ops.focus import compiled_focus_stack, focus_stack_aberrations
     from .parallel import padded_source_arrays
 
     config = _build_config(args)
@@ -219,11 +218,11 @@ def cmd_focus(args) -> int:
     base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
                       np.float32)
     stack_ab = focus_stack_aberrations(base, defocus.astype(np.float32))
-    spectrum = mask_spectrum(mask.geometry, config)
+    run = compiled_focus_stack(
+        config, chunk=args.chunk, normalize=True,
+        max_abs_shift=int(np.abs(np.asarray(shifts)).max()))
     t0 = time.perf_counter()
-    stack = through_focus_images(spectrum, stack_ab, shifts, weights, config,
-                                 chunk=args.chunk, normalize=True)
-    stack = np.asarray(stack)
+    stack = np.asarray(run(mask.geometry, stack_ab, shifts, weights))
     elapsed = time.perf_counter() - t0
 
     model = ResistModel(threshold=args.threshold)
@@ -386,8 +385,7 @@ def cmd_resist3d(args) -> int:
     (absorption + substrate standing waves + PEB diffusion) -> eikonal front
     propagation (lateral etch / undercut) -> 3-D profile + summary stats."""
     from .models.resist import DepthResist, MackResist
-    from .ops.focus import focus_stack_aberrations, through_focus_images
-    from .ops.fraunhofer import mask_spectrum
+    from .ops.focus import compiled_focus_stack, focus_stack_aberrations
     from .parallel import padded_source_arrays
 
     config = _build_config(args)
@@ -404,20 +402,28 @@ def cmd_resist3d(args) -> int:
     shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk)
     base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
                       np.float32)
-    stack_ab = focus_stack_aberrations(base,
-                                       dr.film_defocus_nm().astype(np.float32))
-    spectrum = mask_spectrum(mask.geometry, config)
+    # Entry 4 of --aberrations is the user's focus setting (nm); the film's
+    # per-slab defocus offsets ride on top of it (focus_stack_aberrations
+    # REPLACES entry 4, so it must be folded in here, not left in `base`).
+    best_focus = float(base[4]) if base.shape[0] > 4 else 0.0
+    film_defocus = dr.film_defocus_nm(best_focus_nm=best_focus)
+    stack_ab = focus_stack_aberrations(base, film_defocus.astype(np.float32))
+    run = compiled_focus_stack(
+        config, chunk=args.chunk, normalize=True,
+        max_abs_shift=int(np.abs(np.asarray(shifts)).max()))
     t0 = time.perf_counter()
-    stack = through_focus_images(spectrum, stack_ab, shifts, weights, config,
-                                 chunk=args.chunk, normalize=True)
+    stack = run(mask.geometry, stack_ab, shifts, weights)
     profile = np.asarray(dr.develop_profile_binary(
         stack, args.dose, pixel_size_nm=config.pixel_size))  # 1 = removed
     elapsed = time.perf_counter() - t0
 
-    # Undercut voxels: removed, but with intact resist somewhere above them
-    # in the same column — unreachable by any purely-vertical develop model.
-    resist_above = np.minimum.accumulate(1.0 - profile, axis=0) < 1.0
-    undercut = int(np.logical_and(profile > 0.5, resist_above).sum())
+    # Undercut voxels: removed, but with intact resist somewhere STRICTLY
+    # above them in the same column — unreachable by any purely-vertical
+    # develop model. (min over slabs above == 0 <=> some intact voxel above.)
+    above_min = np.concatenate(
+        [np.ones_like(profile[:1]),
+         np.minimum.accumulate(profile, axis=0)[:-1]])
+    undercut = int(np.logical_and(profile > 0.5, above_min < 0.5).sum())
     print(json.dumps({
         "nz": dr.nz,
         "thickness_nm": dr.mack.thickness_nm,

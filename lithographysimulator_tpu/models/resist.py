@@ -172,6 +172,16 @@ class MackResist:
                 >= self.thickness_nm).astype(jnp.float32)
 
 
+@jax.jit
+def _peb_blur_jit(m, transfer_f32, zkernel):
+    """Jitted PEB blur core: the fft2/ifft2 pipeline must run under jit —
+    eager complex math dies on the TPU tunnel (CLAUDE.md)."""
+    spec = jnp.fft.fft2(m) * transfer_f32  # complex * real broadcast
+    m = jnp.real(jnp.fft.ifft2(spec))
+    return jnp.einsum("kz,zij->kij", zkernel, m,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 @dataclasses.dataclass(frozen=True)
 class DepthResist:
     """Depth-resolved positive resist (beyond :class:`MackResist`'s thin-film
@@ -289,17 +299,17 @@ class DepthResist:
                 "lateral blur (pass it to latent/arrival_times/...)")
         n = m.shape[-1]
         freqs = np.fft.fftfreq(n, d=pixel_size_nm)
+        # transfer stays float32 (real): a complex64 host->device constant
+        # fails on the TPU tunnel (see CLAUDE.md / xfer.py)
         transfer = np.exp(-2.0 * (np.pi * sigma) ** 2
                           * (freqs[None, :] ** 2 + freqs[:, None] ** 2))
-        m = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(m)
-                                   * jnp.asarray(transfer, jnp.complex64)))
         # depth: (nz, nz) row-normalized Gaussian weights (zero-flux film
         # boundaries: truncation + renormalization preserves a uniform m)
         z = self.depths_nm
         k = np.exp(-((z[:, None] - z[None, :]) ** 2) / (2.0 * sigma**2))
         k /= k.sum(axis=1, keepdims=True)
-        return jnp.einsum("kz,zij->kij", jnp.asarray(k, jnp.float32), m,
-                          precision=jax.lax.Precision.HIGHEST)
+        return _peb_blur_jit(m, jnp.asarray(transfer, jnp.float32),
+                             jnp.asarray(k, jnp.float32))
 
     def latent(self, image_stack, dose: float = 1.0, *,
                normalize: bool = True,
@@ -336,6 +346,21 @@ class DepthResist:
 
     # -- lateral development (eikonal front propagation) ----------------------
 
+    def _arrival_and_rate(self, image_stack, dose: float, *,
+                          pixel_size_nm: float, iterations: int | None,
+                          normalize: bool):
+        from ..ops.eikonal import arrival_times as _eikonal
+
+        m = self.latent(image_stack, dose, normalize=normalize,
+                        pixel_size_nm=pixel_size_nm)
+        rate = self._rate(m)  # (nz, n, n), nm/s
+        dz = self.mack.thickness_nm / self.nz
+        if iterations is None:
+            iterations = self.nz + 48
+        t = _eikonal(1.0 / rate, (dz, pixel_size_nm, pixel_size_nm),
+                     iterations=iterations)
+        return t, rate
+
     def arrival_times(self, image_stack, dose: float = 1.0, *,
                       pixel_size_nm: float, iterations: int | None = None,
                       normalize: bool = True) -> jnp.ndarray:
@@ -345,16 +370,9 @@ class DepthResist:
         (default nz + 48 sweeps; unconverged voxels hold safe upper bounds,
         i.e. truncation under-etches). Vertical-limit check: with laterally
         uniform rates this equals cumsum(dz / r) exactly."""
-        from ..ops.eikonal import arrival_times as _eikonal
-
-        m = self.latent(image_stack, dose, normalize=normalize,
-                        pixel_size_nm=pixel_size_nm)
-        rate = self._rate(m)  # (nz, n, n), nm/s
-        dz = self.mack.thickness_nm / self.nz
-        if iterations is None:
-            iterations = self.nz + 48
-        return _eikonal(1.0 / rate, (dz, pixel_size_nm, pixel_size_nm),
-                        iterations=iterations)
+        return self._arrival_and_rate(
+            image_stack, dose, pixel_size_nm=pixel_size_nm,
+            iterations=iterations, normalize=normalize)[0]
 
     def develop_profile(self, image_stack, dose: float = 1.0, *,
                         pixel_size_nm: float, iterations: int | None = None,
@@ -379,18 +397,19 @@ class DepthResist:
                                  pixel_size_nm: float,
                                  iterations: int | None = None,
                                  normalize: bool = True) -> jnp.ndarray:
-        """(n, n) per-column removed thickness under 3-D development: the
-        piecewise-linear inverse of the arrival times through each column
-        (with undercut, this counts total removed thickness, voids
-        included)."""
-        t_bottom = self.arrival_times(
+        """(n, n) per-column removed thickness under 3-D development, voids
+        included: per-slab occupancy with the slab's LOCAL fill time dz/r
+        (a slab reached laterally/from below counts even when the slab above
+        it is never cleared — the cumulative-inverse form would assign it
+        zero). Reduces exactly to the vertical chain when arrival is
+        monotone top-down (there t_k - t_{k-1} = dz / r_k)."""
+        t_bottom, rate = self._arrival_and_rate(
             image_stack, dose, pixel_size_nm=pixel_size_nm,
             iterations=iterations, normalize=normalize)
-        t_top = jnp.concatenate(
-            [jnp.zeros_like(t_bottom[:1]), t_bottom[:-1]], axis=0)
-        dt = jnp.maximum(t_bottom - t_top, 1e-9)
         dz = self.mack.thickness_nm / self.nz
-        frac = jnp.clip((self.mack.develop_s - t_top) / dt, 0.0, 1.0)
+        dt_slab = dz / rate
+        frac = jnp.clip(
+            (self.mack.develop_s - (t_bottom - dt_slab)) / dt_slab, 0.0, 1.0)
         return dz * jnp.sum(frac, axis=0)
 
     def height_map_nm(self, image_stack, dose: float = 1.0, *,

@@ -135,7 +135,7 @@ def rowdot3_compensated(
     a: jnp.ndarray,
     b: jnp.ndarray,
     *,
-    row_chunk: int = 64,
+    row_chunk: int | None = None,
     conj_a: bool = False,
     conj_b: bool = False,
 ) -> jnp.ndarray:
@@ -152,6 +152,13 @@ def rowdot3_compensated(
     nb = b.shape[0]
     if a.shape[1:] != b.shape[1:]:
         raise ValueError(f"image-axes mismatch: {a.shape} x {b.shape}")
+    if row_chunk is None:
+        # Keep the per-chunk contraction near rowdot_compensated's
+        # granularity: within-chunk fp32 error grows like
+        # eps * sqrt(rows * n2), so scale rows down as the grid grows
+        # (~8k elements/chunk: ~1e-5 floor vs 2.4e-4 uncompensated at
+        # 2048^2, at ~16x fewer scan steps than a one-row chunk).
+        row_chunk = max(1, 8192 // max(n2, 1))
     hi = jax.lax.Precision.HIGHEST
     dims = (((1, 2), (1, 2)), ((), ()))
 

@@ -10,6 +10,8 @@ a mesh 'focus' axis in :mod:`..parallel.abbe_sharded`).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -54,6 +56,28 @@ def through_focus_images(
         )
 
     return jax.vmap(one)(jnp.asarray(aberrations_stack))
+
+
+@functools.lru_cache(maxsize=8)
+def compiled_focus_stack(config: OpticsConfig, chunk: int = 4,
+                         normalize: bool = False, solver: Solver = "gau23",
+                         max_abs_shift: int | None = None):
+    """Cached jitted (geometry, aberration-stack, shifts, weights) -> (F, n,
+    n) focal-stack pipeline, spectrum included. CLI/host callers MUST go
+    through this on the TPU tunnel: eager complex math (mask_spectrum's
+    fft2, the pupil phases) dies with UNIMPLEMENTED outside jit there
+    (CLAUDE.md)."""
+    from .fraunhofer import mask_spectrum
+
+    @jax.jit
+    def run(geometry, aberrations_stack, shifts, weights):
+        spectrum = mask_spectrum(geometry, config)
+        return through_focus_images(
+            spectrum, aberrations_stack, shifts, weights, config,
+            solver=solver, chunk=chunk, normalize=normalize,
+            max_abs_shift=max_abs_shift)
+
+    return run
 
 
 def through_focus_socs(

@@ -199,12 +199,17 @@ def socs_image(
     # 1.15x the f32 'highest' engine (85 ms vs 98 ms, rank 128 at 1024^2 on
     # v5e) at 6e-7 normalized RMS. Gradients flow through
     # the f32 path via the kernels' custom VJP (ILT/OPC stay differentiable).
+    explicit_int8 = engine in ("int8", "pallas")
     engine = resolve_engine(engine, allowed=("fft", "matmul", "int8"))
 
     n = config.n
     fft_size = config.wavelength_scaling().fft_size
     if engine == "int8" and (solver != "gau23" or fft_size < n):
-        engine = "matmul"  # int8 needs the pure >=n chirp / gau23 path
+        if explicit_int8:  # fail loudly; only 'auto' reroutes (ADVICE r1)
+            raise ValueError(
+                "engine='int8' needs solver='gau23' with fft_size >= n "
+                f"(got solver={solver!r}, fft_size={fft_size}, n={n})")
+        engine = "matmul"  # auto: int8 needs the pure >=n chirp / gau23 path
     r = socs.rank
     pad = (-r) % chunk
     kernels = jnp.concatenate(
@@ -281,6 +286,21 @@ def socs_image(
 # whitening would renormalize that noise to unit length and pollute the
 # Rayleigh-Ritz basis, so they are zeroed instead.
 _WHITEN_CLIP = 1e-12
+
+
+def _cholesky_whiten_mat(gram: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-Cholesky whitening matrix L^-1 with gram + shift*I = L L^H
+    (Fukaya et al. 2020). The eps*trace shift keeps cond(gram + sI) <= 1/eps
+    so the factorization cannot break; the tiny triangular factor is
+    inverted against I so callers apply ONE big MXU matmul (a triangular
+    solve with a (L, n^2) RHS serializes and measures slower than eigh).
+    Shared by the standard and lean builds — their parity depends on it."""
+    gram = 0.5 * (gram + gram.conj().T)
+    shift = (1.2e-7 * jnp.real(jnp.trace(gram))).astype(gram.dtype)
+    lc = jnp.linalg.cholesky(
+        gram + shift * jnp.eye(gram.shape[0], dtype=gram.dtype))
+    return jax.scipy.linalg.solve_triangular(
+        lc, jnp.eye(lc.shape[0], dtype=lc.dtype), lower=True)
 
 
 def pupil_autocorrelation(pupil: jnp.ndarray) -> jnp.ndarray:
@@ -416,23 +436,13 @@ def randomized_socs(
             return jnp.matmul(whiten, f, precision=hi)
 
         def whiten_once_chol(f):
-            # Shifted Cholesky whitening (Fukaya et al. 2020): f <- L^-1 f
-            # with gram + shift*I = L L^H. The 272^2 eigh costs ~65 ms per
-            # whiten on v5e (~30% of the whole build across 7 calls) where
-            # cholesky is ~free; images agree with the eigh-clip build to
-            # ~1e-7 at 1024^2 rank 256 (measured). The eps*trace shift keeps
-            # cond(gram + sI) <= 1/eps so the factorization cannot break.
-            # The tiny factor is inverted against I and applied as ONE big
-            # MXU matmul — a triangular solve with the (L, n^2) block as RHS
-            # serializes and measures SLOWER than the eigh whiten.
+            # Shifted Cholesky whitening (see _cholesky_whiten_mat): the
+            # 272^2 eigh costs ~65 ms per whiten on v5e (~30% of the whole
+            # build across 7 calls) where cholesky is ~free; images agree
+            # with the eigh-clip build to ~1e-7 at 1024^2 rank 256
+            # (measured).
             gram = wide_rowdot(f, f, conj_b=True)
-            gram = 0.5 * (gram + gram.conj().T)
-            shift = (1.2e-7 * jnp.real(jnp.trace(gram))).astype(gram.dtype)
-            lc = jnp.linalg.cholesky(
-                gram + shift * jnp.eye(gram.shape[0], dtype=gram.dtype))
-            w_mat = jax.scipy.linalg.solve_triangular(
-                lc, jnp.eye(lc.shape[0], dtype=lc.dtype), lower=True)
-            return jnp.matmul(w_mat, f, precision=hi)
+            return jnp.matmul(_cholesky_whiten_mat(gram), f, precision=hi)
 
         whiten_once = whiten_once_eigh if krylov else whiten_once_chol
         # Two passes (CholQR2-style): one whitening squares the condition
@@ -582,6 +592,8 @@ def _random_probe_block(key, rows: int, n: int, *,
     (16 GB at rank 256 / 2048^2 — the build OOMed in *generation* before any
     linear algebra ran); chunking caps the temporaries at chunk-size."""
     buf = jnp.zeros((rows, n, n), jnp.complex64)
+    if rows == 0:
+        return buf
     chunk = min(row_chunk, rows)
     steps, rem = divmod(rows, chunk)
 
@@ -604,6 +616,8 @@ def _rows_inplace(fn, buf: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """buf[c] = fn(buf[c]) over leading-axis chunks, sequentially, reusing
     buf's storage (loop-carry aliasing). fn must be row-local."""
     l = buf.shape[0]
+    if l == 0:
+        return buf
     chunk = min(chunk, l)
     steps, rem = divmod(l, chunk)
 
@@ -702,15 +716,7 @@ def _randomized_socs_lean(
         return (_rows_inplace(mv, pm, row_chunk),
                 _rows_inplace(mv, po, row_chunk))
 
-    def whiten_mat(gram):
-        # Shifted Cholesky whitening matrix L^-1 (as in the standard build's
-        # non-krylov whiten_once), for the chunked in-place pair apply.
-        gram = 0.5 * (gram + gram.conj().T)
-        shift = (1.2e-7 * jnp.real(jnp.trace(gram))).astype(gram.dtype)
-        lc = jnp.linalg.cholesky(
-            gram + shift * jnp.eye(gram.shape[0], dtype=gram.dtype))
-        return jax.scipy.linalg.solve_triangular(
-            lc, jnp.eye(gram.shape[0], dtype=gram.dtype), lower=True)
+    whiten_mat = _cholesky_whiten_mat  # same whitening as the standard build
 
     def orthonormalize(pm, po):
         for _ in range(2):  # CholQR2-style double whitening (see non-lean)

@@ -128,6 +128,27 @@ def test_lateral_develop_differentiable(aerial):
     assert np.isfinite(float(g)) and float(g) > 0
 
 
+def test_lateral_counts_voids_under_barrier():
+    """A buried cleared region under an intact top slab (reached laterally
+    through a hole) must count toward removed thickness — the cumulative-
+    inverse form assigned such voids zero."""
+    mack = MackResist(thickness_nm=100.0, develop_s=5.0)
+    dr = DepthResist(mack=mack, nz=4, absorbance_per_um=0.0)
+    n = 16
+    stack = np.zeros((4, n, n), np.float32)  # top slab dark (slow)...
+    stack[0, 8, 8] = 1.0                     # ...except one hole
+    stack[1:] = 1.0                          # bright (fast) below
+    d = np.asarray(dr.cleared_depth_nm_lateral(
+        stack, pixel_size_nm=10.0, normalize=False, iterations=60))
+    dz = mack.thickness_nm / dr.nz
+    # columns away from the hole: top intact, but buried slabs cleared via
+    # the lateral path -> at least one slab's thickness removed
+    assert d[8, 12] > dz
+    # and the top slab there really is intact (vertical-only barely etches)
+    d_vert = np.asarray(dr.cleared_depth_nm(stack, normalize=False))
+    assert d_vert[8, 12] < 2.0
+
+
 def test_surface_inhibition(aerial):
     """Surface inhibition slows clearing (strictly, near the top) and
     factor=1 is an exact no-op; the eikonal path sees the same rates."""
