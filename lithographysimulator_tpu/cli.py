@@ -248,6 +248,8 @@ def cmd_smo(args) -> int:
     from .optimize import SMOProblem, forward, init_params, mask_from_latent, optimize
     from .parallel import padded_source_arrays
 
+    import jax
+
     config = _build_config(args)
     target_mask = _build_mask(args, config)
     source = _build_source(args, config)
@@ -256,8 +258,14 @@ def cmd_smo(args) -> int:
                          mask_steepness=args.steepness)
     ab = np.asarray(args.aberrations if args.aberrations else [0.0], np.float32)
 
-    target = forward(init_params(problem, target_mask.geometry), ab,
-                     shifts, weights, problem)
+    # jitted: forward's complex math (spectrum/pupil) dies eagerly on the
+    # TPU tunnel (see ops/focus.compiled_focus_stack)
+    @jax.jit
+    def fwd(params, aberr, sh, w):
+        return forward(params, aberr, sh, w, problem)
+
+    target = fwd(init_params(problem, target_mask.geometry), ab,
+                 shifts, weights)
     start = np.full((config.n, config.n), 0.4, np.float32)
     t0 = time.perf_counter()
     params, history = optimize(problem, target, start, ab, shifts, weights,
@@ -265,7 +273,7 @@ def cmd_smo(args) -> int:
     elapsed = time.perf_counter() - t0
 
     optimized = mask_from_latent(params["mask_latent"], problem.mask_steepness)
-    final_img = forward(params, ab, shifts, weights, problem)
+    final_img = fwd(params, ab, shifts, weights)
     model = ResistModel(threshold=args.threshold)
     fid = pattern_fidelity(model.develop_binary(final_img, config),
                            np.abs(np.asarray(target_mask.geometry)), config)

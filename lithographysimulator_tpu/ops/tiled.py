@@ -35,10 +35,16 @@ from .hopkins import SOCSKernels, socs_image
 
 def default_halo(config: OpticsConfig, *, wavelengths: float = 8.0) -> int:
     """Halo in pixels covering ``wavelengths`` * lambda/NA of optical
-    interaction distance (rounded up to a multiple of 8)."""
+    interaction distance (rounded up to a multiple of 8), clamped so the
+    tile (``config.n``) keeps a core of at least 8 px — without the clamp,
+    the derived default (96 px at the 193/0.7/25nm config) exceeds half of a
+    128-px tile and the tool errors on its own defaults. Pass ``halo``
+    explicitly to override (larger halos need a larger tile)."""
     distance_nm = wavelengths * config.wavelength / config.na
     px = math.ceil(distance_nm / config.pixel_size)
-    return ((px + 7) // 8) * 8
+    halo = ((px + 7) // 8) * 8
+    max_halo = ((config.n - 8) // 2) // 8 * 8
+    return max(0, min(halo, max_halo))
 
 
 def tile_layout(big_n: int, tile_n: int, halo: int):
