@@ -125,8 +125,10 @@ def cmd_simulate(args) -> int:
     config = _build_config(args)
     mask = _build_mask(args, config)
     source = _build_source(args, config)
+    polarization = None if args.polarization == "scalar" else args.polarization
     result = simulate(mask, source, args.aberrations, solver=args.solver,
-                      chunk=args.chunk, normalize=args.normalize)
+                      chunk=args.chunk, normalize=args.normalize,
+                      polarization=polarization)
     print(json.dumps(result.report, default=repr))
     if args.out:
         save_image(args.out, result.image, result.report)
@@ -501,6 +503,10 @@ def main(argv=None) -> int:
                        choices=["gau23", "direct", "socs"])
     p_sim.add_argument("--chunk", type=int, default=4)
     p_sim.add_argument("--normalize", action="store_true")
+    p_sim.add_argument("--polarization", default="scalar",
+                       choices=["scalar", "x", "y", "unpolarized"],
+                       help="vector (Jones-pupil) imaging for hyper-NA; "
+                            "'scalar' = reference-equivalent scalar path")
     p_sim.add_argument("--out", default=None, help="output .npy path")
     p_sim.add_argument("--plot", default=None, help="output .png figure path")
     p_sim.set_defaults(func=cmd_simulate)

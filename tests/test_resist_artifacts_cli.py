@@ -163,6 +163,25 @@ def test_cli_resist3d(tmp_path, capsys):
     assert profile.shape == (4, 32, 32)
 
 
+def test_cli_vector_polarization(tmp_path, capsys):
+    """--polarization routes through the Jones-pupil vector engine; at
+    hyper-NA the x- and y-polarized images of an asymmetric mask differ."""
+    from lithographysimulator_tpu.cli import main
+
+    outs = {}
+    for pol in ("x", "y"):
+        out = tmp_path / f"{pol}.npy"
+        rc = main(["simulate", "--pixel-number", "32", "--na", "1.35",
+                   "--immersion-index", "1.437", "--source", "classical",
+                   "--sigma-out", "0.5", "--mask", "lines",
+                   "--polarization", pol, "--out", str(out)])
+        assert rc == 0
+        outs[pol] = np.load(out)
+    capsys.readouterr()
+    diff = np.abs(outs["x"] - outs["y"]).max() / outs["x"].max()
+    assert diff > 1e-3  # polarization-dependent printing at NA 1.35
+
+
 def test_cli_zernike_indexing(tmp_path, capsys):
     """--zernike-indexing noll reorders coefficients: Noll term 4 (defocus)
     equals OSA entry 4, so the two spellings produce identical images."""
