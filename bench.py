@@ -79,10 +79,14 @@ def main() -> None:
     src_dev = jnp.asarray(src)
 
     # --- SOCS pipeline --------------------------------------------------
+    # power_iters=1: measured on v5e, the randomized-truncation floor
+    # dominates at these ranks (RMS vs the full Abbe image 7.50e-5 at p=1 vs
+    # 7.43e-5 at p=2 at 1024^2 r256; p1-vs-p2 image agreement 1.7e-6 at
+    # 2048^2 r128), and one fewer power iteration cuts the build ~20%.
     @jax.jit
     def socs_build(a, s_map):
         return randomized_socs(pupil_function(a, cfg), s_map, cfg,
-                               rank=RANK, power_iters=2)
+                               rank=RANK, power_iters=1)
 
     @jax.jit
     def socs_apply(geom, socs):
@@ -145,7 +149,7 @@ def main() -> None:
     @jax.jit
     def socs_cold_2048(geom, a, s_map):
         k = randomized_socs(pupil_function(a, cfg2), s_map, cfg2,
-                            rank=RANK_2048, power_iters=2)
+                            rank=RANK_2048, power_iters=1)
         return socs_image(mask_spectrum(geom, cfg2), k, cfg2, chunk=CHUNK)
 
     args2 = (mask2.geometry, aberrations, jnp.asarray(src2))
