@@ -157,8 +157,9 @@ def cmd_socs(args) -> int:
     @functools.partial(jax.jit, static_argnames=())
     def build(a, s_map):
         pupil = pupil_function(a, config)
-        socs = randomized_socs(pupil, s_map, config,
-                               rank=args.rank, power_iters=args.power_iters)
+        lean = {"auto": "auto", "on": True, "off": False}[args.lean]
+        socs = randomized_socs(pupil, s_map, config, rank=args.rank,
+                               power_iters=args.power_iters, lean=lean)
         return socs, jnp.sum(jnp.abs(pupil) ** 2)
 
     t0 = time.perf_counter()
@@ -599,6 +600,9 @@ def main(argv=None) -> int:
     _add_common(p_socs)
     p_socs.add_argument("--rank", type=int, default=64)
     p_socs.add_argument("--power-iters", type=int, default=2)
+    p_socs.add_argument("--lean", default="auto", choices=["auto", "on", "off"],
+                        help="single-probe-block in-place build (fits rank "
+                             "256 at 2048^2 in 16 GB HBM; ~2x build time)")
     p_socs.add_argument("--out", default=None, help="output .npz path")
     p_socs.set_defaults(func=cmd_socs)
 
