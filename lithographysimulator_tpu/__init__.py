@@ -36,7 +36,8 @@ from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
-                        tiled_socs_image_scan, tiled_socs_image_stream)
+                        tiled_socs_image_field, tiled_socs_image_scan,
+                        tiled_socs_image_stream)
 from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
 from .ops.zernike import (fringe_index_to_mn, noll_index_to_mn,
                           osa_index_to_mn, to_osa_coefficients,
@@ -92,6 +93,7 @@ __all__ = [
     "spectrum_fft",
     "tcc_eigensystem",
     "tiled_socs_image",
+    "tiled_socs_image_field",
     "tiled_socs_image_scan",
     "tiled_socs_image_stream",
     "array_window_fn",

@@ -209,6 +209,95 @@ def tiled_socs_image_stream(
     return stitched[:big_n, :big_n]
 
 
+def tiled_socs_image_field(
+    mask_big: jnp.ndarray,
+    tile_config: OpticsConfig,
+    source_map,
+    aberrations_fn,
+    *,
+    field_points: int = 3,
+    rank: int = 64,
+    halo: int | None = None,
+    solver: str = "gau23",
+    chunk: int = 4,
+    engine: str = "auto",
+    spectrum_solver: str = "gau23",
+    tiles_per_dispatch: int = 8,
+) -> jnp.ndarray:
+    """Full-chip image under FIELD-DEPENDENT aberrations: scanner optics
+    aberrate differently across the slit/field, so one pupil cannot serve
+    the whole chip. ``aberrations_fn(fx, fy) -> OSA coefficient vector``
+    gives the wavefront at normalized field position (fx, fy) in [-1, 1]^2
+    (chip center = (0, 0)).
+
+    Field-point sampling (the standard production-OPC treatment, cf.
+    field-dependent aberration metrology in Fourier-ptychography pupil
+    estimation): the field is sampled on a ``field_points`` ^2 grid, one
+    SOCS kernel set is built per sample (jitted builder, cached per config),
+    and each tile images with its NEAREST field sample's kernels — so the
+    kernel-build cost is O(field_points^2), not O(tiles^2), while tiles at
+    the field edge genuinely print with edge aberrations. ``field_points=1``
+    reduces exactly to :func:`tiled_socs_image` with center aberrations.
+    """
+    from ..simulate import _compiled_socs_build
+
+    big_n = mask_big.shape[-1]
+    n = tile_config.n
+    if halo is None:
+        halo = default_halo(tile_config)
+    tiles, step = tile_layout(big_n, n, halo)
+    pad_lo = halo
+    pad_hi = tiles * step + halo - big_n + (n - step)
+    padded = jnp.pad(jnp.asarray(mask_big, jnp.float32),
+                     ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+    # field-sample centers in normalized coordinates
+    if field_points < 1:
+        raise ValueError("field_points must be >= 1")
+    centers = (np.linspace(-1.0, 1.0, field_points + 2)[1:-1]
+               if field_points > 1 else np.zeros(1))
+
+    build = _compiled_socs_build(tile_config, rank)
+    src_dev = jnp.asarray(np.asarray(source_map, np.float32))
+    kernel_sets = {}
+    for i, fy in enumerate(centers):
+        for j, fx in enumerate(centers):
+            coeffs = np.asarray(aberrations_fn(float(fx), float(fy)),
+                                np.float32)
+            kernel_sets[(i, j)] = build(jnp.asarray(coeffs), src_dev)[0]
+
+    # nearest field sample per tile (tile centers in normalized coords);
+    # exact distance ties break toward the field center so the assignment
+    # stays mirror-symmetric
+    tile_centers = ((np.arange(tiles) + 0.5) * step / big_n) * 2.0 - 1.0
+    dist = (np.abs(tile_centers[:, None] - centers[None, :])
+            + 1e-9 * np.abs(centers)[None, :])
+    assign = dist.argmin(axis=1)
+
+    run = _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                         spectrum_solver)
+    out = np.zeros((tiles, tiles, step, step), np.float32)
+    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    groups: dict = {}
+    for ti, tj in coords:
+        groups.setdefault((assign[ti], assign[tj]), []).append((ti, tj))
+    for key, members in groups.items():
+        socs = kernel_sets[key]
+        members = np.asarray(members)
+        k = max(1, min(tiles_per_dispatch, len(members)))
+        pad_t = (-len(members)) % k
+        batch = np.concatenate(
+            [members, np.zeros((pad_t, 2), members.dtype)]) if pad_t else members
+        cores = []
+        for start in range(0, len(batch), k):
+            cores.append(run(padded, socs, jnp.asarray(batch[start:start + k])))
+        cores = np.asarray(jnp.concatenate(cores, axis=0))[:len(members)]
+        out[members[:, 0], members[:, 1]] = cores
+    stitched = out.transpose(0, 2, 1, 3).reshape(tiles * step, tiles * step)
+    return jnp.asarray(stitched[:big_n, :big_n])
+
+
 def array_window_fn(mask_big, n: int):
     """A ``window_fn`` over an in-memory chip array (zero-padded outside) —
     the streaming path's reference provider, used to cross-check against

@@ -128,3 +128,41 @@ def test_tiles_per_dispatch_invariance(big_mask, socs):
                                     tiles_per_dispatch=64))  # > tile count
     np.testing.assert_allclose(a, b, rtol=1e-6)
     np.testing.assert_allclose(a, c, rtol=1e-6)
+
+
+def test_field_dependent_aberrations(big_mask):
+    """Field-point-sampled tiled imaging: a constant field reduces to the
+    uniform path exactly; field-varying defocus changes edge tiles while the
+    center stripe (assigned the center field sample) stays identical."""
+    from lithographysimulator_tpu.ops.tiled import tiled_socs_image_field
+
+    src = np.asarray(LightSource(TILE_CFG, sigma_in=0.3, sigma_out=0.7).annular())
+    base = np.zeros(5, np.float32)
+
+    uniform = np.asarray(tiled_socs_image_field(
+        big_mask, TILE_CFG, src, lambda fx, fy: base,
+        field_points=1, rank=32, halo=32))
+    # constant field through the multi-sample path: identical assignment
+    const3 = np.asarray(tiled_socs_image_field(
+        big_mask, TILE_CFG, src, lambda fx, fy: base,
+        field_points=3, rank=32, halo=32))
+    np.testing.assert_allclose(const3, uniform, rtol=1e-5, atol=1e-5 * uniform.max())
+
+    def field_defocus(fx, fy):  # strong defocus at the field edges
+        c = base.copy()
+        c[4] = 120.0 * (fx**2 + fy**2)
+        return c
+
+    varying = np.asarray(tiled_socs_image_field(
+        big_mask, TILE_CFG, src, field_defocus,
+        field_points=3, rank=32, halo=32))
+    assert varying.shape == uniform.shape
+    # 256^2 chip / 64-px cores -> 4x4 tiles; the inner 2x2 block maps to the
+    # (0, 0) field sample (zero defocus) -> EXACTLY the uniform image there,
+    # while corner tiles print with ~135 nm defocus and differ materially.
+    n = uniform.shape[0]
+    q = n // 4
+    np.testing.assert_allclose(varying[q:3 * q, q:3 * q],
+                               uniform[q:3 * q, q:3 * q], rtol=1e-6)
+    corner_diff = np.abs(varying[:q, :q] - uniform[:q, :q]).max()
+    assert corner_diff > 1e-3 * uniform[:q, :q].max()
