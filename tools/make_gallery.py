@@ -216,6 +216,28 @@ def main():
         ("same + 25 nm PEB (waves smoothed)", 1.0 - profile_peb[:, row, :]),
     ], ncols=3, cmap="copper")
 
+    # 8c. Field-dependent aberrations across the chip
+    from lithographysimulator_tpu.ops.tiled import tiled_socs_image_field
+
+    fd_cfg = lt.OpticsConfig(pixel_number=64)
+    fd_src = np.asarray(lt.LightSource(fd_cfg, sigma_out=0.6).annular())
+    fd_layout = np.broadcast_to(
+        ((np.arange(128) // 4) % 2 == 0).astype(np.float32), (128, 128)).copy()
+    uni = tiled_socs_image_field(
+        fd_layout, fd_cfg, fd_src, lambda fx, fy: np.zeros(5, np.float32),
+        field_points=1, rank=32, halo=16)
+    fd = tiled_socs_image_field(
+        fd_layout, fd_cfg, fd_src,
+        lambda fx, fy: np.array([0, 0, 0, 0, 140.0 * (fx**2 + fy**2)],
+                                np.float32),
+        field_points=3, rank=32, halo=16)
+    save_panels("field_aberrations", [
+        ("uniform optics", np.asarray(uni)),
+        ("field-dependent defocus (scanner slit)", np.asarray(fd)),
+        ("|difference| (contrast loss at field edge)",
+         np.abs(np.asarray(fd) - np.asarray(uni))),
+    ], ncols=3, cmap="inferno")
+
     # 9. Full-chip process window (CD through focus x dose)
     from lithographysimulator_tpu.metrology import tiled_fem
 
@@ -257,6 +279,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![opc](opc_full_chip.png) | Full-chip tile-streamed OPC: corrected mask prints the layout more faithfully |
 | ![depth](depth_resist.png) | Depth-resolved resist: through-film aerial stack → development height map |
 | ![resist3d](resist3d.png) | 3-D eikonal development: substrate standing waves in the latent image, lateral etch/undercut in the profile, PEB smoothing |
+| ![field](field_aberrations.png) | Field-dependent aberrations: per-field-point SOCS kernels print the chip edge with scanner-slit defocus |
 | ![pw](process_window.png) | Full-chip focus-exposure matrix → process window (tiled SOCS path) |
 """)
     print("wrote", gallery)
