@@ -35,6 +35,8 @@ def tiled_focus_images(
     socs_builder=None,
     window_fn=None,
     big_n: int | None = None,
+    field_aberrations=None,
+    field_points: int = 3,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
     build for the defocused pupil and one tiled stitch. The host loop over
@@ -44,17 +46,43 @@ def tiled_focus_images(
     set; the default is the shared jitted build (complex math must stay
     under jit on the TPU tunnel).
 
+    ``field_aberrations(fx, fy) -> OSA coefficients`` makes the optics vary
+    across the chip (scanner-slit aberration maps): each plane images
+    through :func:`..ops.tiled.tiled_socs_image_field` with the plane's
+    defocus ADDED to the field map's entry 4 — so field curvature and the
+    focus sweep compose. Not available with the streaming ``window_fn``
+    path, and ``base_aberrations``/``socs_builder`` are ignored (the field
+    map IS the base).
+
     Pass ``window_fn`` + ``big_n`` instead of ``mask_big`` to STREAM the
     chip through :func:`..ops.tiled.tiled_socs_image_stream` (e.g. from
     :func:`..io.layout.layout_window_provider`) — metrology then runs on
     layouts that never exist as one raster."""
-    from .ops.tiled import tiled_socs_image_stream
+    from .ops.tiled import tiled_socs_image_field, tiled_socs_image_stream
     from .simulate import _compiled_socs_build
 
     if (window_fn is None) == (mask_big is None):
         raise ValueError("pass exactly one of mask_big or (window_fn, big_n)")
     if window_fn is not None and big_n is None:
         raise ValueError("window_fn requires big_n")
+    if field_aberrations is not None:
+        if window_fn is not None:
+            raise ValueError(
+                "field_aberrations is not supported on the streaming path")
+        out = []
+        for defocus in np.asarray(defocus_nm, np.float64):
+            def fn(fx, fy, _d=float(defocus)):
+                c = np.array(field_aberrations(fx, fy), np.float32).copy()
+                if c.shape[0] < 5:
+                    c = np.pad(c, (0, 5 - c.shape[0]))
+                c[4] += _d
+                return c
+
+            out.append(np.asarray(tiled_socs_image_field(
+                mask_big, tile_config, source_map, fn,
+                field_points=field_points, rank=rank, halo=halo,
+                engine=engine, tiles_per_dispatch=tiles_per_dispatch)))
+        return np.stack(out)
     if base_aberrations is None:
         base_aberrations = np.zeros((5,), np.float32)
     src_dev = np.asarray(source_map, np.float32)
@@ -95,10 +123,14 @@ def tiled_fem(
     tiles_per_dispatch: int = 8,
     window_fn=None,
     big_n: int | None = None,
+    field_aberrations=None,
+    field_points: int = 3,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
-    Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``
-    (see :func:`tiled_focus_images`).
+    Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
+    and ``field_aberrations`` for across-chip scanner-slit optics
+    (see :func:`tiled_focus_images`) — measure ``row`` cuts near the field
+    edge to see the edge process window.
 
     Returns ``{"cd_nm": (F, D) matrix, "defocus_nm": ..., "doses": ...,
     "depth_of_focus_nm": ..., "exposure_latitude": ..., "in_spec_fraction":
@@ -114,7 +146,8 @@ def tiled_fem(
         mask_big, tile_config, source_map, defocus_nm,
         base_aberrations=base_aberrations, rank=rank, halo=halo,
         engine=engine, tiles_per_dispatch=tiles_per_dispatch,
-        window_fn=window_fn, big_n=big_n)
+        window_fn=window_fn, big_n=big_n,
+        field_aberrations=field_aberrations, field_points=field_points)
     scale = max(float(stack.max()), 1e-30)
     doses = np.asarray(doses, np.float64)
     cds = np.empty((len(stack), len(doses)))

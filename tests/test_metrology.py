@@ -153,3 +153,35 @@ def test_tiled_meef_reasonable(big_mask, source):
                        resist=ResistModel(threshold=0.25), rank=48, halo=16)
     # printed CD tracks mask CD within a sane gain band for large features
     assert 0.2 < value < 5.0
+
+
+def test_field_dependent_fem(big_mask, source):
+    """Field-dependent metrology plumbing: the focus stack's center tile
+    block (assigned the unaberrated (0, 0) field sample) is identical to the
+    uniform stack, corners differ; tiled_fem composes and returns a window."""
+    from lithographysimulator_tpu.metrology import tiled_focus_images
+
+    def slit(fx, fy):  # strong astigmatism + defocus toward the field edge
+        return np.array([0, 0, 0, 0.3 * fx, 110.0 * (fx**2 + fy**2)],
+                        np.float32)
+
+    stack_u = tiled_focus_images(big_mask, TILE_CFG, source,
+                                 defocus_nm=[-80.0, 80.0], rank=32, halo=16)
+    stack_f = tiled_focus_images(big_mask, TILE_CFG, source,
+                                 defocus_nm=[-80.0, 80.0], rank=32, halo=16,
+                                 field_aberrations=slit, field_points=3)
+    assert stack_f.shape == stack_u.shape
+    # 128^2 chip / 32-px cores -> 4x4 tiles; inner 2x2 block = (0, 0) field
+    q = BIG_N // 4
+    np.testing.assert_allclose(stack_f[:, q:3 * q, q:3 * q],
+                               stack_u[:, q:3 * q, q:3 * q], rtol=1e-5)
+    corner = np.abs(stack_f[:, :q, :q] - stack_u[:, :q, :q]).max()
+    assert corner > 1e-3 * stack_u[:, :q, :q].max()
+
+    result = tiled_fem(
+        big_mask, TILE_CFG, source, defocus_nm=[-80.0, 0.0, 80.0],
+        doses=[0.9, 1.0, 1.1], resist=ResistModel(threshold=0.25),
+        tolerance=0.25, target_cd_nm=8 * TILE_CFG.pixel_size,
+        rank=32, halo=16, field_aberrations=slit, row=2)
+    assert result["cd_nm"].shape == (3, 3)
+    assert "depth_of_focus_nm" in result and "exposure_latitude" in result
