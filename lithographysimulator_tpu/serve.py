@@ -151,12 +151,20 @@ class LithoService:
         solver = body.get("solver", "gau23")
         if solver not in ("gau23", "direct", "socs"):
             raise ValueError(f"unknown solver {solver!r}")
+        polarization = body.get("polarization", "scalar")
+        if polarization in (None, "scalar"):
+            polarization = None
+        elif polarization not in ("x", "y", "unpolarized"):
+            raise ValueError(f"unknown polarization {polarization!r}")
+        if polarization is not None and solver == "socs":
+            raise ValueError("polarization requires solver gau23/direct")
 
         config = OpticsConfig(
             pixel_number=pixel_number,
             pixel_size=float(body.get("pixel_size", 25.0)),
             wavelength=float(body.get("wavelength", 193.0)),
             na=float(body.get("na", 0.7)),
+            immersion_index=float(body.get("immersion_index", 1.0)),
         )
         mask = _decode_array(body["mask"])
         if mask.shape != (config.n, config.n):
@@ -178,7 +186,8 @@ class LithoService:
         )
         aberr = tuple(float(a) for a in (body.get("aberrations") or ()))
         signature = (config, source_sig, aberr, solver, chunk,
-                     bool(body.get("normalize", False)), socs_rank)
+                     bool(body.get("normalize", False)), socs_rank,
+                     polarization)
         return signature, mask
 
     # -- execution -----------------------------------------------------------
@@ -189,7 +198,8 @@ class LithoService:
         log2(max_batch)+1 distinct batch shapes per signature."""
         from .simulate import simulate_batch
 
-        config, source_sig, aberr, solver, chunk, normalize, socs_rank = signature
+        (config, source_sig, aberr, solver, chunk, normalize, socs_rank,
+         polarization) = signature
         source = _source_from_sig(config, source_sig)
         b = len(masks)
         padded_b = 1 << (b - 1).bit_length()  # next power of two
@@ -200,7 +210,7 @@ class LithoService:
             masks, config, source,
             np.asarray(aberr, np.float32) if aberr else None,
             solver=solver, chunk=chunk, normalize=normalize,
-            socs_rank=socs_rank)
+            socs_rank=socs_rank, polarization=polarization)
         return np.asarray(images)[:b]
 
     def _drain_once(self, timeout: float | None = None) -> bool:
@@ -316,8 +326,8 @@ class Router:
         self._lock = threading.Lock()
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
-                         "solver", "chunk", "normalize", "socs_rank",
-                         "aberrations", "source")
+                         "immersion_index", "solver", "chunk", "normalize",
+                         "socs_rank", "aberrations", "source", "polarization")
 
     def _pick_start(self, raw_body: bytes | None) -> int:
         if self.affinity and raw_body:

@@ -167,15 +167,24 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
 
 @functools.lru_cache(maxsize=8)
 def _compiled_batch_pipeline(config: OpticsConfig, solver: str, chunk: int,
-                             normalize: bool, max_abs_shift: int | None):
+                             normalize: bool, max_abs_shift: int | None,
+                             polarization=None, apodize: bool = True):
     @functools.partial(jax.jit)
     def run(geometries, aberrations, shifts, weights):
         pupil = pupil_function(aberrations, config)
 
         def one(geometry):
             spectrum = mask_spectrum(geometry, config, solver=solver)
-            return abbe_image_points(
+            if polarization is None:
+                return abbe_image_points(
+                    spectrum, pupil, shifts, weights, config,
+                    solver=solver, chunk=chunk, normalize=normalize,
+                    max_abs_shift=max_abs_shift)
+            from .ops.vector import vector_abbe_image
+
+            return vector_abbe_image(
                 spectrum, pupil, shifts, weights, config,
+                polarization=polarization, apodize=apodize,
                 solver=solver, chunk=chunk, normalize=normalize,
                 max_abs_shift=max_abs_shift)
 
@@ -212,11 +221,15 @@ def simulate_batch(
     normalize: bool = False,
     block: bool = True,
     socs_rank: int | str = "auto",
+    polarization=None,
+    apodize: bool = True,
 ) -> jnp.ndarray:
     """(B, n, n) aerial images for a batch of masks under ONE shared optical
     configuration — a single compiled dispatch (vmap over the mask axis), so
     the pupil/source/SOCS work is paid once per batch instead of once per
-    mask. The serving layer batches same-config requests onto this path."""
+    mask. The serving layer batches same-config requests onto this path.
+    ``polarization`` (gau23/direct solvers only) routes through the vector
+    Jones-pupil engine, as in :func:`simulate`."""
     geometries = jnp.asarray(geometries)
     if geometries.ndim != 3:
         raise ValueError(f"expected (B, n, n) geometries, got {geometries.shape}")
@@ -226,7 +239,13 @@ def simulate_batch(
         aberrations = np.zeros((1,), np.float32)
     aberrations = jnp.asarray(aberrations, jnp.float32)
 
+    if isinstance(polarization, (list, np.ndarray)):
+        polarization = tuple(complex(v) for v in polarization)
     if solver == "socs":
+        if polarization is not None:
+            raise ValueError(
+                "vector imaging (polarization=...) requires the exact Abbe "
+                "solvers ('gau23'/'direct'), not 'socs'")
         socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
                                           socs_rank)
         run = _compiled_batch_socs(config, chunk, normalize)
@@ -238,7 +257,7 @@ def simulate_batch(
         weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_batch_pipeline(config, solver, chunk, normalize,
-                                       max_abs_shift)
+                                       max_abs_shift, polarization, apodize)
         images = run(geometries, aberrations, jnp.asarray(shifts),
                      jnp.asarray(weights))
     if block:

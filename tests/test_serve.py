@@ -291,3 +291,27 @@ def test_fleet_throughput_512(fleet):
         if best > 1.0:
             break
     assert best > 1.0, f"throughput {best:.2f} req/s"
+
+
+def test_polarized_simulate(server):
+    """Vector imaging through the serving API: a polarized hyper-NA request
+    succeeds and differs from the scalar image; socs+polarization is a 400."""
+    mask = np.asarray(demo_bars(CFG).geometry)
+    common = dict(na=1.35, immersion_index=1.437)
+    st_s, scalar = _post(server, "/simulate", _simulate_body(mask, **common))
+    st_x, pol_x = _post(server, "/simulate",
+                        _simulate_body(mask, polarization="x", **common))
+    assert st_s == 200 and st_x == 200
+    a = _decode_array(scalar["image"])
+    b = _decode_array(pol_x["image"])
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 1e-3 * a.max()
+
+    status, payload = _post(server, "/simulate",
+                            _simulate_body(mask, polarization="x",
+                                           solver="socs"))
+    assert status == 400 and "polarization" in payload["error"]
+
+    status, _ = _post(server, "/simulate",
+                      _simulate_body(mask, polarization="circular?"))
+    assert status == 400
