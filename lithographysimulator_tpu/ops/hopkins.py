@@ -332,6 +332,15 @@ def _synthesize_kernels(u, sqrt_w, pupil_fft):
     return jnp.roll(conv, (n // 2, n // 2), axis=(-2, -1))
 
 
+def lean_auto(block_rows: int, n: int, *, hbm_budget: float = 12e9) -> bool:
+    """Auto policy for the lean in-place SOCS build: the standard build's
+    peak is ~2.1x the (block_rows, n, n) complex probe block (measured
+    9.7 GB at rank 128 / 2048^2), so go lean only when that would not fit
+    the HBM budget — the in-place loops serialize work the batched build
+    overlaps, so lean costs ~2x the build time and is not a free default."""
+    return 2.2 * block_rows * n * n * 8 > hbm_budget
+
+
 def randomized_socs(
     pupil: jnp.ndarray,
     source_map,
@@ -369,13 +378,7 @@ def randomized_socs(
     ``"auto"`` turns it on from 2048^2 up (krylov has no lean variant)."""
     n = config.n
     if lean == "auto":
-        # The standard build's peak is ~2.1x the (rank + oversample, n, n)
-        # complex probe block (measured 9.7 GB at rank 128 / 2048^2); go
-        # lean only when that would not fit the 15.75 GB HBM — the in-place
-        # loops serialize work the batched build overlaps, so lean costs
-        # ~1.5x the build time and is not a free default.
-        peak = 2.2 * (rank + oversample) * n * n * 8
-        lean = peak > 12e9 and not krylov
+        lean = lean_auto(rank + oversample, n) and not krylov
     if lean:
         if krylov:
             raise ValueError("krylov=True has no lean-memory variant")

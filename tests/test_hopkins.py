@@ -226,3 +226,14 @@ def test_auto_rank_socs(setup):
                           max_rank=128)
     assert socs_energy_captured(socs, pup, src) >= 0.995
     assert socs.rank <= 128
+
+
+def test_lean_auto_policy():
+    """Lean kicks in exactly when the standard build's ~2.1x-block peak
+    would overflow the 15.75 GB chip: rank 256 at 2048^2 goes lean, the
+    bench's rank-128 case stays on the (faster) standard build."""
+    from lithographysimulator_tpu.ops.hopkins import lean_auto
+
+    assert lean_auto(256 + 16, 2048)        # ~9 GB block, ~20 GB peak
+    assert not lean_auto(128 + 16, 2048)    # ~9.7 GB peak: fits
+    assert not lean_auto(256 + 16, 1024)    # small grids never need it
