@@ -31,11 +31,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Large-but-safe "unreached" sentinel: must square without overflowing f32
-# (1e18^2 = 1e36 < f32 max) so the masked branches of the Godunov quadratic
-# stay finite — an inf/nan in a discarded jnp.where branch would still poison
-# gradients (0 * nan = nan in the VJP of select).
-_FAR = 1e18
+# Large-but-safe "unreached" sentinel: w * _FAR^2 with w = 1/h^2 must stay
+# finite in f32 so the masked branches of the Godunov quadratic never go inf
+# — an inf/nan in a discarded jnp.where branch would still poison gradients
+# (0 * nan = nan in the VJP of select). 1e16 keeps 3 * _FAR^2 / h^2 below
+# f32 max for any spacing h > ~0.003 nm (sub-atomic), while staying many
+# orders above any physical arrival time (slowness <= 1/r_min ~ 10 s/nm
+# over ~1e4 nm fronts -> t ~ 1e5 s).
+_FAR = 1e16
 
 
 def _axis_min_neighbors(t: jnp.ndarray, axis: int, *, source_low: bool) -> jnp.ndarray:

@@ -1,8 +1,9 @@
 """Pallas TPU kernel: int8 limb-emulated fp32 column transform + intensity.
 
 The exact-Abbe hot loop spends its FLOPs on the windowed zoom-DFT
-``E_b = T0 @ X_b @ T0^T`` (see :mod:`intensity_v2` for the phase-free
-derivation; reference per-point transform at ``imageformation.py:32-45``).
+``E_b = T0 @ X_b @ T0^T`` (phase-free derivation in
+``ops/abbe.py:_intensity_windowed_3m``; reference per-point transform at
+``imageformation.py:32-45``).
 At fp32-equivalent ('highest') precision the MXU runs f32 contractions as
 6 bfloat16 passes. This kernel reaches the same ~2^-24 accuracy with
 **6 int8 passes** instead — and the v5e MXU runs int8 at ~1.7x the bf16
