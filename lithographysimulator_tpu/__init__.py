@@ -22,7 +22,9 @@ from .models.mask import (
 from .metrology import tiled_fem, tiled_focus_images, tiled_meef
 from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
-                            critical_dimension, pattern_fidelity)
+                            cd_uniformity, critical_dimension,
+                            edge_placement_errors, feature_table,
+                            pattern_fidelity)
 from .models.source import LightSource
 from .ops.compensated import matmul_compensated
 from .ops.abbe import (
@@ -34,7 +36,9 @@ from .ops.abbe import (
 )
 from .ops.focus import focus_stack_aberrations, through_focus_images
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
-from .ops.hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
+from .ops.hopkins import (SOCSKernels, randomized_socs,
+                          randomized_socs_vector, socs_image,
+                          tcc_eigensystem)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
                         tiled_socs_image_field, tiled_socs_image_scan,
                         tiled_socs_image_stream)
@@ -65,7 +69,10 @@ __all__ = [
     "attenuated_psm",
     "accumulate_intensity",
     "contact_holes",
+    "cd_uniformity",
     "critical_dimension",
+    "edge_placement_errors",
+    "feature_table",
     "default_halo",
     "demo_bars",
     "DepthResist",
@@ -86,6 +93,7 @@ __all__ = [
     "to_osa_coefficients",
     "pupil_function",
     "randomized_socs",
+    "randomized_socs_vector",
     "simulate",
     "socs_image",
     "source_points",

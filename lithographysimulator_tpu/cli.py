@@ -320,6 +320,8 @@ def cmd_fem(args) -> int:
                                      np.float32))
     source = _build_source(args, tile_config)
     defocus = np.linspace(args.focus_min, args.focus_max, args.focus_steps)
+    polarization = (None if args.polarization == "scalar"
+                    else args.polarization)
 
     t0 = time.perf_counter()
     result = tiled_fem(
@@ -331,6 +333,7 @@ def cmd_fem(args) -> int:
         rank=args.rank, halo=args.halo,
         tiles_per_dispatch=args.tiles_per_dispatch,
         window_fn=window_fn, big_n=big_n if window_fn is not None else None,
+        polarization=polarization, warm_start=not args.no_warm_start,
     )
     elapsed = time.perf_counter() - t0
     print(json.dumps({
@@ -365,10 +368,13 @@ def cmd_opc(args) -> int:
     target = np.abs(np.asarray(_build_mask(args, big_cfg).geometry, np.float32))
     source = _build_source(args, tile_config)
     resist = ResistModel(threshold=args.threshold, steepness=30.0)
+    polarization = (None if args.polarization == "scalar"
+                    else args.polarization)
 
     def fidelity(mask_big):
         img = tiled_focus_images(mask_big, tile_config, source, [0.0],
-                                 rank=args.rank, halo=args.halo)[0]
+                                 rank=args.rank, halo=args.halo,
+                                 polarization=polarization)[0]
         profile = (img / img.max()) > resist.threshold
         return pattern_fidelity(profile.astype(np.float32), target, tile_config)
 
@@ -376,7 +382,7 @@ def cmd_opc(args) -> int:
     corrected = opc_correct_tiled(
         target, tile_config, source, resist=resist, halo=args.halo,
         steps=args.steps, learning_rate=args.lr, rank=args.rank,
-        sweeps=args.sweeps)
+        sweeps=args.sweeps, polarization=polarization)
     elapsed = time.perf_counter() - t0
     print(json.dumps({
         "big_n": big_n, "tile_n": tile_config.n, "steps": args.steps,
@@ -558,6 +564,13 @@ def main(argv=None) -> int:
     p_fem.add_argument("--halo", type=int, default=None,
                        help="tile halo px (default: optics-derived)")
     p_fem.add_argument("--tiles-per-dispatch", type=int, default=8)
+    p_fem.add_argument("--polarization", default="scalar",
+                       choices=["scalar", "x", "y", "unpolarized"],
+                       help="build every plane's SOCS kernels with the "
+                            "vector (Jones-pupil) physics")
+    p_fem.add_argument("--no-warm-start", action="store_true",
+                       help="disable the warm-started per-plane kernel "
+                            "builds (each plane then builds cold)")
     p_fem.add_argument("--stream", action="store_true",
                        help="stream tile windows straight from --mask-file "
                             "(no full-chip raster; any layout size)")
@@ -574,6 +587,10 @@ def main(argv=None) -> int:
     p_opc.add_argument("--threshold", type=float, default=0.35)
     p_opc.add_argument("--rank", type=int, default=64)
     p_opc.add_argument("--halo", type=int, default=None)
+    p_opc.add_argument("--polarization", default="scalar",
+                       choices=["scalar", "x", "y", "unpolarized"],
+                       help="vector (Jones-pupil) forward model for the "
+                            "correction and the fidelity report")
     p_opc.add_argument("--out", default=None, help="corrected mask .npy path")
     p_opc.set_defaults(func=cmd_opc)
 

@@ -7,5 +7,6 @@ from .zernike import osa_index_to_mn, wavefront_error, zernike_basis
 # .focus is imported lazily by the top-level package: it depends on
 # models.pupil, which itself imports ops.zernike — an eager import here
 # would be circular.
-from .hopkins import SOCSKernels, randomized_socs, socs_image, tcc_eigensystem
+from .hopkins import (SOCSKernels, randomized_socs,
+                      randomized_socs_vector, socs_image, tcc_eigensystem)
 from .tiled import default_halo, tiled_socs_image, tiled_socs_image_scan

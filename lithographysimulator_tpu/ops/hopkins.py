@@ -88,6 +88,7 @@ def tcc_eigensystem(
     rank: int | None = None,
     energy_tol: float = 1e-4,
     side: str = "auto",
+    component_weights=None,
 ) -> SOCSKernels:
     """Build the passband-restricted TCC and eigendecompose it exactly.
 
@@ -110,24 +111,45 @@ def tcc_eigensystem(
 
     Wide contractions use compensated (double-float) accumulation so the
     result is an fp64-grade oracle for the randomized path.
+
+    VECTOR ORACLE: ``pupil`` may be a stacked (C, n, n) block of component
+    pupils with ``component_weights`` (C,) — the decomposition then runs on
+    the summed operator T = sum_i q_i A_i^H A_i (the same physics as
+    :func:`randomized_socs_vector`, dense and exact), by stacking the
+    per-component A blocks row-wise (rows scale by sqrt(q_i)).
     """
     n = config.n
     pts = source_points(np.asarray(source_map))
     pupil_np = to_host_complex(pupil)
+    if pupil_np.ndim == 2:
+        pupil_np = pupil_np[None]
+    n_comp = pupil_np.shape[0]
+    comp_w = (np.ones(n_comp) if component_weights is None
+              else np.asarray(component_weights, np.float64))
+    if comp_w.shape != (n_comp,):
+        raise ValueError(
+            f"component_weights shape {comp_w.shape} != ({n_comp},)")
 
-    support = passband_support(pupil_np, pts.shifts)
+    support = passband_support(
+        np.max(np.abs(pupil_np), axis=0), pts.shifts)
     sup_idx = np.argwhere(support)  # (D, 2)
     d = len(sup_idx)
-    p = len(pts.shifts)
+    p = n_comp * len(pts.shifts)
     if side == "auto":
         side = "source" if p < d else "frequency"
 
-    # A[s, d] = sqrt(w_s) * P(k_d - s): gather with wraparound (the integer
-    # sigma-grid shift invariant, same as the Abbe roll).
+    # A[(i, s), d] = sqrt(q_i w_s) * C_i(k_d - s): gather with wraparound
+    # (the integer sigma-grid shift invariant, same as the Abbe roll),
+    # component blocks stacked row-wise.
     ky = (sup_idx[None, :, 0] - pts.shifts[:, None, 0]) % n  # (P, D)
     kx = (sup_idx[None, :, 1] - pts.shifts[:, None, 1]) % n
-    a = to_device_complex(pupil_np[ky, kx])
-    a = a * jnp.sqrt(jnp.asarray(pts.weights))[:, None].astype(a.dtype)
+    sqrt_ws = jnp.sqrt(jnp.asarray(pts.weights, jnp.float32))[:, None]
+    blocks = []
+    for i in range(n_comp):
+        block = to_device_complex(pupil_np[i][ky, kx])
+        blocks.append(block * (np.sqrt(comp_w[i])
+                               * sqrt_ws).astype(block.dtype))
+    a = blocks[0] if n_comp == 1 else jnp.concatenate(blocks, axis=0)
 
     if side == "source":
         gram = rowdot_compensated(a, a, conj_b=True)  # (P, P) Hermitian PSD
@@ -341,69 +363,38 @@ def lean_auto(block_rows: int, n: int, *, hbm_budget: float = 12e9) -> bool:
     return 2.2 * block_rows * n * n * 8 > hbm_budget
 
 
-def randomized_socs(
-    pupil: jnp.ndarray,
-    source_map,
-    config: OpticsConfig,
+def _warm_omega(init_basis, l: int, n: int, key) -> jnp.ndarray:
+    """Probe block seeded from a previous build's Ritz basis (warm start):
+    the converged subspace of a nearby operator (adjacent focal plane, or
+    the same operator at a smaller rank) is a near-perfect starting range,
+    so callers can cut ``power_iters`` to 0-1 at unchanged accuracy. Rows
+    beyond the warm basis are topped up with fresh random probes."""
+    init_basis = jnp.asarray(init_basis, jnp.complex64)
+    fresh = l - init_basis.shape[0]
+    if fresh <= 0:
+        return init_basis[:l]
+    return jnp.concatenate([init_basis, _random_probe_block(key, fresh, n)])
+
+
+def _randomized_range_eigh(
+    matvec_all,
+    omega: jnp.ndarray,
     *,
-    rank: int = 64,
-    oversample: int = 16,
-    power_iters: int = 2,
-    seed: int = 0,
-    probe_chunk: int | None | str = "auto",
-    compensated: bool = True,
-    krylov: bool = False,
-    lean: bool | str = "auto",
-) -> SOCSKernels:
-    """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
-    of the source-side Gram operator. Exact circulant structure; accuracy set
-    by ``power_iters``/``oversample``. Scales to arbitrarily fine grids.
+    rank: int,
+    power_iters: int,
+    compensated: bool,
+    krylov: bool,
+):
+    """Shared core of the randomized SOCS builds: block subspace (or
+    block-Krylov) iteration with CholQR2-style Gram whitening, then
+    Rayleigh-Ritz. ``matvec_all`` applies the Hermitian PSD target operator
+    to an (L, n, n) block; ``omega`` is the starting probe block.
 
-    ``compensated=True`` (default) computes the K = n^2 contractions of the
-    whitening Gram and the Rayleigh-Ritz projection with double-float
-    cross-chunk accumulation (:func:`..ops.compensated.matmul_compensated`),
-    removing the plain-fp32 eps*sqrt(K) accumulation floor (~5e-5 relative
-    image error). Same MXU FLOPs; only kernel-build time is affected.
-
-    ``krylov=True`` does Rayleigh-Ritz on the full block-Krylov subspace
-    [Omega, G Omega, ..., G^q Omega] (Musco & Musco 2015) instead of the last
-    iterate only — far faster convergence on the slowly-decaying TCC tail
-    (randomized-vs-dense image agreement ~1e-6 at matched rank instead of
-    ~1e-5), at (power_iters + 1)x the probe-field memory. Default off: the
-    plain subspace iteration is the at-scale production path.
-
-    ``lean`` routes to the single-block-peak in-place build (see
-    :func:`_randomized_socs_lean`): ~1x the probe-block memory instead of
-    ~2x, which is what admits rank 256 at 2048^2 inside 15.75 GB HBM.
-    ``"auto"`` turns it on from 2048^2 up (krylov has no lean variant)."""
-    n = config.n
-    if lean == "auto":
-        lean = lean_auto(rank + oversample, n) and not krylov
-    if lean:
-        if krylov:
-            raise ValueError("krylov=True has no lean-memory variant")
-        return _randomized_socs_lean(
-            pupil, source_map, config, rank=rank, oversample=oversample,
-            power_iters=power_iters, seed=seed, compensated=compensated)
-    if probe_chunk == "auto":
-        probe_chunk = 8 if n >= 2048 else None
-    w = jnp.asarray(source_map, jnp.float32)
-    sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
-    pupil = to_device_complex(pupil).astype(jnp.complex64)
-
-    pupil_fft = jnp.fft.fft2(pupil)
-    r_fft = pupil_fft * jnp.conj(pupil_fft)  # FFT of the autocorrelation
-
-    l = rank + oversample
-    omega = _random_probe_block(jax.random.PRNGKey(seed), l, n)
-
-    def matvec_all(block):
-        b = block.shape[0]
-        if probe_chunk is None or b % probe_chunk:
-            return _gram_matvec(block, sqrt_w, r_fft)
-        chunked = block.reshape(b // probe_chunk, probe_chunk, n, n)
-        out = jax.lax.map(lambda c: _gram_matvec(c, sqrt_w, r_fft), chunked)
-        return out.reshape(b, n, n)
+    Returns ``(eigvals, u)``: the Ritz eigenvalues of the FULL basis, sorted
+    descending and clipped at 0, and the top-``rank`` Ritz vectors
+    ``u = top^T q`` as a (rank, n, n) block (NOT conjugated — callers own
+    the operator's conjugation convention)."""
+    n = omega.shape[-1]
 
     def orthonormalize(block):
         # Tall-skinny orthonormalization via Gram whitening: Householder QR
@@ -531,6 +522,99 @@ def randomized_socs(
     top = eigvecs[:, :rank]  # (L, rank)
     u = jnp.tensordot(top.T, q, axes=1,
                       precision=jax.lax.Precision.HIGHEST)  # (rank, n, n)
+    return eigvals, u
+
+
+def randomized_socs(
+    pupil: jnp.ndarray,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int = 64,
+    oversample: int = 16,
+    power_iters: int = 2,
+    seed: int = 0,
+    probe_chunk: int | None | str = "auto",
+    compensated: bool = True,
+    krylov: bool = False,
+    lean: bool | str = "auto",
+    init_basis=None,
+    return_basis: bool = False,
+) -> SOCSKernels:
+    """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
+    of the source-side Gram operator. Exact circulant structure; accuracy set
+    by ``power_iters``/``oversample``. Scales to arbitrarily fine grids.
+
+    ``compensated=True`` (default) computes the K = n^2 contractions of the
+    whitening Gram and the Rayleigh-Ritz projection with double-float
+    cross-chunk accumulation (:func:`..ops.compensated.matmul_compensated`),
+    removing the plain-fp32 eps*sqrt(K) accumulation floor (~5e-5 relative
+    image error). Same MXU FLOPs; only kernel-build time is affected.
+
+    ``krylov=True`` does Rayleigh-Ritz on the full block-Krylov subspace
+    [Omega, G Omega, ..., G^q Omega] (Musco & Musco 2015) instead of the last
+    iterate only — far faster convergence on the slowly-decaying TCC tail
+    (randomized-vs-dense image agreement ~1e-6 at matched rank instead of
+    ~1e-5), at (power_iters + 1)x the probe-field memory. Default off: the
+    plain subspace iteration is the at-scale production path.
+
+    ``lean`` routes to the single-block-peak in-place build (see
+    :func:`_randomized_socs_lean`): ~1x the probe-block memory instead of
+    ~2x, which is what admits rank 256 at 2048^2 inside 15.75 GB HBM.
+    ``"auto"`` engages lean only when ~2.2x the (rank + oversample, n, n)
+    complex probe block would exceed the ~12 GB HBM budget (see
+    :func:`lean_auto`) — e.g. rank 256 at 2048^2, but NOT rank 128 there;
+    lean costs ~2x the build time, so it is never a free default (krylov
+    has no lean variant).
+
+    ``init_basis`` warm-starts the subspace iteration from a previous
+    build's Ritz basis (see :func:`_warm_omega`; get one by passing
+    ``return_basis=True``, which makes this return ``(socs, basis)``).
+    Adjacent focal planes / grown ranks converge from a warm basis with
+    ``power_iters=0`` at full accuracy (tests/test_hopkins.py)."""
+    n = config.n
+    if lean == "auto":
+        lean = lean_auto(rank + oversample, n) and not krylov \
+            and init_basis is None and not return_basis
+    if lean:
+        if krylov:
+            raise ValueError("krylov=True has no lean-memory variant")
+        if init_basis is not None or return_basis:
+            raise ValueError("warm-start basis is not supported by the "
+                             "lean build (pass lean=False)")
+        return _randomized_socs_lean(
+            pupil, source_map, config, rank=rank, oversample=oversample,
+            power_iters=power_iters, seed=seed, compensated=compensated)
+    if probe_chunk == "auto":
+        probe_chunk = 8 if n >= 2048 else None
+    w = jnp.asarray(source_map, jnp.float32)
+    sqrt_w = jnp.sqrt(w).astype(jnp.complex64)
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
+
+    pupil_fft = jnp.fft.fft2(pupil)
+    r_fft = pupil_fft * jnp.conj(pupil_fft)  # FFT of the autocorrelation
+
+    l = rank + oversample
+    key = jax.random.PRNGKey(seed)
+    if init_basis is None:
+        omega = _random_probe_block(key, l, n)
+    else:
+        # the basis fed back is a Ritz basis of THIS operator (conj(G), see
+        # the conjugation note below) — pass it through un-conjugated
+        omega = _warm_omega(init_basis, l, n, key)
+
+    def matvec_all(block):
+        b = block.shape[0]
+        if probe_chunk is None or b % probe_chunk:
+            return _gram_matvec(block, sqrt_w, r_fft)
+        chunked = block.reshape(b // probe_chunk, probe_chunk, n, n)
+        out = jax.lax.map(lambda c: _gram_matvec(c, sqrt_w, r_fft), chunked)
+        return out.reshape(b, n, n)
+
+    eigvals, u = _randomized_range_eigh(
+        matvec_all, omega, rank=rank, power_iters=power_iters,
+        compensated=compensated, krylov=krylov)
+    basis = u  # Ritz basis of the iterated operator, for warm restarts
     # _gram_matvec convolves with R(s - s') where G's true entry is
     # conj(R(s - s')) = R(s' - s): it applies conj(G). conj(G) shares G's
     # (real) spectrum and its eigenvectors are the conjugates of G's, so
@@ -557,11 +641,165 @@ def randomized_socs(
         live = int(np.asarray(jnp.sum(w > 0)))  # concrete outside traces
     except jax.errors.TracerArrayConversionError:
         live = -1
-    return SOCSKernels(
+    socs = SOCSKernels(
         kernels=kernels,
         eigenvalues=eigvals[:rank].astype(jnp.float32),
         total_rank=live,
     )
+    return (socs, basis) if return_basis else socs
+
+
+# ---------------------------------------------------------------------------
+# Polarized / vector SOCS (frequency-side summed-TCC build)
+# ---------------------------------------------------------------------------
+
+
+def randomized_socs_vector(
+    pupil: jnp.ndarray,
+    source_map,
+    config: OpticsConfig,
+    *,
+    polarization="unpolarized",
+    apodize: bool = True,
+    rank: int = 64,
+    oversample: int = 16,
+    power_iters: int = 2,
+    seed: int = 0,
+    probe_chunk: int | None | str = "auto",
+    compensated: bool = True,
+    krylov: bool = False,
+    init_basis=None,
+    return_basis: bool = False,
+) -> SOCSKernels:
+    """Polarized (vector/high-NA) SOCS kernels: ONE kernel set carrying the
+    full Jones-pupil physics, drop-in for every scalar-SOCS consumer.
+
+    The vector aerial image is an incoherent sum over wafer-plane field
+    components c in {x, y, z} and polarization states p of scalar Abbe
+    images through the component pupils C_i = (V . J_p)_c * P
+    (:mod:`.vector`; scalar pupil reference ``pupil.py:102-111``
+    generalized). Each component has a TCC T_i = A_i^H A_i with
+    A_i[s, k] = sqrt(w_s) C_i(k - s), and every component's intensity is a
+    quadratic form in the SAME mask-spectrum vector c_x, so
+
+        I(x) = sum_i q_i c_x^H T_i c_x = c_x^H T c_x,  T = sum_i q_i T_i :
+
+    one eigendecomposition of the SUMMED operator yields kernels that flow
+    through :func:`socs_image`, the tiled full-chip path, metrology, OPC and
+    serving unchanged — full-chip vector imaging at scalar imaging cost, and
+    rank r spent on the joint spectrum (strictly better than r kernels per
+    component).
+
+    Matrix-free, frequency side: unlike the scalar build (which iterates the
+    source-side Gram because sums of per-component Grams are NOT isospectral
+    to sums of TCCs), this iterates T itself. With chat_i = fft2(conj(C_i)),
+
+        T v = ifft2( sum_i q_i chat_i * fft2( w * ifft2( conj(chat_i) *
+              fft2(v) ) ) ),
+
+    i.e. 2 FFTs per component per block plus 2 shared — exact circulant
+    wraparound, no matrix ever formed. Eigenvectors land directly in the
+    frequency plane: kernels are their conjugates (unit norm; no synthesis
+    step and no 1/sqrt(lambda) scaling). Identically-zero components (e.g.
+    cross-pol and z as NA -> 0) are dropped host-side before tracing.
+
+    Build cost is ~(1 + #components)/3 x the scalar build's matvec stage
+    (whitening/Rayleigh-Ritz costs are identical); unpolarized runs 6
+    components, a single Jones state 3.
+    """
+    from .vector import component_factors, polarization_states
+
+    n = config.n
+    if probe_chunk == "auto":
+        probe_chunk = 8 if n >= 2048 else None
+    # The matvec's source coordinate IS the physical shift, but the source
+    # map stores the point of shift s at array index s + n/2 (array center =
+    # on-axis): roll the weights so w(s) is evaluated at the shift. (The
+    # scalar source-side build is insensitive to this constant offset — G
+    # depends only on s - s' — but T is not: a missed roll is a permutation
+    # similarity that preserves eigenvalues while modulating every kernel.)
+    w = jnp.roll(jnp.asarray(source_map, jnp.float32),
+                 (-(n // 2), -(n // 2)), axis=(0, 1))
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
+
+    comps = []  # (state weight q, fft2(conj(component pupil)))
+    for weight, jones in polarization_states(polarization):
+        factors = component_factors(config, jones, apodize=apodize)
+        for c in range(3):
+            if np.abs(factors[c]).max() <= 1e-12:
+                continue  # identically dark component (scalar limit etc.)
+            comp_pupil = jnp.asarray(factors[c], jnp.complex64) * pupil
+            comps.append((float(weight), jnp.fft.fft2(jnp.conj(comp_pupil))))
+
+    def tcc_matvec(v):
+        vhat = jnp.fft.fft2(v)
+        acc = jnp.zeros_like(vhat)
+        for q_w, chat in comps:
+            u = jnp.fft.ifft2(jnp.conj(chat)[None] * vhat)
+            acc = acc + q_w * (chat[None] * jnp.fft.fft2(w[None] * u))
+        return jnp.fft.ifft2(acc)
+
+    def matvec_all(block):
+        b = block.shape[0]
+        if probe_chunk is None or b % probe_chunk:
+            return tcc_matvec(block)
+        chunked = block.reshape(b // probe_chunk, probe_chunk, n, n)
+        out = jax.lax.map(tcc_matvec, chunked)
+        return out.reshape(b, n, n)
+
+    l = rank + oversample
+    key = jax.random.PRNGKey(seed)
+    omega = (_random_probe_block(key, l, n) if init_basis is None
+             else _warm_omega(init_basis, l, n, key))
+
+    eigvals, u = _randomized_range_eigh(
+        matvec_all, omega, rank=rank, power_iters=power_iters,
+        compensated=compensated, krylov=krylov)
+    # u rows are Ritz vectors of T itself (frequency plane, unit norm);
+    # the kernel that multiplies the mask spectrum is conj(phi_j) — see
+    # tcc_eigensystem's conjugation note.
+    kernels = jnp.conj(u)
+    try:
+        live = int(np.asarray(jnp.sum(w > 0)))
+    except jax.errors.TracerArrayConversionError:
+        live = -1
+    socs = SOCSKernels(
+        kernels=kernels,
+        eigenvalues=eigvals[:rank].astype(jnp.float32),
+        total_rank=live,
+    )
+    return (socs, u) if return_basis else socs
+
+
+def vector_pupil_power(pupil, config: OpticsConfig, *,
+                       polarization="unpolarized",
+                       apodize: bool = True) -> jnp.ndarray:
+    """sum_i q_i sum_k |C_i(k)|^2 over the component pupils — the vector
+    analog of the scalar sum|P|^2 (R(0)): trace(T_total) = w_sum * this.
+    Jit-traceable."""
+    from .vector import component_factors, polarization_states
+
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
+    power = 0.0
+    for weight, jones in polarization_states(polarization):
+        factors = component_factors(config, jones, apodize=apodize)
+        for c in range(3):
+            if np.abs(factors[c]).max() <= 1e-12:
+                continue
+            comp = jnp.asarray(factors[c], jnp.complex64) * pupil
+            power = power + weight * jnp.sum(jnp.abs(comp) ** 2)
+    return power
+
+
+def vector_tcc_trace(pupil, source_map, config: OpticsConfig, *,
+                     polarization="unpolarized",
+                     apodize: bool = True) -> jnp.ndarray:
+    """trace(T_total) = sum_s w_s * sum_i q_i sum_k |C_i(k)|^2 — the total
+    TCC energy of the vector operator, jit-traceable (the vector analog of
+    the scalar w_sum * sum|P|^2 in :func:`socs_energy_captured`)."""
+    return (jnp.sum(jnp.asarray(source_map, jnp.float32))
+            * vector_pupil_power(pupil, config, polarization=polarization,
+                                 apodize=apodize))
 
 
 # ---------------------------------------------------------------------------
@@ -751,6 +989,8 @@ def _randomized_socs_lean(
     small = jnp.zeros((l, l), jnp.complex64)
     for buf, offset in ((qm, 0), (qo, rank)):
         rows = buf.shape[0]
+        if rows == 0:  # oversample=0: same early-out as _rows_inplace
+            continue
         chunk = min(row_chunk, rows)
         steps, rem = divmod(rows, chunk)
 
@@ -824,14 +1064,29 @@ def _randomized_socs_lean(
     )
 
 
-def socs_energy_captured(socs: SOCSKernels, pupil, source_map) -> float:
+def socs_energy_captured(socs: SOCSKernels, pupil, source_map, *,
+                         polarization=None, apodize: bool = True,
+                         config: OpticsConfig | None = None) -> float:
     """Fraction of the TCC's total energy (trace) captured by the kept
     kernels: trace(G) = sum_s w_s * R(0) with R(0) = sum |P|^2, so no
     decomposition is needed for the denominator. Values near 1 mean the
-    truncation is faithful; grow ``rank`` if this is low."""
-    w_sum = float(np.asarray(jnp.sum(jnp.asarray(source_map, jnp.float32))))
-    r0 = float(np.asarray(jnp.sum(jnp.abs(to_device_complex(pupil)) ** 2)))
-    trace = w_sum * r0
+    truncation is faithful; grow ``rank`` if this is low.
+
+    For kernels from :func:`randomized_socs_vector`, pass the same
+    ``polarization``/``apodize`` plus ``config`` so the denominator is the
+    vector operator's trace (:func:`vector_tcc_trace`)."""
+    if polarization is not None:
+        if config is None:
+            raise ValueError("polarization needs config for the trace")
+        trace = float(np.asarray(jax.jit(
+            vector_tcc_trace,
+            static_argnames=("config", "polarization", "apodize"))(
+                pupil, source_map, config=config, polarization=polarization,
+                apodize=apodize)))
+    else:
+        w_sum = float(np.asarray(jnp.sum(jnp.asarray(source_map, jnp.float32))))
+        r0 = float(np.asarray(jnp.sum(jnp.abs(to_device_complex(pupil)) ** 2)))
+        trace = w_sum * r0
     if trace <= 0:
         return 1.0
     return float(np.asarray(jnp.sum(socs.eigenvalues))) / trace

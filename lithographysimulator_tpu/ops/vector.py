@@ -108,12 +108,21 @@ def _vector_factors(config: OpticsConfig, apodize: bool):
     return v * inside[None, None], inside
 
 
+def component_factors(config: OpticsConfig, jones, *,
+                      apodize: bool = True) -> np.ndarray:
+    """Host-side (3, n, n) V . J — the three wafer-plane component factors
+    for one Jones input state (multiply by the scalar pupil to get the
+    component pupils). Kept on the host so builders can drop identically-
+    zero components (e.g. cross-pol and z at tiny NA) before tracing."""
+    v, _ = _vector_factors(config, apodize)
+    jx, jy = jones
+    return v[:, 0] * jx + v[:, 1] * jy  # (3, n, n), possibly complex
+
+
 def vector_pupils(pupil, config: OpticsConfig, jones, *,
                   apodize: bool = True) -> jnp.ndarray:
     """(3, n, n) component pupils (Vx.J, Vy.J, Vz.J) * scalar pupil."""
-    v, _ = _vector_factors(config, apodize)
-    jx, jy = jones
-    comp = v[:, 0] * jx + v[:, 1] * jy  # (3, n, n), possibly complex
+    comp = component_factors(config, jones, apodize=apodize)
     return jnp.asarray(comp, jnp.complex64) * pupil[None]
 
 

@@ -315,6 +315,8 @@ def opc_correct_tiled(
     rank: int = 64,
     sweeps: int = 1,
     aberrations=None,
+    polarization=None,
+    apodize: bool = True,
 ) -> np.ndarray:
     """Resist-aware OPC on an arbitrarily large layout, tile by tile.
 
@@ -328,7 +330,10 @@ def opc_correct_tiled(
     O(sweeps * tiles * steps) SOCS images at tile size, O(tile^2) memory.
 
     Returns the corrected CONTINUOUS mask (threshold at 0.5 for manufactured
-    geometry). The reference has no OPC at all (README.md:21 roadmap)."""
+    geometry). ``polarization`` builds the forward model's kernels with the
+    vector Jones-pupil physics (:func:`..ops.hopkins.randomized_socs_vector`;
+    kernels are constants to the optimizer, so differentiability is
+    untouched). The reference has no OPC at all (README.md:21 roadmap)."""
     from .models.resist import ResistModel
     from .ops.tiled import default_halo, tile_layout
     from .simulate import _compiled_socs_build
@@ -343,7 +348,7 @@ def opc_correct_tiled(
         halo = min(default_halo(tile_config), n // 4)
     tiles, step_px = tile_layout(big_n, n, halo)
 
-    socs = _compiled_socs_build(tile_config, rank)(
+    socs = _compiled_socs_build(tile_config, rank, polarization, apodize)(
         np.asarray(aberrations, np.float32),
         np.asarray(source_map, np.float32))[0]
     step, optimizer = _compiled_tile_opc_step(

@@ -108,6 +108,10 @@ class LithoService:
     MAX_PIXEL_NUMBER = 2048
     MAX_SOCS_RANK = 1024
     MAX_CHUNK = 64
+    # Batched requests wait on the device worker with a generous bound: a
+    # wedged device (the TPU tunnel is documented to wedge ~10 min) must not
+    # pile up handler threads forever — expire to 503 instead.
+    BATCH_WAIT_TIMEOUT_S = 900.0
 
     def __init__(self, *, batching: bool = True, batch_window_s: float = 0.005,
                  max_batch: int = 8):
@@ -151,13 +155,8 @@ class LithoService:
         solver = body.get("solver", "gau23")
         if solver not in ("gau23", "direct", "socs"):
             raise ValueError(f"unknown solver {solver!r}")
-        polarization = body.get("polarization", "scalar")
-        if polarization in (None, "scalar"):
-            polarization = None
-        elif polarization not in ("x", "y", "unpolarized"):
-            raise ValueError(f"unknown polarization {polarization!r}")
-        if polarization is not None and solver == "socs":
-            raise ValueError("polarization requires solver gau23/direct")
+        polarization = self._parse_polarization(
+            body.get("polarization", "scalar"))
 
         config = OpticsConfig(
             pixel_number=pixel_number,
@@ -189,6 +188,31 @@ class LithoService:
                      bool(body.get("normalize", False)), socs_rank,
                      polarization)
         return signature, mask
+
+    @staticmethod
+    def _parse_polarization(spec):
+        """'scalar'/None -> None; 'x'/'y'/'unpolarized' pass through; a
+        2-element list is an explicit Jones vector, entries either numbers
+        or [re, im] pairs (JSON has no complex type). Works with every
+        solver — 'socs' routes through the polarized kernel build."""
+        if spec in (None, "scalar"):
+            return None
+        if spec in ("x", "y", "unpolarized"):
+            return spec
+        if isinstance(spec, (list, tuple)) and len(spec) == 2:
+            def as_complex(v):
+                if isinstance(v, (list, tuple)):
+                    if len(v) != 2:
+                        raise ValueError(
+                            f"Jones component {v!r} is not [re, im]")
+                    return complex(float(v[0]), float(v[1]))
+                return complex(float(v))
+
+            jones = (as_complex(spec[0]), as_complex(spec[1]))
+            if abs(jones[0]) == 0 and abs(jones[1]) == 0:
+                raise ValueError("zero Jones vector")
+            return jones
+        raise ValueError(f"unknown polarization {spec!r}")
 
     # -- execution -----------------------------------------------------------
 
@@ -273,7 +297,13 @@ class LithoService:
             with self._cv:
                 self._queue.append(pending)
                 self._cv.notify_all()
-            pending.event.wait()
+            if not pending.event.wait(timeout=self.BATCH_WAIT_TIMEOUT_S):
+                with self._cv:  # still queued -> drop it; mid-batch -> leave
+                    if pending in self._queue:
+                        self._queue.remove(pending)
+                raise TimeoutError(
+                    f"batch worker did not respond within "
+                    f"{self.BATCH_WAIT_TIMEOUT_S:.0f}s (wedged device?)")
             if pending.error is not None:
                 raise pending.error
             image = pending.image
@@ -297,6 +327,8 @@ class LithoService:
             if path == "/simulate":
                 return 200, self.simulate(body or {})
             return 404, {"error": f"unknown endpoint {path}"}
+        except TimeoutError as exc:
+            return 503, {"error": f"{type(exc).__name__}: {exc}"}
         except (KeyError, ValueError, TypeError) as exc:
             return 400, {"error": f"{type(exc).__name__}: {exc}"}
         except Exception as exc:  # noqa: BLE001 - surface as 500
@@ -347,19 +379,31 @@ class Router:
         return start
 
     def _forward_one(self, url: str, body: bytes | None) -> tuple[int, dict]:
+        """Forward, preserving the HTTP method (GET when ``body`` is None).
+
+        Raises OSError only for failures BEFORE any response bytes arrived
+        (connection refused/reset, timeout waiting for the status line) —
+        the only failures that are safe to fail over. Once the backend has
+        started replying it may have executed the request, so read errors
+        past that point surface as a 502 instead of a retried dispatch."""
         req = urllib.request.Request(
             url, data=body,
             headers={"Content-Type": "application/json"},
             method="POST" if body is not None else "GET")
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-                return resp.status, json.loads(resp.read())
+            resp = urllib.request.urlopen(req, timeout=self.timeout_s)
         except urllib.error.HTTPError as exc:  # backend replied with 4xx/5xx
             try:
                 payload = json.loads(exc.read())
             except Exception:  # noqa: BLE001
                 payload = {"error": str(exc)}
             return exc.code, payload
+        # Status line received: no failover from here on.
+        try:
+            with resp:
+                return resp.status, json.loads(resp.read())
+        except Exception as exc:  # noqa: BLE001 - mid-response failure
+            return 502, {"error": f"backend response aborted: {exc}"}
 
     def dispatch(self, path: str, raw_body: bytes | None) -> tuple[int, dict]:
         if path == "/health":
@@ -380,8 +424,10 @@ class Router:
         for attempt in range(len(self.backends)):
             i = (start + attempt) % len(self.backends)
             try:
+                # raw_body is None exactly for GET: pass it through so the
+                # method is preserved (a GET must not become a POST b"{}").
                 status, payload = self._forward_one(
-                    self.backends[i] + path, raw_body or b"{}")
+                    self.backends[i] + path, raw_body)
                 with self._lock:
                     self.forwarded[i] += 1
                 return status, payload

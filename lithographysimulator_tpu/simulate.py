@@ -83,19 +83,69 @@ def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool):
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_socs_build(config: OpticsConfig, rank: int):
+def _compiled_socs_build(config: OpticsConfig, rank: int,
+                         polarization=None, apodize: bool = True):
     """Jitted SOCS build. Everything complex-valued must run under jit on
     the TPU tunnel (complex constants/arrays cannot cross the host<->device
-    boundary eagerly — see CLAUDE.md); r0 = sum|P|^2 is returned real so the
-    auto-rank loop can compute captured energy host-side."""
+    boundary eagerly — see CLAUDE.md); r0 (sum|P|^2, or the vector
+    component-pupil power) is returned real so the auto-rank loop can
+    compute captured energy host-side as sum(eig) / (w_sum * r0).
+
+    ``polarization`` switches to the vector kernel build
+    (:func:`..ops.hopkins.randomized_socs_vector`): the returned kernel set
+    then carries the full Jones-pupil physics through every downstream
+    consumer (socs_image / tiled / metrology / OPC / serving) unchanged."""
+    from .ops.hopkins import randomized_socs_vector, vector_pupil_power
 
     @functools.partial(jax.jit)
     def build(aberrations, source_map):
         pupil = pupil_function(aberrations, config)
-        socs = randomized_socs(pupil, source_map, config, rank=rank)
-        return socs, pupil, jnp.sum(jnp.abs(pupil) ** 2)
+        if polarization is None:
+            socs = randomized_socs(pupil, source_map, config, rank=rank)
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
+            socs = randomized_socs_vector(
+                pupil, source_map, config, rank=rank,
+                polarization=polarization, apodize=apodize)
+            r0 = vector_pupil_power(pupil, config, polarization=polarization,
+                                    apodize=apodize)
+        return socs, pupil, r0
 
     return build
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_socs_build_basis(config: OpticsConfig, rank: int,
+                               polarization=None, apodize: bool = True,
+                               power_iters: int = 2, warm: bool = False):
+    """Jitted SOCS build that also returns the Ritz basis for warm restarts
+    (``warm=True`` additionally TAKES a basis argument). Used by the
+    focus-sweep metrology loop and the auto-rank doubling loop, where
+    successive builds differ by a tiny operator perturbation — the previous
+    basis makes ``power_iters=0-1`` converge as well as a cold default
+    build. Standard (non-lean) memory discipline only."""
+    from .ops.hopkins import randomized_socs_vector, vector_pupil_power
+
+    def _build(aberrations, source_map, init_basis=None):
+        pupil = pupil_function(aberrations, config)
+        kwargs = dict(rank=rank, power_iters=power_iters,
+                      init_basis=init_basis, return_basis=True)
+        if polarization is None:
+            socs, basis = randomized_socs(pupil, source_map, config,
+                                          lean=False, **kwargs)
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
+            socs, basis = randomized_socs_vector(
+                pupil, source_map, config, polarization=polarization,
+                apodize=apodize, **kwargs)
+            r0 = vector_pupil_power(pupil, config, polarization=polarization,
+                                    apodize=apodize)
+        return socs, basis, pupil, r0
+
+    if warm:
+        return jax.jit(_build)
+    return jax.jit(lambda aberrations, source_map: _build(aberrations,
+                                                          source_map))
 
 
 # Host-side cache of SOCS builds keyed on the concrete optics inputs: the
@@ -111,35 +161,62 @@ _AUTO_ENERGY_TARGET = 0.999
 
 
 def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
-                         aberrations: jnp.ndarray, rank: int | str):
-    key = (config, src_np.tobytes(), np.asarray(aberrations).tobytes(), rank)
+                         aberrations: jnp.ndarray, rank: int | str,
+                         polarization=None, apodize: bool = True):
+    key = (config, src_np.tobytes(), np.asarray(aberrations).tobytes(), rank,
+           polarization, apodize)
     hit = _SOCS_BUILD_CACHE.get(key)
     if hit is None:
+        from .ops.hopkins import lean_auto
+
         src_dev = jnp.asarray(src_np)
         w_sum = float(src_np.sum())
 
-        def build_at(r):
-            socs, pupil, r0 = _compiled_socs_build(config, r)(aberrations,
-                                                              src_dev)
+        def energy_of(socs, r0):
             trace = w_sum * float(r0)
-            energy = (float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
-                      if trace > 0 else 1.0)
-            return socs, pupil, energy
+            return (float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
+                    if trace > 0 else 1.0)
 
         if rank == "auto":
             # auto_rank_socs's doubling loop, with each build jitted: grow
             # the rank until the kept eigenvalues capture the energy target
-            # (trace(G) = sum_s w_s * sum|P|^2 needs no decomposition).
-            # rank(TCC) <= #live source points, so never double past that.
-            max_rank = max(1, min(_AUTO_RANK_MAX, int((src_np > 0).sum())))
+            # (trace = sum_s w_s * r0 needs no decomposition). rank(TCC) <=
+            # #live source points (x #components for vector), so never
+            # double past that. Each doubling WARM-STARTS from the previous
+            # rank's Ritz basis (power_iters=1) instead of discarding it —
+            # basis retention is skipped only where the standard-memory
+            # build would not fit HBM (the lean build has no basis).
+            n_comp = 1 if polarization is None else 3
+            max_rank = max(1, min(_AUTO_RANK_MAX,
+                                  n_comp * int((src_np > 0).sum())))
             r = min(_AUTO_RANK_START, max_rank)
+            basis = None
             while True:
-                socs, pupil, energy = build_at(r)
+                keep_basis = (r < max_rank
+                              and not lean_auto(2 * r + 16, config.n))
+                if basis is not None:
+                    socs, basis, pupil, r0 = _compiled_socs_build_basis(
+                        config, r, polarization, apodize, power_iters=1,
+                        warm=True)(aberrations, src_dev, basis)
+                elif keep_basis:
+                    socs, basis, pupil, r0 = _compiled_socs_build_basis(
+                        config, r, polarization, apodize)(aberrations,
+                                                          src_dev)
+                else:
+                    socs, pupil, r0 = _compiled_socs_build(
+                        config, r, polarization, apodize)(aberrations,
+                                                          src_dev)
+                energy = energy_of(socs, r0)
                 if energy >= _AUTO_ENERGY_TARGET or r >= max_rank:
                     break
                 r = min(r * 2, max_rank)
+                if not keep_basis:
+                    basis = None
         else:
-            socs, pupil, energy = build_at(int(rank))
+            socs, pupil, r0 = _compiled_socs_build(
+                config, int(rank), polarization, apodize)(aberrations,
+                                                          src_dev)
+            energy = energy_of(socs, r0)
         hit = (socs, pupil, energy)
         if len(_SOCS_BUILD_CACHE) >= _SOCS_BUILD_CACHE_MAX:
             _SOCS_BUILD_CACHE.pop(next(iter(_SOCS_BUILD_CACHE)))
@@ -228,8 +305,9 @@ def simulate_batch(
     configuration — a single compiled dispatch (vmap over the mask axis), so
     the pupil/source/SOCS work is paid once per batch instead of once per
     mask. The serving layer batches same-config requests onto this path.
-    ``polarization`` (gau23/direct solvers only) routes through the vector
-    Jones-pupil engine, as in :func:`simulate`."""
+    ``polarization`` routes through the vector Jones-pupil engine (exact
+    Abbe solvers) or the vector SOCS kernel build (``solver='socs'``), as
+    in :func:`simulate`."""
     geometries = jnp.asarray(geometries)
     if geometries.ndim != 3:
         raise ValueError(f"expected (B, n, n) geometries, got {geometries.shape}")
@@ -242,12 +320,8 @@ def simulate_batch(
     if isinstance(polarization, (list, np.ndarray)):
         polarization = tuple(complex(v) for v in polarization)
     if solver == "socs":
-        if polarization is not None:
-            raise ValueError(
-                "vector imaging (polarization=...) requires the exact Abbe "
-                "solvers ('gau23'/'direct'), not 'socs'")
         socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
-                                          socs_rank)
+                                          socs_rank, polarization, apodize)
         run = _compiled_batch_socs(config, chunk, normalize)
         images = run(geometries, socs, jnp.float32(src_np.sum()))
     else:
@@ -290,8 +364,10 @@ def simulate(
 
     ``polarization`` (None = scalar imaging): 'unpolarized', 'x', 'y', or a
     Jones 2-vector — switches to the vector/high-NA Jones-pupil engine
-    (:mod:`.ops.vector`); ``apodize`` adds the 1/sqrt(cos theta) radiometric
-    obliquity factor."""
+    (:mod:`.ops.vector`); with ``solver='socs'`` the kernels come from the
+    polarized build (:func:`..ops.hopkins.randomized_socs_vector`), so the
+    fast path carries full vector physics. ``apodize`` adds the
+    1/sqrt(cos theta) radiometric obliquity factor."""
     config = mask.config
     t0 = time.perf_counter()
 
@@ -311,13 +387,12 @@ def simulate(
     socs_rank_used = None
     socs_energy = None
     if solver == "socs":
-        if polarization is not None:
-            raise ValueError(
-                "vector imaging (polarization=...) requires the exact Abbe "
-                "solvers ('gau23'/'direct'), not 'socs'")
-        if socs_rank == "auto":
+        if socs_rank == "auto" or polarization is not None:
+            # vector kernels always go through the cached build (the
+            # pinned-rank all-in-one pipeline is scalar-only)
             socs, pupil, socs_energy = _socs_kernels_cached(
-                config, src_np, aberrations, "auto")
+                config, src_np, aberrations, socs_rank, polarization,
+                apodize)
             run = _compiled_socs_apply(config, chunk, normalize)
             image, spectrum = run(mask.geometry, socs,
                                   jnp.float32(src_np.sum()))

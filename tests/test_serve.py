@@ -295,7 +295,8 @@ def test_fleet_throughput_512(fleet):
 
 def test_polarized_simulate(server):
     """Vector imaging through the serving API: a polarized hyper-NA request
-    succeeds and differs from the scalar image; socs+polarization is a 400."""
+    succeeds and differs from the scalar image; socs+polarization runs the
+    polarized kernel build (round 3) and agrees with the exact path."""
     mask = np.asarray(demo_bars(CFG).geometry)
     common = dict(na=1.35, immersion_index=1.437)
     st_s, scalar = _post(server, "/simulate", _simulate_body(mask, **common))
@@ -307,10 +308,13 @@ def test_polarized_simulate(server):
     assert a.shape == b.shape
     assert np.abs(a - b).max() > 1e-3 * a.max()
 
-    status, payload = _post(server, "/simulate",
-                            _simulate_body(mask, polarization="x",
-                                           solver="socs"))
-    assert status == 400 and "polarization" in payload["error"]
+    status, pol_socs = _post(server, "/simulate",
+                             _simulate_body(mask, polarization="x",
+                                            solver="socs", **common))
+    assert status == 200
+    c = _decode_array(pol_socs["image"])
+    # same vector physics through the SOCS fast path (auto-rank truncation)
+    assert np.abs(c - b).max() < 2e-2 * b.max()
 
     status, _ = _post(server, "/simulate",
                       _simulate_body(mask, polarization="circular?"))

@@ -137,8 +137,12 @@ def test_simulate_polarization_api():
     # same physics family: peak within ~20% even at NA 0.9
     assert _nrms(img, scalar) < 0.1
 
-    with pytest.raises(ValueError, match="vector imaging"):
-        simulate(demo_bars(cfg), src, solver="socs", polarization="x")
+    # polarized SOCS fast path (round 3): same physics through the vector
+    # kernel build — must agree with the exact vector Abbe path
+    res_socs = simulate(demo_bars(cfg), src, solver="socs",
+                        polarization="unpolarized", normalize=True)
+    assert _nrms(np.asarray(res_socs.image), img) < 2e-3
+    assert res_socs.report["socs_rank"] > 0
 
 
 def test_immersion_restores_hyper_na_pupil():

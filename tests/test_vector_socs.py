@@ -1,0 +1,295 @@
+"""Polarized/vector SOCS: the summed-TCC kernel build against the exact
+vector Abbe engine, the dense stacked-component oracle, warm-started builds,
+and the full-chip tiled path carrying vector physics.
+
+(The scalar SOCS suite is tests/test_hopkins.py; the vector Abbe engine
+suite is tests/test_vector.py. Reference scalar pupil pupil.py:102-111 and
+imaging loop imageformation.py:47-77, generalized to the Jones pupil.)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lithographysimulator_tpu import (
+    LightSource,
+    OpticsConfig,
+    demo_bars,
+    pupil_function,
+    randomized_socs,
+    randomized_socs_vector,
+    socs_image,
+    spectrum_fft,
+    tcc_eigensystem,
+    vector_abbe_image,
+)
+from lithographysimulator_tpu.ops.vector import polarization_states, vector_pupils
+from lithographysimulator_tpu.parallel import padded_source_arrays
+
+ABERR = np.asarray([0, 0, 0.02, 0, 30.0, 0.01], np.float32)
+
+
+def _setup(na=0.9, n=32, aberr=ABERR, sigma_out=0.5):
+    cfg = OpticsConfig(pixel_number=n, na=na)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    pup = pupil_function(aberr, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=sigma_out).classical())
+    shifts, weights, _ = padded_source_arrays(src, 4)
+    ms = int(np.abs(np.asarray(shifts)).max())
+    return cfg, spec, pup, src, shifts, weights, ms
+
+
+def _nrms(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)) / b.max())
+
+
+def _stacked_components(pup, cfg, polarization):
+    comps, cws = [], []
+    for wgt, jones in polarization_states(polarization):
+        vp = np.asarray(vector_pupils(pup, cfg, jones, apodize=True))
+        for c in range(3):
+            comps.append(vp[c])
+            cws.append(wgt)
+    return jnp.asarray(np.stack(comps)), np.asarray(cws)
+
+
+def test_dense_vector_tcc_matches_vector_abbe():
+    """The stacked-component dense eigensystem is EXACT: full-rank summed
+    TCC reproduces the vector Abbe image to float precision."""
+    cfg, spec, pup, src, shifts, weights, ms = _setup()
+    ref = np.asarray(vector_abbe_image(spec, pup, shifts, weights, cfg,
+                                       polarization="unpolarized",
+                                       max_abs_shift=ms))
+    stack, cws = _stacked_components(pup, cfg, "unpolarized")
+    dense = tcc_eigensystem(stack, src, cfg, component_weights=cws,
+                            rank=None, energy_tol=1e-9)
+    img = np.asarray(socs_image(spec, dense, cfg))
+    assert _nrms(img, ref) < 1e-5
+
+
+def test_scalar_tcc_component_path_unchanged():
+    """A (1, n, n) stacked pupil with unit weight equals the plain scalar
+    call (back-compat of the generalized oracle)."""
+    cfg, spec, pup, src, *_ = _setup(na=0.7)
+    a = tcc_eigensystem(pup, src, cfg, rank=16)
+    b = tcc_eigensystem(pup[None], src, cfg, rank=16,
+                        component_weights=np.ones(1))
+    np.testing.assert_allclose(np.asarray(a.eigenvalues),
+                               np.asarray(b.eigenvalues), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(socs_image(spec, a, cfg)),
+        np.asarray(socs_image(spec, b, cfg)), rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("pol", ["unpolarized", "x", (1.0, 1.0j)])
+def test_randomized_vector_socs_matches_vector_abbe(pol):
+    """One kernel set from the frequency-side randomized build reproduces
+    the (component-summed) exact vector Abbe image."""
+    cfg, spec, pup, src, shifts, weights, ms = _setup()
+    ref = np.asarray(vector_abbe_image(spec, pup, shifts, weights, cfg,
+                                       polarization=pol, max_abs_shift=ms))
+    socs = randomized_socs_vector(pup, src, cfg, polarization=pol,
+                                  rank=96, oversample=32, power_iters=3)
+    img = np.asarray(socs_image(spec, socs, cfg))
+    assert _nrms(img, ref) < 1e-3  # rank-96 truncation level
+    assert socs.rank == 96
+    assert float(np.asarray(socs.eigenvalues[0])) > 0
+
+
+def test_randomized_vector_matches_dense_eigenvalues():
+    """Leading eigenvalues of the randomized summed-TCC build agree with
+    the dense stacked oracle (the operators are identical)."""
+    cfg, spec, pup, src, *_ = _setup()
+    stack, cws = _stacked_components(pup, cfg, "unpolarized")
+    dense = tcc_eigensystem(stack, src, cfg, component_weights=cws,
+                            rank=24, energy_tol=1e-9)
+    rand = randomized_socs_vector(pup, src, cfg, polarization="unpolarized",
+                                  rank=24, oversample=32, power_iters=3)
+    np.testing.assert_allclose(np.asarray(rand.eigenvalues),
+                               np.asarray(dense.eigenvalues),
+                               rtol=2e-3)
+
+
+def test_vector_socs_scalar_limit():
+    """As NA -> 0 the vector kernels converge to scalar physics: the
+    polarized SOCS image approaches the scalar SOCS image."""
+    errs = []
+    for na in (0.9, 0.1):
+        cfg, spec, pup, src, *_ = _setup(na=na)
+        scalar = randomized_socs(pup, src, cfg, rank=64, oversample=16,
+                                 power_iters=2, lean=False)
+        vector = randomized_socs_vector(pup, src, cfg,
+                                        polarization="unpolarized",
+                                        apodize=False, rank=64,
+                                        oversample=16, power_iters=2)
+        errs.append(_nrms(np.asarray(socs_image(spec, vector, cfg)),
+                          np.asarray(socs_image(spec, scalar, cfg))))
+    assert errs[1] < errs[0]
+    assert errs[1] < 2e-3
+
+
+def test_vector_energy_captured():
+    from lithographysimulator_tpu.ops.hopkins import socs_energy_captured
+
+    cfg, spec, pup, src, *_ = _setup()
+    socs = randomized_socs_vector(pup, src, cfg, polarization="unpolarized",
+                                  rank=96, oversample=32, power_iters=3)
+    frac = socs_energy_captured(socs, pup, src, polarization="unpolarized",
+                                config=cfg)
+    assert 0.95 < frac <= 1.0 + 1e-6
+    with pytest.raises(ValueError, match="config"):
+        socs_energy_captured(socs, pup, src, polarization="unpolarized")
+
+
+# ---------------------------------------------------------------------------
+# Warm-started builds
+# ---------------------------------------------------------------------------
+
+
+def test_warm_start_adjacent_focus_scalar():
+    """Warm start from an adjacent plane's basis with power_iters=0 is as
+    accurate as a cold default-power build (the FEM sweep's money path)."""
+    from lithographysimulator_tpu import abbe_image_points
+
+    cfg, spec, pup, src, shifts, weights, ms = _setup(na=0.7)
+    _, basis = randomized_socs(pup, src, cfg, rank=64, oversample=16,
+                               power_iters=2, return_basis=True, lean=False)
+    pup2 = pupil_function(np.asarray([0, 0, 0.02, 0, 45.0, 0.01], np.float32),
+                          cfg)
+    ref = np.asarray(abbe_image_points(spec, pup2, shifts, weights, cfg,
+                                       max_abs_shift=ms))
+    warm = randomized_socs(pup2, src, cfg, rank=64, oversample=16,
+                           power_iters=0, init_basis=basis, lean=False)
+    cold = randomized_socs(pup2, src, cfg, rank=64, oversample=16,
+                           power_iters=2, lean=False)
+    err_warm = _nrms(np.asarray(socs_image(spec, warm, cfg)), ref)
+    err_cold = _nrms(np.asarray(socs_image(spec, cold, cfg)), ref)
+    assert err_warm < max(2.0 * err_cold, 1e-5)
+
+
+def test_warm_start_rank_growth():
+    """The auto-rank doubling pattern: continue from the rank-32 basis to a
+    rank-64 build with fewer power iterations, same accuracy."""
+    from lithographysimulator_tpu import abbe_image_points
+
+    cfg, spec, pup, src, shifts, weights, ms = _setup(na=0.7)
+    ref = np.asarray(abbe_image_points(spec, pup, shifts, weights, cfg,
+                                       max_abs_shift=ms))
+    _, b32 = randomized_socs(pup, src, cfg, rank=32, oversample=16,
+                             power_iters=2, return_basis=True, lean=False)
+    warm64 = randomized_socs(pup, src, cfg, rank=64, oversample=16,
+                             power_iters=1, init_basis=b32, lean=False)
+    cold64 = randomized_socs(pup, src, cfg, rank=64, oversample=16,
+                             power_iters=2, lean=False)
+    err_warm = _nrms(np.asarray(socs_image(spec, warm64, cfg)), ref)
+    err_cold = _nrms(np.asarray(socs_image(spec, cold64, cfg)), ref)
+    assert err_warm < max(2.0 * err_cold, 1e-5)
+
+
+def test_warm_start_vector():
+    cfg, spec, pup, src, shifts, weights, ms = _setup()
+    _, basis = randomized_socs_vector(pup, src, cfg, polarization="x",
+                                      rank=64, oversample=16, power_iters=2,
+                                      return_basis=True)
+    pup2 = pupil_function(np.asarray([0, 0, 0.02, 0, 45.0, 0.01], np.float32),
+                          cfg)
+    ref = np.asarray(vector_abbe_image(spec, pup2, shifts, weights, cfg,
+                                       polarization="x", max_abs_shift=ms))
+    warm = randomized_socs_vector(pup2, src, cfg, polarization="x", rank=64,
+                                  oversample=16, power_iters=0,
+                                  init_basis=basis)
+    cold = randomized_socs_vector(pup2, src, cfg, polarization="x", rank=64,
+                                  oversample=16, power_iters=2)
+    err_warm = _nrms(np.asarray(socs_image(spec, warm, cfg)), ref)
+    err_cold = _nrms(np.asarray(socs_image(spec, cold, cfg)), ref)
+    assert err_warm < max(2.0 * err_cold, 2e-3)
+
+
+def test_lean_build_rejects_warm_start():
+    cfg, _, pup, src, *_ = _setup(na=0.7)
+    with pytest.raises(ValueError, match="lean"):
+        randomized_socs(pup, src, cfg, rank=8, lean=True, return_basis=True)
+
+
+# ---------------------------------------------------------------------------
+# Production-path wiring
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_vector_socs_matches_vector_abbe_at_tile_size():
+    """VERDICT r2 done-criterion: tiled_socs_image with polarized kernels
+    matches vector_abbe_image at tile size to <= 1e-4 normalized RMS (one
+    tile == one field: the tiled path reduces to plain socs_image)."""
+    from lithographysimulator_tpu import tiled_socs_image
+
+    cfg, spec, pup, src, shifts, weights, ms = _setup(n=64, sigma_out=0.4)
+    ref = np.asarray(vector_abbe_image(spec, pup, shifts, weights, cfg,
+                                       polarization="unpolarized",
+                                       max_abs_shift=ms))
+    # the joint vector operator's total rank here is 6 x 129 source points
+    # = 774; <= 1e-4 truncation needs rank ~384 (dense oracle: 6.2e-5), and
+    # the randomized build tracks the dense optimum at matched rank
+    socs = randomized_socs_vector(pup, src, cfg, polarization="unpolarized",
+                                  rank=384, oversample=64, power_iters=3)
+    geom = np.asarray(demo_bars(cfg).geometry, np.float32)
+    img = np.asarray(tiled_socs_image(geom, socs, cfg, halo=0))
+    assert _nrms(img, ref) < 1e-4
+
+
+def test_simulate_batch_polarized_socs():
+    from lithographysimulator_tpu import simulate_batch
+
+    cfg = OpticsConfig(pixel_number=32, na=0.9)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    geom = np.asarray(demo_bars(cfg).geometry, np.float32)
+    imgs = simulate_batch(np.stack([geom, geom]), cfg, src, ABERR,
+                          solver="socs", polarization="unpolarized",
+                          normalize=True)
+    assert imgs.shape == (2, 32, 32)
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(imgs[1]),
+                               rtol=1e-6)
+
+
+def test_serve_parses_jones_polarization():
+    from lithographysimulator_tpu.serve import LithoService
+
+    svc = LithoService(batching=False)
+    body = {
+        "pixel_number": 16,
+        "mask": np.zeros((16, 16), np.float32).tolist(),
+        "solver": "socs",
+        "polarization": [[1.0, 0.0], [0.0, 1.0]],  # circular-ish Jones
+    }
+    sig, _ = svc._parse(body)
+    assert sig[-1] == (1.0 + 0.0j, 1.0j)
+    body["polarization"] = "unpolarized"
+    sig, _ = svc._parse(body)
+    assert sig[-1] == "unpolarized"
+    body["polarization"] = [0.0, 0.0]
+    with pytest.raises(ValueError, match="zero Jones"):
+        svc._parse(body)
+
+
+def test_serve_polarized_socs_end_to_end():
+    """A polarized socs /simulate request runs through the service."""
+    from lithographysimulator_tpu.serve import LithoService, _decode_array
+
+    svc = LithoService(batching=False)
+    cfg = OpticsConfig(pixel_number=32, na=0.9)
+    geom = np.asarray(demo_bars(cfg).geometry, np.float32)
+    body = {
+        "pixel_number": 32,
+        "na": 0.9,
+        "mask": geom.tolist(),
+        "solver": "socs",
+        "polarization": "unpolarized",
+        "source": {"kind": "classical", "sigma_out": 0.5},
+        "normalize": True,
+    }
+    out = svc.simulate(body)
+    img = _decode_array(out["image"])
+    assert img.shape == (32, 32)
+    assert np.isfinite(img).all() and img.max() > 0
