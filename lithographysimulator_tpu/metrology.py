@@ -16,7 +16,9 @@ from __future__ import annotations
 import numpy as np
 
 from .config import OpticsConfig
-from .models.resist import ResistModel, critical_dimension, meef, process_window
+from .models.resist import (ResistModel, cd_uniformity, critical_dimension,
+                            edge_placement_errors, feature_table, meef,
+                            process_window)
 from .ops.focus import focus_stack_aberrations
 from .ops.tiled import tiled_socs_image
 
@@ -37,6 +39,11 @@ def tiled_focus_images(
     big_n: int | None = None,
     field_aberrations=None,
     field_points: int = 3,
+    field_blend: str = "linear",
+    polarization=None,
+    apodize: bool = True,
+    warm_start: bool = True,
+    warm_power_iters: int = 0,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
     build for the defocused pupil and one tiled stitch. The host loop over
@@ -45,6 +52,19 @@ def tiled_focus_images(
     ``socs_builder`` (optional) maps an aberration vector to a SOCSKernels
     set; the default is the shared jitted build (complex math must stay
     under jit on the TPU tunnel).
+
+    ``warm_start`` (default on): adjacent focal planes' TCC operators are
+    tiny perturbations of each other, so each plane's kernel build reuses
+    the previous plane's converged Ritz basis as its probe block and runs
+    only ``warm_power_iters`` power iterations — the F-plane sweep pays one
+    cold build plus F-1 cheap warm builds (>= 2x total build time saved at
+    F = 7) at unchanged randomized-vs-dense agreement
+    (tests/test_hopkins.py). Disabled automatically where the
+    standard-memory build would not fit HBM (the lean build keeps no
+    basis), or when a custom ``socs_builder`` is supplied.
+
+    ``polarization``/``apodize`` run every plane's kernel build through the
+    polarized vector build — full-chip vector FEM.
 
     ``field_aberrations(fx, fy) -> OSA coefficients`` makes the optics vary
     across the chip (scanner-slit aberration maps): each plane images
@@ -58,8 +78,9 @@ def tiled_focus_images(
     chip through :func:`..ops.tiled.tiled_socs_image_stream` (e.g. from
     :func:`..io.layout.layout_window_provider`) — metrology then runs on
     layouts that never exist as one raster."""
+    from .ops.hopkins import lean_auto
     from .ops.tiled import tiled_socs_image_field, tiled_socs_image_stream
-    from .simulate import _compiled_socs_build
+    from .simulate import _compiled_socs_build, _compiled_socs_build_basis
 
     if (window_fn is None) == (mask_big is None):
         raise ValueError("pass exactly one of mask_big or (window_fn, big_n)")
@@ -80,14 +101,34 @@ def tiled_focus_images(
 
             out.append(np.asarray(tiled_socs_image_field(
                 mask_big, tile_config, source_map, fn,
-                field_points=field_points, rank=rank, halo=halo,
-                engine=engine, tiles_per_dispatch=tiles_per_dispatch)))
+                field_points=field_points, blend=field_blend, rank=rank,
+                halo=halo, engine=engine,
+                tiles_per_dispatch=tiles_per_dispatch,
+                polarization=polarization, apodize=apodize)))
         return np.stack(out)
     if base_aberrations is None:
         base_aberrations = np.zeros((5,), np.float32)
     src_dev = np.asarray(source_map, np.float32)
-    build = socs_builder or (lambda aberr: _compiled_socs_build(
-        tile_config, rank)(aberr, src_dev)[0])
+    if socs_builder is not None:
+        build = socs_builder
+    elif warm_start and not lean_auto(rank + 16, tile_config.n):
+        cold = _compiled_socs_build_basis(tile_config, rank, polarization,
+                                          apodize)
+        warm = _compiled_socs_build_basis(tile_config, rank, polarization,
+                                          apodize,
+                                          power_iters=warm_power_iters,
+                                          warm=True)
+        basis_box = [None]
+
+        def build(aberr):
+            if basis_box[0] is None:
+                socs, basis_box[0], _, _ = cold(aberr, src_dev)
+            else:
+                socs, basis_box[0], _, _ = warm(aberr, src_dev, basis_box[0])
+            return socs
+    else:
+        build = lambda aberr: _compiled_socs_build(
+            tile_config, rank, polarization, apodize)(aberr, src_dev)[0]
     stack_ab = np.asarray(
         focus_stack_aberrations(base_aberrations, np.asarray(defocus_nm)))
     out = []
@@ -125,19 +166,38 @@ def tiled_fem(
     big_n: int | None = None,
     field_aberrations=None,
     field_points: int = 3,
+    field_blend: str = "linear",
+    polarization=None,
+    apodize: bool = True,
+    warm_start: bool = True,
+    cd_stat: str = "median",
+    cd_axis: int = 1,
+    cd_row_step: int | None = None,
+    target_geometry=None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
     and ``field_aberrations`` for across-chip scanner-slit optics
-    (see :func:`tiled_focus_images`) — measure ``row`` cuts near the field
-    edge to see the edge process window.
+    (see :func:`tiled_focus_images`).
+
+    CD measurement (round 3): by default every (focus, dose) cell measures
+    ALL printed features on the chip (:func:`..models.resist.feature_table`,
+    subpixel edges, cut lines subsampled by ``cd_row_step``) and reports the
+    ``cd_stat`` ('median'/'mean'/'min'/'max') of the width distribution —
+    a full-chip process window, not one feature's. Pass an explicit ``row``
+    to fall back to the legacy single-row cut (e.g. to probe the field
+    edge). The nominal cell (middle focus, dose nearest 1) additionally
+    gets a full CD-uniformity analysis (``result['cdu']``: mean / 3-sigma /
+    range / count + a coarse CD map), and, when ``target_geometry`` (or the
+    in-memory ``mask_big``) is available, per-edge placement errors
+    (``result['epe']``, :func:`..models.resist.edge_placement_errors`).
 
     Returns ``{"cd_nm": (F, D) matrix, "defocus_nm": ..., "doses": ...,
     "depth_of_focus_nm": ..., "exposure_latitude": ..., "in_spec_fraction":
-    ...}``. All focal planes share one normalization scale (the stack max),
-    so the dose axis means the same thing at every focus — per-image
-    normalization would hide the through-focus contrast loss the FEM exists
-    to measure.
+    ..., "cdu": ..., "epe": ...}``. All focal planes share one
+    normalization scale (the stack max), so the dose axis means the same
+    thing at every focus — per-image normalization would hide the
+    through-focus contrast loss the FEM exists to measure.
 
     ``target_cd_nm=None`` self-calibrates: the window is centered on the CD
     printed at the middle focal plane and the dose nearest 1.0."""
@@ -147,19 +207,48 @@ def tiled_fem(
         base_aberrations=base_aberrations, rank=rank, halo=halo,
         engine=engine, tiles_per_dispatch=tiles_per_dispatch,
         window_fn=window_fn, big_n=big_n,
-        field_aberrations=field_aberrations, field_points=field_points)
+        field_aberrations=field_aberrations, field_points=field_points,
+        field_blend=field_blend, polarization=polarization, apodize=apodize,
+        warm_start=warm_start)
     scale = max(float(stack.max()), 1e-30)
     doses = np.asarray(doses, np.float64)
+    stat_fn = {"median": np.median, "mean": np.mean,
+               "min": np.min, "max": np.max}.get(cd_stat)
+    if stat_fn is None:
+        raise ValueError(f"unknown cd_stat {cd_stat!r}")
+    chip_n = stack.shape[-1]
+    if cd_row_step is None:
+        cd_row_step = max(1, chip_n // 256)  # cap per-cell cut lines at ~256
+
+    def measure(profile_np):
+        if row is not None:
+            return critical_dimension(profile_np, tile_config, row=row)
+        widths = feature_table(profile_np, tile_config, axis=cd_axis,
+                               row_step=cd_row_step)["width_nm"]
+        return float(stat_fn(widths)) if widths.size else 0.0
+
+    i_mid = len(stack) // 2
+    j_nom = int(np.argmin(np.abs(doses - 1.0)))
     cds = np.empty((len(stack), len(doses)))
+    cdu = None
+    epe = None
     for i, image in enumerate(stack):
         norm = image / scale
         for j, dose in enumerate(doses):
-            profile = resist.develop_binary(norm * dose, tile_config,
-                                            normalize=False)
-            cds[i, j] = critical_dimension(profile, tile_config, row=row)
+            profile = np.asarray(resist.develop_binary(
+                norm * dose, tile_config, normalize=False))
+            cds[i, j] = measure(profile)
+            if i == i_mid and j == j_nom:
+                cdu = cd_uniformity(profile, tile_config, axis=cd_axis,
+                                    row_step=cd_row_step)
+                target = (target_geometry if target_geometry is not None
+                          else mask_big)
+                if target is not None:
+                    epe = edge_placement_errors(
+                        profile, np.asarray(target, np.float32), tile_config,
+                        axis=cd_axis, row_step=cd_row_step)
     if target_cd_nm is None:
-        target_cd_nm = float(cds[len(stack) // 2,
-                                 int(np.argmin(np.abs(doses - 1.0)))])
+        target_cd_nm = float(cds[i_mid, j_nom])
     summary = process_window(cds, defocus_nm, doses,
                              target_cd_nm=target_cd_nm, tolerance=tolerance)
     return {
@@ -167,6 +256,8 @@ def tiled_fem(
         "defocus_nm": np.asarray(defocus_nm, np.float64),
         "doses": doses,
         "target_cd_nm": target_cd_nm,
+        "cdu": cdu,
+        "epe": epe,
         **summary,
     }
 
@@ -183,14 +274,17 @@ def tiled_meef(
     engine: str = "auto",
     tiles_per_dispatch: int = 8,
     socs=None,
+    polarization=None,
+    apodize: bool = True,
 ) -> float:
     """Full-chip MEEF: d(printed CD)/d(mask CD) with the biased mask imaged
-    through the tiled path (kernels built once, reused for both biases)."""
+    through the tiled path (kernels built once, reused for both biases;
+    ``polarization`` builds them with the vector physics)."""
     resist = resist or ResistModel()
     if socs is None:
         from .simulate import _compiled_socs_build
 
-        socs = _compiled_socs_build(tile_config, rank)(
+        socs = _compiled_socs_build(tile_config, rank, polarization, apodize)(
             np.zeros((5,), np.float32), np.asarray(source_map, np.float32))[0]
 
     def image_fn(geometry):

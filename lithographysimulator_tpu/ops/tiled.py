@@ -223,6 +223,9 @@ def tiled_socs_image_field(
     engine: str = "auto",
     spectrum_solver: str = "gau23",
     tiles_per_dispatch: int = 8,
+    polarization=None,
+    apodize: bool = True,
+    blend: str = "linear",
 ) -> jnp.ndarray:
     """Full-chip image under FIELD-DEPENDENT aberrations: scanner optics
     aberrate differently across the slit/field, so one pupil cannot serve
@@ -232,15 +235,33 @@ def tiled_socs_image_field(
 
     Field-point sampling (the standard production-OPC treatment, cf.
     field-dependent aberration metrology in Fourier-ptychography pupil
-    estimation): the field is sampled on a ``field_points`` ^2 grid, one
-    SOCS kernel set is built per sample (jitted builder, cached per config),
-    and each tile images with its NEAREST field sample's kernels — so the
-    kernel-build cost is O(field_points^2), not O(tiles^2), while tiles at
-    the field edge genuinely print with edge aberrations. ``field_points=1``
-    reduces exactly to :func:`tiled_socs_image` with center aberrations.
+    estimation): the field is sampled on a ``field_points`` ^2 grid and one
+    SOCS kernel set is built per sample (jitted builder, cached per config)
+    — so the kernel-build cost is O(field_points^2), not O(tiles^2), while
+    tiles at the field edge genuinely print with edge aberrations.
+    ``field_points=1`` reduces exactly to :func:`tiled_socs_image` with
+    center aberrations.
+
+    ``blend`` controls how tiles between field samples are imaged:
+
+    * ``"linear"`` (default): each tile's image is the separable-linear
+      interpolation of its (up to 4) surrounding samples' images — the
+      incoherent intensity interpolates exactly (kernels do not), so
+      printed CDs vary CONTINUOUSLY across the chip instead of jumping at
+      field-zone boundaries. Costs up to 4 imaging passes per interior
+      tile.
+    * ``"nearest"``: one kernel set per tile (the cheap discontinuous
+      assignment; exact distance ties break toward the field center so the
+      assignment stays mirror-symmetric).
+
+    ``polarization``/``apodize`` switch the per-sample kernel builds to the
+    polarized vector build (:func:`..ops.hopkins.randomized_socs_vector`),
+    making the full-chip field-dependent image carry Jones-pupil physics.
     """
     from ..simulate import _compiled_socs_build
 
+    if blend not in ("linear", "nearest"):
+        raise ValueError(f"unknown blend mode {blend!r}")
     big_n = mask_big.shape[-1]
     n = tile_config.n
     if halo is None:
@@ -257,43 +278,64 @@ def tiled_socs_image_field(
     centers = (np.linspace(-1.0, 1.0, field_points + 2)[1:-1]
                if field_points > 1 else np.zeros(1))
 
-    build = _compiled_socs_build(tile_config, rank)
+    tile_centers = ((np.arange(tiles) + 0.5) * step / big_n) * 2.0 - 1.0
+
+    def axis_weights(tc: float) -> list[tuple[int, float]]:
+        """Per-axis (sample index, weight) pairs for one tile center."""
+        if blend == "nearest" or len(centers) == 1:
+            d = np.abs(tc - centers) + 1e-9 * np.abs(centers)
+            return [(int(d.argmin()), 1.0)]
+        if tc <= centers[0]:
+            return [(0, 1.0)]
+        if tc >= centers[-1]:
+            return [(len(centers) - 1, 1.0)]
+        i1 = int(np.searchsorted(centers, tc))
+        i0 = i1 - 1
+        a = float((tc - centers[i0]) / (centers[i1] - centers[i0]))
+        if a < 1e-9:
+            return [(i0, 1.0)]
+        if a > 1.0 - 1e-9:
+            return [(i1, 1.0)]
+        return [(i0, 1.0 - a), (i1, a)]
+
+    per_tile = [axis_weights(float(tc)) for tc in tile_centers]
+
+    # (sample_iy, sample_ix) -> list of (ti, tj, weight); only referenced
+    # samples get a kernel build
+    groups: dict = {}
+    for ti in range(tiles):
+        for tj in range(tiles):
+            for iy, wy in per_tile[ti]:
+                for ix, wx in per_tile[tj]:
+                    groups.setdefault((iy, ix), []).append(
+                        (ti, tj, wy * wx))
+
+    build = _compiled_socs_build(tile_config, rank, polarization, apodize)
     src_dev = jnp.asarray(np.asarray(source_map, np.float32))
     kernel_sets = {}
-    for i, fy in enumerate(centers):
-        for j, fx in enumerate(centers):
-            coeffs = np.asarray(aberrations_fn(float(fx), float(fy)),
-                                np.float32)
-            kernel_sets[(i, j)] = build(jnp.asarray(coeffs), src_dev)[0]
-
-    # nearest field sample per tile (tile centers in normalized coords);
-    # exact distance ties break toward the field center so the assignment
-    # stays mirror-symmetric
-    tile_centers = ((np.arange(tiles) + 0.5) * step / big_n) * 2.0 - 1.0
-    dist = (np.abs(tile_centers[:, None] - centers[None, :])
-            + 1e-9 * np.abs(centers)[None, :])
-    assign = dist.argmin(axis=1)
+    for (i, j) in groups:
+        coeffs = np.asarray(
+            aberrations_fn(float(centers[j]), float(centers[i])), np.float32)
+        kernel_sets[(i, j)] = build(jnp.asarray(coeffs), src_dev)[0]
 
     run = _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
                          spectrum_solver)
     out = np.zeros((tiles, tiles, step, step), np.float32)
-    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
-                                  indexing="ij"), -1).reshape(-1, 2)
-    groups: dict = {}
-    for ti, tj in coords:
-        groups.setdefault((assign[ti], assign[tj]), []).append((ti, tj))
     for key, members in groups.items():
         socs = kernel_sets[key]
-        members = np.asarray(members)
+        members = np.asarray(members, np.float64)
+        idx = members[:, :2].astype(np.int64)
+        wts = members[:, 2].astype(np.float32)
         k = max(1, min(tiles_per_dispatch, len(members)))
-        pad_t = (-len(members)) % k
+        pad_t = (-len(idx)) % k
         batch = np.concatenate(
-            [members, np.zeros((pad_t, 2), members.dtype)]) if pad_t else members
+            [idx, np.zeros((pad_t, 2), idx.dtype)]) if pad_t else idx
         cores = []
         for start in range(0, len(batch), k):
             cores.append(run(padded, socs, jnp.asarray(batch[start:start + k])))
-        cores = np.asarray(jnp.concatenate(cores, axis=0))[:len(members)]
-        out[members[:, 0], members[:, 1]] = cores
+        cores = np.asarray(jnp.concatenate(cores, axis=0))[:len(idx)]
+        np.add.at(out, (idx[:, 0], idx[:, 1]),
+                  wts[:, None, None] * cores)
     stitched = out.transpose(0, 2, 1, 3).reshape(tiles * step, tiles * step)
     return jnp.asarray(stitched[:big_n, :big_n])
 

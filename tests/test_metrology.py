@@ -165,11 +165,16 @@ def test_field_dependent_fem(big_mask, source):
         return np.array([0, 0, 0, 0.3 * fx, 110.0 * (fx**2 + fy**2)],
                         np.float32)
 
+    # warm_start off: the exactness check below compares against the field
+    # path's per-sample COLD builds, so the uniform stack must build cold too
+    # (warm and cold randomized builds agree only to ~1e-6, not bitwise)
     stack_u = tiled_focus_images(big_mask, TILE_CFG, source,
-                                 defocus_nm=[-80.0, 80.0], rank=32, halo=16)
+                                 defocus_nm=[-80.0, 80.0], rank=32, halo=16,
+                                 warm_start=False)
     stack_f = tiled_focus_images(big_mask, TILE_CFG, source,
                                  defocus_nm=[-80.0, 80.0], rank=32, halo=16,
-                                 field_aberrations=slit, field_points=3)
+                                 field_aberrations=slit, field_points=3,
+                                 field_blend="nearest")
     assert stack_f.shape == stack_u.shape
     # 128^2 chip / 32-px cores -> 4x4 tiles; inner 2x2 block = (0, 0) field
     q = BIG_N // 4

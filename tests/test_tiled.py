@@ -142,11 +142,14 @@ def test_field_dependent_aberrations(big_mask):
     uniform = np.asarray(tiled_socs_image_field(
         big_mask, TILE_CFG, src, lambda fx, fy: base,
         field_points=1, rank=32, halo=32))
-    # constant field through the multi-sample path: identical assignment
-    const3 = np.asarray(tiled_socs_image_field(
-        big_mask, TILE_CFG, src, lambda fx, fy: base,
-        field_points=3, rank=32, halo=32))
-    np.testing.assert_allclose(const3, uniform, rtol=1e-5, atol=1e-5 * uniform.max())
+    # constant field through the multi-sample path: identical kernels, and
+    # the blend weights sum to 1 -> identical image (both blend modes)
+    for blend in ("nearest", "linear"):
+        const3 = np.asarray(tiled_socs_image_field(
+            big_mask, TILE_CFG, src, lambda fx, fy: base,
+            field_points=3, rank=32, halo=32, blend=blend))
+        np.testing.assert_allclose(const3, uniform, rtol=1e-5,
+                                   atol=1e-5 * uniform.max())
 
     def field_defocus(fx, fy):  # strong defocus at the field edges
         c = base.copy()
@@ -155,14 +158,54 @@ def test_field_dependent_aberrations(big_mask):
 
     varying = np.asarray(tiled_socs_image_field(
         big_mask, TILE_CFG, src, field_defocus,
-        field_points=3, rank=32, halo=32))
+        field_points=3, rank=32, halo=32, blend="nearest"))
     assert varying.shape == uniform.shape
-    # 256^2 chip / 64-px cores -> 4x4 tiles; the inner 2x2 block maps to the
-    # (0, 0) field sample (zero defocus) -> EXACTLY the uniform image there,
-    # while corner tiles print with ~135 nm defocus and differ materially.
+    # 256^2 chip / 64-px cores -> 4x4 tiles; with nearest assignment the
+    # inner 2x2 block maps to the (0, 0) field sample (zero defocus) ->
+    # EXACTLY the uniform image there, while corner tiles print with
+    # ~135 nm defocus and differ materially.
     n = uniform.shape[0]
     q = n // 4
     np.testing.assert_allclose(varying[q:3 * q, q:3 * q],
                                uniform[q:3 * q, q:3 * q], rtol=1e-6)
     corner_diff = np.abs(varying[:q, :q] - uniform[:q, :q]).max()
     assert corner_diff > 1e-3 * uniform[:q, :q].max()
+
+
+def test_field_blend_cd_continuity():
+    """Round-3 zone-boundary check: with linear image blending between
+    field-kernel zones, the printed CD varies CONTINUOUSLY across the chip,
+    while nearest-kernel assignment jumps at the zone boundary."""
+    from lithographysimulator_tpu import feature_table
+    from lithographysimulator_tpu.ops.tiled import tiled_socs_image_field
+
+    big_n = 512  # 16 tile columns of 32-px cores under the 128^2 tile optics
+    mask = np.zeros((big_n, big_n), np.float32)
+    for x in range(8, big_n - 8, 32):
+        mask[:, x:x + 8] = 1.0  # uniform vertical bars across the chip
+    src = np.asarray(LightSource(TILE_CFG, sigma_out=0.6).classical())
+
+    def slit(fx, fy):  # defocus grows quadratically along x only
+        return np.array([0, 0, 0, 0, 250.0 * fx * fx], np.float32)
+
+    def column_cds(blend):
+        img = np.asarray(tiled_socs_image_field(
+            mask, TILE_CFG, src, slit, field_points=3, rank=32, halo=48,
+            blend=blend))
+        norm = img / img.max()
+        # subpixel CDs of every bar at mid-chip rows, averaged per bar
+        t = feature_table(norm, TILE_CFG, threshold=0.35)
+        mid = (t["row"] > big_n // 4) & (t["row"] < 3 * big_n // 4)
+        centers = np.round(t["center_nm"][mid] / 25.0).astype(int)
+        widths = t["width_nm"][mid]
+        uniq = np.unique(centers)
+        return np.array([widths[centers == c].mean() for c in uniq])
+
+    cds_nearest = column_cds("nearest")
+    cds_linear = column_cds("linear")
+    assert len(cds_nearest) == len(cds_linear) >= 12
+    jump_nearest = np.abs(np.diff(cds_nearest)).max()
+    jump_linear = np.abs(np.diff(cds_linear)).max()
+    # measured 0.70 nm nearest vs 0.18 nm linear (ratio 0.26): blending cuts
+    # the worst bar-to-bar CD jump by well over half
+    assert jump_linear < 0.45 * jump_nearest
