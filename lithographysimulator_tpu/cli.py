@@ -336,7 +336,7 @@ def cmd_fem(args) -> int:
         polarization=polarization, warm_start=not args.no_warm_start,
     )
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    report = {
         "big_n": big_n,
         "tile_n": tile_config.n,
         "defocus_nm": [float(d) for d in result["defocus_nm"]],
@@ -347,7 +347,34 @@ def cmd_fem(args) -> int:
         "exposure_latitude": result["exposure_latitude"],
         "in_spec_fraction": result["in_spec_fraction"],
         "wall_clock_s": round(elapsed, 3),
-    }))
+    }
+    cdu = result.get("cdu")
+    if cdu is not None:
+        report["cdu"] = {k: v for k, v in cdu.items() if k != "cd_map_nm"}
+    epe = result.get("epe")
+    if epe is not None:
+        report["epe"] = {k: v for k, v in epe.items()
+                         if not k.startswith("epe_")}
+    print(json.dumps(report))
+    if args.cdu_map and cdu is not None:
+        cd_map = np.asarray(cdu["cd_map_nm"])
+        if args.cdu_map.endswith(".npy"):
+            np.save(args.cdu_map, cd_map)
+        else:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            fig, ax = plt.subplots(dpi=200)
+            im = ax.imshow(cd_map, cmap="viridis")
+            ax.set_title(
+                f"CD uniformity map (mean {cdu['mean_cd_nm']:.1f} nm, "
+                f"3$\\sigma$ {cdu['cdu_3sigma_nm']:.2f} nm)")
+            fig.colorbar(im, ax=ax, label="mean CD (nm)")
+            fig.savefig(args.cdu_map)
+            plt.close(fig)
+        print(f"wrote {args.cdu_map}")
     return 0
 
 
@@ -415,6 +442,10 @@ def cmd_resist3d(args) -> int:
         substrate_reflectivity=args.reflectivity,
         peb_diffusion_nm=args.peb,
         wavelength_nm=config.wavelength,
+        surface_rate_factor=args.surface_rate_factor,
+        inhibition_depth_nm=args.inhibition_depth,
+        lateral_rate_factor=args.lateral_rate_factor,
+        lateral_surface_factor=args.lateral_surface_factor,
     )
     shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk)
     base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
@@ -571,6 +602,10 @@ def main(argv=None) -> int:
     p_fem.add_argument("--no-warm-start", action="store_true",
                        help="disable the warm-started per-plane kernel "
                             "builds (each plane then builds cold)")
+    p_fem.add_argument("--cdu-map", default=None,
+                       help="write the nominal-condition CD-uniformity map "
+                            "(.npy, or any image extension for a rendered "
+                            "figure)")
     p_fem.add_argument("--stream", action="store_true",
                        help="stream tile windows straight from --mask-file "
                             "(no full-chip raster; any layout size)")
@@ -606,6 +641,18 @@ def main(argv=None) -> int:
                        help="lumped Dill absorbance (1/um)")
     p_r3d.add_argument("--reflectivity", type=float, default=0.0,
                        help="substrate intensity reflectance (standing waves)")
+    p_r3d.add_argument("--lateral-rate-factor", type=float, default=1.0,
+                       help="anisotropic develop: lateral etch rate as a "
+                            "fraction of the vertical rate (1 = isotropic)")
+    p_r3d.add_argument("--lateral-surface-factor", type=float, default=1.0,
+                       help="extra lateral-rate suppression at the resist "
+                            "top, relaxing over --inhibition-depth")
+    p_r3d.add_argument("--inhibition-depth", type=float, default=0.0,
+                       help="depth constant (nm) of the surface inhibition "
+                            "terms")
+    p_r3d.add_argument("--surface-rate-factor", type=float, default=1.0,
+                       help="isotropic surface inhibition: develop rate at "
+                            "the resist top as a fraction of bulk")
     p_r3d.add_argument("--peb", type=float, default=0.0,
                        help="post-exposure-bake diffusion length (nm)")
     p_r3d.add_argument("--chunk", type=int, default=4)

@@ -410,6 +410,31 @@ class DepthResist:
     # ``inhibition_depth_nm``: r(m, z) = r(m) (1 - (1 - f) exp(-z / delta)).
     surface_rate_factor: float = 1.0    # 1.0 disables
     inhibition_depth_nm: float = 0.0
+    # Etch-rate ANISOTROPY (round 3): the lateral (in-plane) development
+    # rate is ``lateral_rate_factor`` x the vertical rate (developer
+    # convection and inhibitor gradients make lateral etch slower), with an
+    # optional extra surface term ``lateral_surface_factor`` relaxing over
+    # the same ``inhibition_depth_nm`` — an inhibited skin that resists
+    # undercutting. Enters the eikonal solve as an axis-dependent slowness
+    # (see ops/eikonal.godunov_update); the vertical chain is unaffected.
+    lateral_rate_factor: float = 1.0    # bulk lateral/vertical ratio
+    lateral_surface_factor: float = 1.0  # extra lateral suppression at z=0
+
+    def lateral_factor_profile(self) -> np.ndarray | None:
+        """(nz,) lateral/vertical rate ratio at slab depths, or None when
+        isotropic (both knobs at 1)."""
+        bulk = self.lateral_rate_factor
+        surf = self.lateral_surface_factor
+        if bulk >= 1.0 and surf >= 1.0:
+            return None
+        profile = np.full(self.nz, bulk)
+        if surf < 1.0 and self.inhibition_depth_nm > 0.0:
+            profile = profile * (1.0 - (1.0 - surf) * np.exp(
+                -self.depths_nm / self.inhibition_depth_nm))
+        elif surf < 1.0:
+            # no relaxation depth given: uniform extra suppression
+            profile = profile * surf
+        return profile
 
     def rate_depth_factor(self) -> np.ndarray:
         """(nz,) multiplicative development-rate factor at slab depths."""
@@ -530,7 +555,8 @@ class DepthResist:
         if iterations is None:
             iterations = self.nz + 48
         t = _eikonal(1.0 / rate, (dz, pixel_size_nm, pixel_size_nm),
-                     iterations=iterations)
+                     iterations=iterations,
+                     lateral_factor=self.lateral_factor_profile())
         return t, rate
 
     def arrival_times(self, image_stack, dose: float = 1.0, *,

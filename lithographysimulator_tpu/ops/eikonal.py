@@ -81,17 +81,34 @@ def _solve_quadratic(a: jnp.ndarray, w: jnp.ndarray, s2: jnp.ndarray,
 
 
 def godunov_update(t: jnp.ndarray, slowness: jnp.ndarray,
-                   spacing: tuple[float, float, float]) -> jnp.ndarray:
+                   spacing: tuple[float, float, float],
+                   lateral_factor=None) -> jnp.ndarray:
     """One monotone Godunov/Jacobi sweep: t <- min(t, local eikonal solve).
 
     ``spacing`` = (hz, hy, hx) grid steps (nm); ``slowness`` = 1/rate (s/nm),
     both per voxel. The source is the plane above the first z-slice (t = 0).
+
+    ``lateral_factor`` (scalar or (nz,); None = isotropic) makes the etch
+    ANISOTROPIC: the lateral (y, x) rate is ``lateral_factor * rate`` while
+    the vertical rate stays ``rate`` — the standard model of surface-
+    inhibited lateral development. The axis-dependent eikonal
+    sum_i (dt/dx_i)^2 / r_i^2 = 1 is algebraically the ISOTROPIC equation
+    on axis-scaled spacings h_i' = h_i * (s_i / s) (both reduce to
+    sum_i (t - a_i)^2 / (h_i^2 s_i^2) = 1, and the 1-axis update
+    a + s h' = a + s_i h_i), so anisotropy costs one broadcast divide —
+    lateral steps simply 'look longer' to the front.
     """
     az = _axis_min_neighbors(t, 0, source_low=True)
     ay = _axis_min_neighbors(t, 1, source_low=False)
     ax = _axis_min_neighbors(t, 2, source_low=False)
     a = jnp.stack([az, ay, ax])
     h = jnp.asarray(spacing, t.dtype).reshape(3, 1, 1, 1)
+    if lateral_factor is not None:
+        lf = jnp.clip(jnp.atleast_1d(jnp.asarray(lateral_factor, t.dtype)),
+                      1e-6, None)  # (1,) or (nz,); 0 would send h' to inf
+        ones = jnp.ones_like(lf)
+        per_axis = jnp.stack([ones, 1.0 / lf, 1.0 / lf])  # (3, nz)
+        h = h * per_axis[:, :, None, None]
     w = jnp.broadcast_to(1.0 / (h * h), a.shape)
 
     order = jnp.argsort(a, axis=0)
@@ -112,6 +129,7 @@ def arrival_times(
     spacing: tuple[float, float, float],
     *,
     iterations: int,
+    lateral_factor=None,
 ) -> jnp.ndarray:
     """Front arrival times t(z, y, x) from the top surface (z=0 face, t=0).
 
@@ -119,12 +137,17 @@ def arrival_times(
     than ``iterations`` cells from the source plane; beyond that, values are
     upper bounds (safe: truncation under-etches). For a film of nz slabs and
     lateral spread of L pixels, ``nz + L`` sweeps suffice along convex paths.
+
+    ``lateral_factor`` (scalar or per-slab (nz,)) sets the anisotropic
+    lateral/vertical etch-rate ratio — see :func:`godunov_update`. With
+    laterally uniform slowness it has NO effect (the front moves straight
+    down), which is the vertical-limit invariant the tests pin.
     """
     slowness = jnp.asarray(slowness, jnp.float32)
     t0 = jnp.full(slowness.shape, _FAR, jnp.float32)
 
     def sweep(t, _):
-        return godunov_update(t, slowness, spacing), None
+        return godunov_update(t, slowness, spacing, lateral_factor), None
 
     t, _ = jax.lax.scan(sweep, t0, None, length=iterations)
     return t

