@@ -1,4 +1,5 @@
 from .abbe_sharded import abbe_image_sharded, padded_source_arrays, through_focus_sharded
 from .mesh import FOCUS_AXIS, SOURCE_AXIS, focus_source_mesh, source_mesh
+from .socs_sharded import pad_socs_rank, socs_image_sharded
 from .tiled_sharded import tiled_socs_image_sharded
 from .distributed import initialize as initialize_distributed

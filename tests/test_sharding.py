@@ -146,3 +146,25 @@ def test_sharded_windowed_matches_dense(setup):
     # math as the dense complex matmul but different rounding order, so
     # tight-tolerance rather than bit-equal.
     np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6 * np.abs(a).max())
+
+
+def test_socs_image_sharded_matches_local():
+    """Rank-sharded SOCS imaging (kernel shards + one psum) equals the
+    local kernel-stack image, including a rank that does not divide
+    devices * chunk (zero-kernel padding)."""
+    import numpy as np
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, pupil_function,
+        randomized_socs, socs_image, spectrum_fft)
+    from lithographysimulator_tpu.parallel import socs_image_sharded, source_mesh
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    socs = randomized_socs(pupil_function(np.zeros(1), cfg), src, cfg,
+                           rank=27, oversample=16, power_iters=2, lean=False)
+    mesh = source_mesh()
+    sharded = np.asarray(socs_image_sharded(spec, socs, cfg, mesh, chunk=2))
+    local = np.asarray(socs_image(spec, socs, cfg, chunk=2))
+    np.testing.assert_allclose(sharded, local, rtol=1e-5,
+                               atol=1e-5 * local.max())
