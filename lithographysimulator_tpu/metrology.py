@@ -44,6 +44,7 @@ def tiled_focus_images(
     apodize: bool = True,
     warm_start: bool = True,
     warm_power_iters: int = 0,
+    progress_cb=None,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
     build for the defocused pupil and one tiled stitch. The host loop over
@@ -132,7 +133,7 @@ def tiled_focus_images(
     stack_ab = np.asarray(
         focus_stack_aberrations(base_aberrations, np.asarray(defocus_nm)))
     out = []
-    for aberr in stack_ab:
+    for pi, aberr in enumerate(stack_ab):
         socs = build(aberr)
         if window_fn is not None:
             img = tiled_socs_image_stream(
@@ -143,6 +144,8 @@ def tiled_focus_images(
                 mask_big, socs, tile_config, halo=halo, engine=engine,
                 tiles_per_dispatch=tiles_per_dispatch)
         out.append(np.asarray(img))
+        if progress_cb is not None:
+            progress_cb((pi + 1) / len(stack_ab))
     return np.stack(out)
 
 
@@ -174,6 +177,7 @@ def tiled_fem(
     cd_axis: int = 1,
     cd_row_step: int | None = None,
     target_geometry=None,
+    progress_cb=None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
@@ -209,7 +213,9 @@ def tiled_fem(
         window_fn=window_fn, big_n=big_n,
         field_aberrations=field_aberrations, field_points=field_points,
         field_blend=field_blend, polarization=polarization, apodize=apodize,
-        warm_start=warm_start)
+        warm_start=warm_start,
+        progress_cb=(None if progress_cb is None
+                     else lambda f: progress_cb(0.8 * f)))
     scale = max(float(stack.max()), 1e-30)
     doses = np.asarray(doses, np.float64)
     stat_fn = {"median": np.median, "mean": np.mean,
@@ -238,6 +244,9 @@ def tiled_fem(
             profile = np.asarray(resist.develop_binary(
                 norm * dose, tile_config, normalize=False))
             cds[i, j] = measure(profile)
+            if progress_cb is not None:
+                done = i * len(doses) + j + 1
+                progress_cb(0.8 + 0.2 * done / (len(stack) * len(doses)))
             if i == i_mid and j == j_nom:
                 cdu = cd_uniformity(profile, tile_config, axis=cd_axis,
                                     row_step=cd_row_step)

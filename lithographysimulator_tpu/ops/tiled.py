@@ -92,8 +92,11 @@ def tiled_socs_image(
     engine: str = "auto",
     spectrum_solver: str = "gau23",
     tiles_per_dispatch: int = 8,
+    progress_cb=None,
 ) -> jnp.ndarray:
     """(M, M) aerial image of an arbitrarily large mask, tile by tile.
+    ``progress_cb(fraction)`` (optional) is called after each dispatch
+    batch — the serving jobs API polls it.
 
     ``socs`` must be built for ``tile_config`` (same optics every tile). The
     mask is zero-padded outside its boundary; each tile's core (tile minus
@@ -126,9 +129,13 @@ def tiled_socs_image(
                                 engine, spectrum_solver)
 
     cores = []
-    for start in range(0, len(coords), k):
+    n_batches = len(coords) // k
+    for bi, start in enumerate(range(0, len(coords), k)):
         block = jnp.asarray(coords[start : start + k])
         cores.append(tile_batch(padded, socs, block))
+        if progress_cb is not None:
+            jax.block_until_ready(cores[-1])
+            progress_cb((bi + 1) / n_batches)
     cores = jnp.concatenate(cores, axis=0)[:total]
     grid = cores.reshape(tiles, tiles, step, step)
     stitched = jnp.concatenate(

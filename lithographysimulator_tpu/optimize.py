@@ -317,6 +317,7 @@ def opc_correct_tiled(
     aberrations=None,
     polarization=None,
     apodize: bool = True,
+    progress_cb=None,
 ) -> np.ndarray:
     """Resist-aware OPC on an arbitrarily large layout, tile by tile.
 
@@ -360,7 +361,9 @@ def opc_correct_tiled(
     target_pad = np.pad(target_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))
     corrected_pad = target_pad.copy()
 
-    for _ in range(max(1, sweeps)):
+    n_sweeps = max(1, sweeps)
+    done_tiles = 0
+    for _ in range(n_sweeps):
         for ti in range(tiles):
             for tj in range(tiles):
                 y0, x0 = ti * step_px, tj * step_px
@@ -379,4 +382,7 @@ def opc_correct_tiled(
                         halo:n - halo, halo:n - halo]
                 corrected_pad[y0 + halo:y0 + n - halo,
                               x0 + halo:x0 + n - halo] = core
+                done_tiles += 1
+                if progress_cb is not None:
+                    progress_cb(done_tiles / (n_sweeps * tiles * tiles))
     return corrected_pad[pad_lo:pad_lo + big_n, pad_lo:pad_lo + big_n]

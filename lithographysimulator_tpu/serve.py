@@ -19,8 +19,15 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
 
 * ``/simulate`` — full pipeline. Body: config fields + ``mask`` (n x n),
   ``source`` spec (kind/sigmas/poles/rotation/shift), optional
-  ``aberrations``, ``solver``, ``normalize``. Returns the aerial image
-  (base64 float32) + the run report.
+  ``aberrations``, ``solver``, ``normalize``, ``polarization``. Returns the
+  aerial image (base64 float32) + the run report.
+* ``/jobs`` — POST; submit a LONG-RUNNING full-chip job:
+  ``{"kind": "tiled"|"fem"|"opc", ...}`` -> ``{"job_id": ...}``. Jobs run on
+  a dedicated executor thread with live progress; ``/simulate`` traffic
+  keeps flowing while a job is in flight (jax serializes device work).
+* ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error,
+  "progress": 0..1, ...result when done}``. The router pins job polls to
+  the backend that accepted the job.
 * ``/health`` — GET; device info + uptime + batching stats (router: per-
   backend health).
 
@@ -94,6 +101,208 @@ class _Pending:
         self.error: Exception | None = None
 
 
+class _Job:
+    """One submitted full-chip job and its live state."""
+
+    __slots__ = ("id", "kind", "body", "status", "progress", "result",
+                 "error", "created")
+
+    def __init__(self, job_id: str, kind: str, body: dict):
+        self.id = job_id
+        self.kind = kind
+        self.body = body
+        self.status = "queued"
+        self.progress = 0.0
+        self.result: dict | None = None
+        self.error: str | None = None
+        self.created = time.time()
+
+
+class JobRunner:
+    """Sequential executor for long-running full-chip jobs (tiled imaging /
+    FEM / OPC). One worker thread drains a FIFO queue; each job updates its
+    ``progress`` through the library progress callbacks, so ``GET
+    /jobs/<id>`` polls are live. Jobs do NOT hold the service device lock —
+    jax serializes device dispatches internally, so short ``/simulate``
+    batches interleave with a running job's dispatch gaps (the whole point
+    of tiles_per_dispatch-sized chunks)."""
+
+    MAX_BIG_N = 8192
+    MAX_JOBS_KEPT = 64
+
+    def __init__(self):
+        self._jobs: dict[str, _Job] = {}
+        self._queue: list[str] = []
+        self._cv = threading.Condition()
+        self._seq = 0
+        self._worker = threading.Thread(target=self._drain_forever,
+                                        daemon=True, name="litho-job-worker")
+        self._worker.start()
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, body: dict) -> dict:
+        kind = body.get("kind")
+        if kind not in ("tiled", "fem", "opc"):
+            raise ValueError(f"unknown job kind {kind!r} "
+                             "(expected tiled/fem/opc)")
+        # validate the mask early so submission errors are synchronous 400s
+        mask = _decode_array(body["mask"])
+        if mask.ndim != 2 or mask.shape[0] != mask.shape[1]:
+            raise ValueError(f"mask must be square 2-D, got {mask.shape}")
+        if mask.shape[0] > self.MAX_BIG_N:
+            raise ValueError(
+                f"mask size {mask.shape[0]} exceeds {self.MAX_BIG_N}")
+        with self._cv:
+            self._seq += 1
+            job_id = f"job-{self._seq:06d}-{int(time.time()) % 100000}"
+            job = _Job(job_id, kind, dict(body, mask=mask))
+            if len(self._jobs) >= self.MAX_JOBS_KEPT:
+                # evict oldest FINISHED job; refuse if everything is live
+                for jid in list(self._jobs):
+                    if self._jobs[jid].status in ("done", "error"):
+                        del self._jobs[jid]
+                        break
+                else:
+                    raise ValueError("job store full (all jobs still live)")
+            self._jobs[job_id] = job
+            self._queue.append(job_id)
+            self._cv.notify_all()
+        return {"job_id": job_id, "status": "queued"}
+
+    def status(self, job_id: str) -> tuple[int, dict]:
+        job = self._jobs.get(job_id)
+        if job is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        out = {"job_id": job.id, "kind": job.kind, "status": job.status,
+               "progress": round(job.progress, 4),
+               "age_s": round(time.time() - job.created, 1)}
+        if job.status == "done" and job.result is not None:
+            out.update(job.result)
+        if job.status == "error":
+            out["error"] = job.error
+        return 200, out
+
+    # -- execution -----------------------------------------------------------
+
+    def _drain_forever(self):
+        while True:
+            with self._cv:
+                self._cv.wait_for(lambda: bool(self._queue))
+                job = self._jobs[self._queue.pop(0)]
+            job.status = "running"
+            try:
+                job.result = self._run(job)
+                job.progress = 1.0
+                job.status = "done"
+            except Exception as exc:  # noqa: BLE001 - surfaced via status
+                job.error = f"{type(exc).__name__}: {exc}"
+                job.status = "error"
+
+    @staticmethod
+    def _parse_common(body: dict):
+        from .config import OpticsConfig
+        from .ops.vector import polarization_states
+
+        tile_n = int(body.get("pixel_number", 256))
+        config = OpticsConfig(
+            pixel_number=tile_n,
+            pixel_size=float(body.get("pixel_size", 25.0)),
+            wavelength=float(body.get("wavelength", 193.0)),
+            na=float(body.get("na", 0.7)),
+            immersion_index=float(body.get("immersion_index", 1.0)),
+        )
+        src_spec = body.get("source", {})
+        source_sig = (
+            src_spec.get("kind", "classical"),
+            float(src_spec.get("sigma_in", 0.0)),
+            float(src_spec.get("sigma_out", 0.6)),
+            float(src_spec.get("shift_x", 0.0)),
+            float(src_spec.get("shift_y", 0.0)),
+            int(src_spec.get("poles", 4)),
+            float(src_spec.get("rotation", -np.pi / 8)),
+        )
+        source = _source_from_sig(config, source_sig)
+        polarization = LithoService._parse_polarization(
+            body.get("polarization", "scalar"))
+        if polarization is not None:
+            polarization_states(polarization)  # validate spec
+        rank = int(body.get("rank", 64))
+        halo = body.get("halo")
+        halo = int(halo) if halo is not None else None
+        return config, source, polarization, rank, halo
+
+    def _run(self, job: _Job) -> dict:
+        body = job.body
+        config, source, polarization, rank, halo = self._parse_common(body)
+        mask = body["mask"]
+
+        def progress(f):
+            job.progress = float(f)
+
+        if job.kind == "tiled":
+            from .simulate import _compiled_socs_build
+
+            socs = _compiled_socs_build(config, rank, polarization,
+                                        bool(body.get("apodize", True)))(
+                np.asarray(body.get("aberrations") or [0.0], np.float32),
+                source)[0]
+            from .ops.tiled import tiled_socs_image
+
+            image = tiled_socs_image(
+                np.asarray(mask, np.float32), socs, config, halo=halo,
+                tiles_per_dispatch=int(body.get("tiles_per_dispatch", 8)),
+                progress_cb=progress)
+            return {"image": _encode_array(image),
+                    "big_n": int(mask.shape[0]), "rank": int(socs.rank)}
+        if job.kind == "fem":
+            from .metrology import tiled_fem
+            from .models.resist import ResistModel
+
+            result = tiled_fem(
+                np.asarray(mask, np.float32), config, source,
+                defocus_nm=[float(d) for d in
+                            body.get("defocus_nm", [-60.0, 0.0, 60.0])],
+                doses=[float(d) for d in body.get("doses", [0.9, 1.0, 1.1])],
+                target_cd_nm=body.get("target_cd_nm"),
+                resist=ResistModel(
+                    threshold=float(body.get("threshold", 0.3))),
+                tolerance=float(body.get("tolerance", 0.10)),
+                rank=rank, halo=halo, polarization=polarization,
+                progress_cb=progress)
+            cdu = dict(result["cdu"] or {})
+            cd_map = cdu.pop("cd_map_nm", None)
+            out = {
+                "cd_nm": np.asarray(result["cd_nm"]).tolist(),
+                "defocus_nm": np.asarray(result["defocus_nm"]).tolist(),
+                "doses": np.asarray(result["doses"]).tolist(),
+                "target_cd_nm": result["target_cd_nm"],
+                "depth_of_focus_nm": result["depth_of_focus_nm"],
+                "exposure_latitude": result["exposure_latitude"],
+                "in_spec_fraction": result["in_spec_fraction"],
+                "cdu": cdu,
+            }
+            if cd_map is not None:
+                out["cd_map_nm"] = _encode_array(np.nan_to_num(cd_map))
+            if result.get("epe") is not None:
+                out["epe"] = {k: v for k, v in result["epe"].items()
+                              if not k.startswith("epe_")}
+            return out
+        # job.kind == "opc"
+        from .optimize import opc_correct_tiled
+
+        corrected = opc_correct_tiled(
+            np.asarray(mask, np.float32), config, source,
+            halo=halo, rank=rank,
+            steps=int(body.get("steps", 40)),
+            sweeps=int(body.get("sweeps", 1)),
+            learning_rate=float(body.get("lr", 0.15)),
+            polarization=polarization,
+            progress_cb=progress)
+        return {"mask": _encode_array(corrected),
+                "big_n": int(mask.shape[0])}
+
+
 class LithoService:
     """Request handling, separated from HTTP plumbing for testability.
 
@@ -125,6 +334,8 @@ class LithoService:
         self._lock = threading.Lock()  # device + counter lock
         self._cv = threading.Condition()
         self._queue: list[_Pending] = []
+        self._jobs: JobRunner | None = None  # created on first /jobs POST
+        self._jobs_lock = threading.Lock()
         if batching:
             self._worker = threading.Thread(
                 target=self._drain_forever, daemon=True,
@@ -320,12 +531,22 @@ class LithoService:
         }
         return {"image": _encode_array(image), "report": report}
 
+    def jobs(self) -> JobRunner:
+        with self._jobs_lock:
+            if self._jobs is None:
+                self._jobs = JobRunner()
+            return self._jobs
+
     def dispatch(self, path: str, body: dict | None) -> tuple[int, dict]:
         try:
             if path == "/health":
                 return 200, self.health()
             if path == "/simulate":
                 return 200, self.simulate(body or {})
+            if path == "/jobs" and body is not None:
+                return 200, self.jobs().submit(body)
+            if path.startswith("/jobs/"):
+                return self.jobs().status(path[len("/jobs/"):])
             return 404, {"error": f"unknown endpoint {path}"}
         except TimeoutError as exc:
             return 503, {"error": f"{type(exc).__name__}: {exc}"}
@@ -347,15 +568,28 @@ class Router:
     parseable signature fall back to round-robin."""
 
     def __init__(self, backends: list[str], *, timeout_s: float = 300.0,
-                 affinity: bool = True):
+                 affinity: bool = True, max_inflight: int = 8,
+                 queue_wait_s: float = 120.0):
         if not backends:
             raise ValueError("router needs at least one backend")
         self.backends = [b.rstrip("/") for b in backends]
         self.timeout_s = timeout_s
         self.affinity = affinity
         self.forwarded = [0] * len(self.backends)
+        self.queued = 0  # requests that waited for an admission slot
         self._next = 0
         self._lock = threading.Lock()
+        # Router-side queue: at most max_inflight requests in flight per
+        # backend; excess handler threads WAIT on the semaphore (bounded by
+        # queue_wait_s) instead of piling onto a busy worker — bursts that
+        # arrive while a worker is busy regroup here and drain in order.
+        self.max_inflight = max_inflight
+        self.queue_wait_s = queue_wait_s
+        self._slots = [threading.BoundedSemaphore(max_inflight)
+                       for _ in self.backends]
+        # job id -> backend index: /jobs/<id> polls MUST land on the worker
+        # that owns the job (job state is process-local)
+        self._job_backend: dict[str, int] = {}
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
                          "immersion_index", "solver", "chunk", "normalize",
@@ -418,22 +652,64 @@ class Router:
                                     "forwarded": self.forwarded[i],
                                     **({"health": payload} if ok else payload)})
             return 200, {"status": "ok", "role": "router",
+                         "max_inflight": self.max_inflight,
+                         "queued_requests": self.queued,
+                         "tracked_jobs": len(self._job_backend),
                          "backends": per_backend}
+        if path.startswith("/jobs/"):
+            # pinned: the owning worker holds the job state
+            job_id = path[len("/jobs/"):]
+            i = self._job_backend.get(job_id)
+            if i is None:
+                return 404, {"error": f"unknown job {job_id!r}"}
+            try:
+                status, payload = self._forward_one(
+                    self.backends[i] + path, raw_body)
+            except OSError as exc:
+                return 503, {"error": f"job backend unreachable: {exc}"}
+            with self._lock:
+                self.forwarded[i] += 1
+            return status, payload
+
         start = self._pick_start(raw_body)
-        last_err = None
+        last_err: Exception | str | None = None
         for attempt in range(len(self.backends)):
             i = (start + attempt) % len(self.backends)
+            # Admission slot: wait (bounded) on the per-backend queue. A
+            # short grab-or-move probe first, so a busy affine backend
+            # spills to an idle one before anyone queues.
+            slot = self._slots[i]
+            acquired = slot.acquire(timeout=0.05)
+            if not acquired:
+                if attempt < len(self.backends) - 1:
+                    last_err = "backend busy"
+                    continue  # try the next backend before queueing
+                with self._lock:
+                    self.queued += 1
+                acquired = slot.acquire(timeout=self.queue_wait_s)
+                if not acquired:
+                    return 503, {"error": "router queue wait exceeded "
+                                          f"{self.queue_wait_s:.0f}s"}
             try:
                 # raw_body is None exactly for GET: pass it through so the
                 # method is preserved (a GET must not become a POST b"{}").
                 status, payload = self._forward_one(
                     self.backends[i] + path, raw_body)
-                with self._lock:
-                    self.forwarded[i] += 1
-                return status, payload
             except OSError as exc:  # connection refused / reset -> failover
                 last_err = exc
-        return 503, {"error": f"all backends unreachable: {last_err}"}
+                continue
+            finally:
+                slot.release()
+            with self._lock:
+                self.forwarded[i] += 1
+            if (path == "/jobs" and status == 200
+                    and isinstance(payload, dict) and "job_id" in payload):
+                with self._lock:
+                    if len(self._job_backend) > 512:
+                        self._job_backend.pop(next(iter(self._job_backend)))
+                    self._job_backend[payload["job_id"]] = i
+            return status, payload
+        return 503, {"error": f"all backends unavailable: {last_err}"}
 
 
 def _make_http_server(host: str, port: int, dispatch_json, dispatch_raw=None):

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -319,3 +320,116 @@ def test_polarized_simulate(server):
     status, _ = _post(server, "/simulate",
                       _simulate_body(mask, polarization="circular?"))
     assert status == 400
+
+
+# ---------------------------------------------------------------------------
+# Async jobs API (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _get(url, path):
+    try:
+        with urllib.request.urlopen(url + path, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _poll_job(url, job_id, timeout_s=180.0):
+    saw_progress = []
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        status, payload = _get(url, f"/jobs/{job_id}")
+        assert status == 200, payload
+        saw_progress.append(payload["progress"])
+        if payload["status"] in ("done", "error"):
+            return payload, saw_progress
+        time.sleep(0.3)
+    raise AssertionError(f"job {job_id} did not finish: {payload}")
+
+
+def _job_body(kind, big_n=96, **overrides):
+    rng = np.random.default_rng(5)
+    mask = np.zeros((big_n, big_n), np.float32)
+    for x in range(8, big_n - 12, 24):
+        mask[:, x:x + 8] = 1.0
+    body = {
+        "kind": kind,
+        "mask": _encode_array(mask),
+        "pixel_number": 48,
+        "rank": 16,
+        "halo": 8,
+        "source": {"kind": "classical", "sigma_out": 0.5},
+    }
+    body.update(overrides)
+    return body
+
+
+def test_job_tiled_with_progress(server):
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200 and payload["status"] == "queued"
+    final, progress = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    img = _decode_array(final["image"])
+    assert img.shape == (96, 96)
+    assert np.isfinite(img).all() and img.max() > 0
+    assert final["progress"] == 1.0
+    assert all(b >= a for a, b in zip(progress, progress[1:]))  # monotone
+
+
+def test_job_fem_end_to_end(server):
+    body = _job_body("fem", defocus_nm=[-50.0, 0.0, 50.0],
+                     doses=[0.9, 1.0, 1.1], threshold=0.3)
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert np.asarray(final["cd_nm"]).shape == (3, 3)
+    assert "depth_of_focus_nm" in final
+    assert final["cdu"]["count"] > 0
+    assert "cd_map_nm" in final
+
+
+def test_job_concurrent_with_simulate(server):
+    """A running job must not break concurrent /simulate traffic."""
+    status, payload = _post(server, "/jobs", _job_body("tiled", big_n=128))
+    assert status == 200
+    job_id = payload["job_id"]
+    mask = np.asarray(demo_bars(CFG).geometry)
+    for _ in range(3):
+        st, sim = _post(server, "/simulate", _simulate_body(mask))
+        assert st == 200
+        img = _decode_array(sim["image"])
+        assert np.isfinite(img).all()
+    final, _ = _poll_job(server, job_id)
+    assert final["status"] == "done", final
+
+
+def test_job_validation_errors(server):
+    status, payload = _post(server, "/jobs", {"kind": "nope", "mask": [[0.0]]})
+    assert status == 400 and "kind" in payload["error"]
+    status, payload = _post(server, "/jobs",
+                            _job_body("tiled", mask=[[0.0, 1.0]]))
+    assert status == 400
+    status, payload = _get(server, "/jobs/not-a-job")
+    assert status == 404
+
+
+def test_router_pins_job_polls(fleet):
+    """Job polls through the router land on the backend that owns the job."""
+    url, servers = fleet
+    status, payload = _post(url, "/jobs", _job_body("tiled"))
+    assert status == 200
+    final, _ = _poll_job(url, payload["job_id"])
+    assert final["status"] == "done", final
+    assert _decode_array(final["image"]).shape == (96, 96)
+    status, _ = _get(url, "/jobs/unknown-id")
+    assert status == 404
+
+
+def test_router_health_reports_queue(fleet):
+    url, _ = fleet
+    with urllib.request.urlopen(url + "/health", timeout=30) as resp:
+        payload = json.loads(resp.read())
+    assert "max_inflight" in payload and payload["max_inflight"] >= 1
+    assert "queued_requests" in payload
