@@ -181,6 +181,75 @@ def main() -> None:
     t_seg_2048 = time.perf_counter() - t0
     abbe_2048_pts_per_s = seg2 / t_seg_2048
 
+    # --- round 3: warm-started rebuild (adjacent defocus, 1024^2) -------
+    # The FEM money path: plane k+1's build restarts from plane k's Ritz
+    # basis at power_iters=0. Timed vs the cold build above (t_build).
+    from lithographysimulator_tpu.ops.focus import focus_stack_aberrations
+
+    @jax.jit
+    def socs_build_basis(a, s_map):
+        socs_, basis_ = randomized_socs(
+            pupil_function(a, cfg), s_map, cfg, rank=RANK, power_iters=1,
+            lean=False, return_basis=True)
+        return socs_.eigenvalues, basis_
+
+    @jax.jit
+    def socs_build_warm(a, s_map, basis_):
+        return randomized_socs(
+            pupil_function(a, cfg), s_map, cfg, rank=RANK, power_iters=0,
+            lean=False, init_basis=basis_).eigenvalues
+
+    ab_planes = jnp.asarray(np.asarray(focus_stack_aberrations(
+        np.zeros(5, np.float32), np.array([0.0, 40.0, 80.0], np.float32))))
+    _progress("compiling warm-start builds")
+    _, basis = socs_build_basis(ab_planes[0], src_dev)
+    jax.block_until_ready(basis)
+    jax.block_until_ready(socs_build_warm(ab_planes[1], src_dev, basis))
+    t0 = time.perf_counter()
+    jax.block_until_ready(socs_build_warm(ab_planes[2], src_dev, basis))
+    t_build_warm = time.perf_counter() - t0
+    del basis  # 2.3 GB — the lean 2048^2 section below needs the HBM
+
+    # --- round 3: polarized (vector) SOCS cold, 1024^2 ------------------
+    # Full Jones-pupil physics in one kernel set (no reference analog at
+    # all); build + image fused, unpolarized (6 component pupils).
+    from lithographysimulator_tpu.ops.hopkins import randomized_socs_vector
+
+    @jax.jit
+    def vector_socs_cold(geom, a, s_map):
+        k = randomized_socs_vector(
+            pupil_function(a, cfg), s_map, cfg, rank=RANK,
+            polarization="unpolarized", power_iters=1)
+        return socs_image(mask_spectrum(geom, cfg), k, cfg, chunk=CHUNK)
+
+    _progress("compiling 1024^2 polarized SOCS cold")
+    argsv = (mask.geometry, ab_planes[0], src_dev)
+    jax.block_until_ready(vector_socs_cold(*argsv))
+    t0 = time.perf_counter()
+    jax.block_until_ready(vector_socs_cold(*argsv))
+    t_vector_cold = time.perf_counter() - t0
+
+    # --- round 3: lean single-block-peak build, 2048^2 rank 256 ---------
+    # The memory-constrained config (standard build would OOM HBM); round-3
+    # chunk re-tune cut it ~14 s -> ~6 s (row_chunk 32 / img_row_chunk 128).
+    # Free every multi-GB buffer the earlier sections still reference: the
+    # lean build's ~13 GB peak plus a held 2 GB kernel set exhausts HBM.
+    image_peak = float(np.asarray(image).max())
+    abbe_image_peak = float(np.asarray(abbe_image_full).max())
+    del socs, image, abbe_image_full
+
+    @jax.jit
+    def socs_lean_2048(geom, a, s_map):
+        k = randomized_socs(pupil_function(a, cfg2), s_map, cfg2,
+                            rank=256, power_iters=1, lean=True)
+        return socs_image(mask_spectrum(geom, cfg2), k, cfg2, chunk=CHUNK)
+
+    _progress("compiling 2048^2 lean rank-256 build")
+    jax.block_until_ready(socs_lean_2048(*args2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(socs_lean_2048(*args2))
+    t_lean_2048 = time.perf_counter() - t0
+
     result = {
         "metric": f"1024^2 quadrupole aerial image wall-clock ({points} src pts, SOCS rank {RANK})",
         "value": round(total, 4),
@@ -196,15 +265,19 @@ def main() -> None:
         "abbe_engine": "int8",
         "abbe_f32_est_s": round(abbe_f32_est, 2),
         "abbe_f32_vs_baseline": round(REFERENCE_BASELINE_S / abbe_f32_est, 1),
+        "socs_build_warm_s": round(t_build_warm, 4),
+        "socs_warm_speedup": round(t_build / max(t_build_warm, 1e-9), 2),
+        "vector_socs_cold_s": round(t_vector_cold, 3),
         "socs_cold_2048_s": round(t_socs_2048, 3),
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
+        "socs_lean_2048_rank256_s": round(t_lean_2048, 3),
         "abbe_2048_points_per_s": round(abbe_2048_pts_per_s, 1),
         "abbe_2048_est_s": round(points2 / abbe_2048_pts_per_s, 1),
         "abbe_2048_vs_baseline": round(
             REFERENCE_2048_S / (points2 / abbe_2048_pts_per_s), 1),
         "device": str(jax.devices()[0]),
-        "image_peak": float(np.asarray(image).max()),
-        "abbe_image_peak": float(np.asarray(abbe_image_full).max()),
+        "image_peak": image_peak,
+        "abbe_image_peak": abbe_image_peak,
     }
     print(json.dumps(result))
 

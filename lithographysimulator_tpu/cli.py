@@ -146,21 +146,31 @@ def cmd_socs(args) -> int:
     import jax.numpy as jnp
 
     from .models.pupil import pupil_function
-    from .ops.hopkins import randomized_socs
+    from .ops.hopkins import (randomized_socs, randomized_socs_vector,
+                              vector_pupil_power)
     from .utils.artifacts import save_socs
 
     config = _build_config(args)
     source = _build_source(args, config)
     aberr = jnp.asarray(args.aberrations if args.aberrations else [0.0], jnp.float32)
+    polarization = (None if args.polarization == "scalar"
+                    else args.polarization)
 
     # complex math must stay under jit on the TPU tunnel (CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=())
     def build(a, s_map):
         pupil = pupil_function(a, config)
         lean = {"auto": "auto", "on": True, "off": False}[args.lean]
-        socs = randomized_socs(pupil, s_map, config, rank=args.rank,
-                               power_iters=args.power_iters, lean=lean)
-        return socs, jnp.sum(jnp.abs(pupil) ** 2)
+        if polarization is None:
+            socs = randomized_socs(pupil, s_map, config, rank=args.rank,
+                                   power_iters=args.power_iters, lean=lean)
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
+            socs = randomized_socs_vector(
+                pupil, s_map, config, rank=args.rank,
+                power_iters=args.power_iters, polarization=polarization)
+            r0 = vector_pupil_power(pupil, config, polarization=polarization)
+        return socs, r0
 
     t0 = time.perf_counter()
     socs, r0 = jax.block_until_ready(build(aberr, jnp.asarray(np.asarray(source))))
@@ -667,6 +677,10 @@ def main(argv=None) -> int:
     p_socs.add_argument("--lean", default="auto", choices=["auto", "on", "off"],
                         help="single-probe-block in-place build (fits rank "
                              "256 at 2048^2 in 16 GB HBM; ~2x build time)")
+    p_socs.add_argument("--polarization", default="scalar",
+                        choices=["scalar", "x", "y", "unpolarized"],
+                        help="build polarized (vector Jones-pupil) kernels "
+                             "via the summed-TCC eigensolver")
     p_socs.add_argument("--out", default=None, help="output .npz path")
     p_socs.set_defaults(func=cmd_socs)
 

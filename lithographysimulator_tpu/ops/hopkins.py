@@ -711,7 +711,11 @@ def randomized_socs_vector(
 
     n = config.n
     if probe_chunk == "auto":
-        probe_chunk = 8 if n >= 2048 else None
+        # The frequency-side matvec keeps more live block-sized temporaries
+        # than the scalar Gram matvec (vhat + per-component u/y + the
+        # Fourier accumulator), so chunk one size earlier: unchunked rank
+        # 256 at 1024^2 peaked at 23.5 GB (OOM); chunked it fits easily.
+        probe_chunk = 8 if n >= 1024 else None
     # The matvec's source coordinate IS the physical shift, but the source
     # map stores the point of shift s at array index s + n/2 (array center =
     # on-axis): roll the weights so w(s) is evaluated at the shift. (The
