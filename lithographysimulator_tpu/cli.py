@@ -409,11 +409,19 @@ def cmd_opc(args) -> int:
                     else args.polarization)
 
     def fidelity(mask_big):
+        from .models.resist import edge_placement_errors
+
         img = tiled_focus_images(mask_big, tile_config, source, [0.0],
                                  rank=args.rank, halo=args.halo,
                                  polarization=polarization)[0]
         profile = (img / img.max()) > resist.threshold
-        return pattern_fidelity(profile.astype(np.float32), target, tile_config)
+        out = pattern_fidelity(profile.astype(np.float32), target,
+                               tile_config)
+        epe = edge_placement_errors(profile.astype(np.float32), target,
+                                    tile_config)
+        out.update({k: epe[k] for k in ("mean_abs_epe_nm", "max_abs_epe_nm",
+                                        "matched", "missing")})
+        return out
 
     t0 = time.perf_counter()
     corrected = opc_correct_tiled(

@@ -25,9 +25,12 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``{"kind": "tiled"|"fem"|"opc", ...}`` -> ``{"job_id": ...}``. Jobs run on
   a dedicated executor thread with live progress; ``/simulate`` traffic
   keeps flowing while a job is in flight (jax serializes device work).
-* ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error,
+* ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error|cancelled,
   "progress": 0..1, ...result when done}``. The router pins job polls to
   the backend that accepted the job.
+* ``/jobs/<id>/cancel`` — POST; drop a queued job immediately, stop a
+  running one at its next progress tick (in-flight device dispatches are
+  never interrupted — killing one wedges the TPU tunnel).
 * ``/health`` — GET; device info + uptime + batching stats (router: per-
   backend health).
 
@@ -101,11 +104,15 @@ class _Pending:
         self.error: Exception | None = None
 
 
+class JobCancelled(Exception):
+    """Raised inside a job's progress callback when it has been cancelled."""
+
+
 class _Job:
     """One submitted full-chip job and its live state."""
 
     __slots__ = ("id", "kind", "body", "status", "progress", "result",
-                 "error", "created")
+                 "error", "created", "cancelled")
 
     def __init__(self, job_id: str, kind: str, body: dict):
         self.id = job_id
@@ -116,6 +123,7 @@ class _Job:
         self.result: dict | None = None
         self.error: str | None = None
         self.created = time.time()
+        self.cancelled = False
 
 
 class JobRunner:
@@ -183,6 +191,24 @@ class JobRunner:
             out["error"] = job.error
         return 200, out
 
+    def cancel(self, job_id: str) -> tuple[int, dict]:
+        """Cancel a queued or running job. A queued job is dropped from the
+        queue immediately; a running one stops at its next progress tick
+        (between device dispatch batches — a single in-flight dispatch is
+        never interrupted, which would wedge the TPU tunnel)."""
+        with self._cv:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return 404, {"error": f"unknown job {job_id!r}"}
+            if job.status in ("done", "error", "cancelled"):
+                return 200, {"job_id": job_id, "status": job.status}
+            job.cancelled = True
+            if job_id in self._queue:  # still queued: finish it here
+                self._queue.remove(job_id)
+                job.status = "cancelled"
+        return 200, {"job_id": job_id, "status": "cancelling"
+                     if job.status == "running" else job.status}
+
     # -- execution -----------------------------------------------------------
 
     def _drain_forever(self):
@@ -190,11 +216,16 @@ class JobRunner:
             with self._cv:
                 self._cv.wait_for(lambda: bool(self._queue))
                 job = self._jobs[self._queue.pop(0)]
+            if job.cancelled:
+                job.status = "cancelled"
+                continue
             job.status = "running"
             try:
                 job.result = self._run(job)
                 job.progress = 1.0
                 job.status = "done"
+            except JobCancelled:
+                job.status = "cancelled"
             except Exception as exc:  # noqa: BLE001 - surfaced via status
                 job.error = f"{type(exc).__name__}: {exc}"
                 job.status = "error"
@@ -238,6 +269,8 @@ class JobRunner:
         mask = body["mask"]
 
         def progress(f):
+            if job.cancelled:
+                raise JobCancelled(job.id)
             job.progress = float(f)
 
         if job.kind == "tiled":
@@ -546,7 +579,10 @@ class LithoService:
             if path == "/jobs" and body is not None:
                 return 200, self.jobs().submit(body)
             if path.startswith("/jobs/"):
-                return self.jobs().status(path[len("/jobs/"):])
+                rest = path[len("/jobs/"):]
+                if rest.endswith("/cancel") and body is not None:
+                    return self.jobs().cancel(rest[: -len("/cancel")])
+                return self.jobs().status(rest)
             return 404, {"error": f"unknown endpoint {path}"}
         except TimeoutError as exc:
             return 503, {"error": f"{type(exc).__name__}: {exc}"}
@@ -657,8 +693,9 @@ class Router:
                          "tracked_jobs": len(self._job_backend),
                          "backends": per_backend}
         if path.startswith("/jobs/"):
-            # pinned: the owning worker holds the job state
-            job_id = path[len("/jobs/"):]
+            # pinned: the owning worker holds the job state (the id is the
+            # first path segment — /jobs/<id> and /jobs/<id>/cancel alike)
+            job_id = path[len("/jobs/"):].split("/")[0]
             i = self._job_backend.get(job_id)
             if i is None:
                 return 404, {"error": f"unknown job {job_id!r}"}

@@ -342,7 +342,7 @@ def _poll_job(url, job_id, timeout_s=180.0):
         status, payload = _get(url, f"/jobs/{job_id}")
         assert status == 200, payload
         saw_progress.append(payload["progress"])
-        if payload["status"] in ("done", "error"):
+        if payload["status"] in ("done", "error", "cancelled"):
             return payload, saw_progress
         time.sleep(0.3)
     raise AssertionError(f"job {job_id} did not finish: {payload}")
@@ -433,3 +433,44 @@ def test_router_health_reports_queue(fleet):
         payload = json.loads(resp.read())
     assert "max_inflight" in payload and payload["max_inflight"] >= 1
     assert "queued_requests" in payload
+
+
+def test_job_cancellation(server):
+    """Cancel a running job: status reaches 'cancelled' and the executor
+    moves on to later jobs; cancelling a finished job is a no-op."""
+    status, payload = _post(server, "/jobs", _job_body("tiled", big_n=192))
+    assert status == 200
+    jid = payload["job_id"]
+    # let it start, then cancel
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        st, s = _get(server, f"/jobs/{jid}")
+        if s["status"] == "running":
+            break
+        time.sleep(0.1)
+    status, payload = _post(server, f"/jobs/{jid}/cancel", {})
+    assert status == 200
+    final, _ = _poll_job(server, jid, timeout_s=120)
+    assert final["status"] == "cancelled"
+
+    # the executor still serves new jobs afterwards
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200
+    done, _ = _poll_job(server, payload["job_id"])
+    assert done["status"] == "done"
+    # cancelling a done job: no-op, reports its terminal state
+    status, payload = _post(server,
+                            f"/jobs/{payload['job_id']}/cancel", {})
+    assert status == 200 and payload["status"] == "done"
+
+
+def test_job_opc_kind(server):
+    body = _job_body("opc", big_n=96, steps=4, lr=0.2)
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"], timeout_s=300)
+    assert final["status"] == "done", final
+    corrected = _decode_array(final["mask"])
+    assert corrected.shape == (96, 96)
+    assert np.isfinite(corrected).all()
+    assert 0.0 <= corrected.min() and corrected.max() <= 1.0

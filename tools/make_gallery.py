@@ -281,8 +281,75 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![resist3d](resist3d.png) | 3-D eikonal development: substrate standing waves in the latent image, lateral etch/undercut in the profile, PEB smoothing |
 | ![field](field_aberrations.png) | Field-dependent aberrations: per-field-point SOCS kernels print the chip edge with scanner-slit defocus |
 | ![pw](process_window.png) | Full-chip focus-exposure matrix → process window (tiled SOCS path) |
+| ![polsocs](polarized_socs.png) | Polarized SOCS (round 3): one summed-TCC kernel set carries hyper-NA vector physics on the fast path — matches the exact vector Abbe engine |
+| ![cdu](cd_metrology.png) | Full-chip CD metrology (round 3): developed chip, per-region CD-uniformity map, subpixel CD distribution |
 """)
     print("wrote", gallery)
+
+    # 13. Polarized SOCS: vector physics on the fast path (round 3)
+    cfg_v = lt.OpticsConfig(pixel_number=64, na=1.35, immersion_index=1.437)
+    geom_v = np.zeros((64, 64), np.float32)
+    for y in range(10, 54, 16):
+        for x in range(10, 54, 16):
+            geom_v[y:y + 6, x:x + 6] = 1.0
+    spec_v = lt.spectrum_fft(geom_v, cfg_v)
+    pup_v = lt.pupil_function(np.zeros(1), cfg_v)
+    src_v = np.asarray(lt.LightSource(cfg_v, sigma_out=0.5).classical())
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    sh_v, w_v, _ = padded_source_arrays(src_v, 4)
+    exact = np.asarray(lt.vector_abbe_image(
+        spec_v, pup_v, sh_v, w_v, cfg_v, polarization="unpolarized",
+        max_abs_shift=int(np.abs(np.asarray(sh_v)).max())))
+    socs_s = lt.randomized_socs(pup_v, src_v, cfg_v, rank=96, oversample=32,
+                                power_iters=3, lean=False)
+    socs_v = lt.randomized_socs_vector(pup_v, src_v, cfg_v, rank=96,
+                                       oversample=32, power_iters=3,
+                                       polarization="unpolarized")
+    img_s = np.asarray(lt.socs_image(spec_v, socs_s, cfg_v))
+    img_v = np.asarray(lt.socs_image(spec_v, socs_v, cfg_v))
+    save_panels("polarized_socs", [
+        ("scalar SOCS (no vector physics)", img_s / img_s.max()),
+        ("polarized SOCS (summed-TCC kernels)", img_v / img_v.max()),
+        ("exact vector Abbe (oracle)", exact / exact.max()),
+        ("|polarized SOCS − exact| ×100", np.abs(img_v / img_v.max()
+                                                 - exact / exact.max()) * 100),
+    ], ncols=4, cmap="inferno")
+
+    # 14. Full-chip CD metrology: CDU map + width distribution (round 3)
+    chip = np.zeros((256, 256), np.float32)
+    for x in range(8, 248, 24):
+        chip[:, x:x + 8] = 1.0
+    chip[140:, 8:15] = 0.0
+    chip[140:, 8:14] = 1.0  # one bar narrows in the lower-left region
+    tile_cfg = lt.OpticsConfig(pixel_number=128)
+    src_c = np.asarray(lt.LightSource(tile_cfg, sigma_out=0.6).classical())
+    socs_c = lt.randomized_socs(lt.pupil_function(np.zeros(1), tile_cfg),
+                                src_c, tile_cfg, rank=48, power_iters=2,
+                                lean=False)
+    chip_img = np.asarray(lt.tiled_socs_image(chip, socs_c, tile_cfg,
+                                              halo=32))
+    profile = (chip_img / chip_img.max() > 0.4).astype(np.float32)
+    cdu = lt.cd_uniformity(profile, tile_cfg, map_blocks=8, row_step=1,
+                           min_width_nm=50.0)
+    widths = lt.feature_table(profile, tile_cfg)["width_nm"]
+    fig, axes = plt.subplots(1, 3, dpi=170, figsize=(10.5, 3.4))
+    axes[0].imshow(profile, cmap="gray")
+    axes[0].set_title("developed full-chip pattern", fontsize=9)
+    im = axes[1].imshow(cdu["cd_map_nm"], cmap="viridis")
+    axes[1].set_title(
+        f"CD map (mean {cdu['mean_cd_nm']:.0f} nm, "
+        f"3σ {cdu['cdu_3sigma_nm']:.1f} nm)", fontsize=9)
+    fig.colorbar(im, ax=axes[1], shrink=0.8)
+    axes[2].hist(widths[widths > 50], bins=24, color="#4477aa")
+    axes[2].set_title(f"{cdu['count']} features (subpixel CDs)", fontsize=9)
+    axes[2].set_xlabel("CD (nm)")
+    for ax in axes[:2]:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(DOCS / "cd_metrology.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "cd_metrology.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
