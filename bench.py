@@ -181,6 +181,20 @@ def main() -> None:
     t_seg_2048 = time.perf_counter() - t0
     abbe_2048_pts_per_s = seg2 / t_seg_2048
 
+    # round 3: opt-in 2-limb fast mode (half the int8 dots, ~1.2e-5 RMS vs
+    # the f32 engine — its own accuracy class, never auto-selected)
+    @jax.jit
+    def abbe_seg_2048_fast(geom, a, sh, w):
+        return accumulate_intensity(
+            pupil_function(a, cfg2), mask_spectrum(geom, cfg2), sh, w, cfg2,
+            chunk=CHUNK, engine="int8_fast", max_abs_shift=max_shift2)
+
+    _progress("compiling 2048^2 int8_fast Abbe segment")
+    jax.block_until_ready(abbe_seg_2048_fast(*a2))
+    t0 = time.perf_counter()
+    jax.block_until_ready(abbe_seg_2048_fast(*a2))
+    abbe_2048_fast_pts_per_s = seg2 / (time.perf_counter() - t0)
+
     # --- round 3: warm-started rebuild (adjacent defocus, 1024^2) -------
     # The FEM money path: plane k+1's build restarts from plane k's Ritz
     # basis at power_iters=0. Timed vs the cold build above (t_build).
@@ -272,6 +286,7 @@ def main() -> None:
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
         "socs_lean_2048_rank256_s": round(t_lean_2048, 3),
         "abbe_2048_points_per_s": round(abbe_2048_pts_per_s, 1),
+        "abbe_2048_fast_points_per_s": round(abbe_2048_fast_pts_per_s, 1),
         "abbe_2048_est_s": round(points2 / abbe_2048_pts_per_s, 1),
         "abbe_2048_vs_baseline": round(
             REFERENCE_2048_S / (points2 / abbe_2048_pts_per_s), 1),

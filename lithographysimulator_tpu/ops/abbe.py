@@ -46,7 +46,8 @@ from .resize import bilinear_resize
 Solver = Literal["gau23", "direct"]
 
 
-def resolve_engine(engine: str, *, allowed=("fft", "matmul", "int8")) -> str:
+def resolve_engine(engine: str,
+                   *, allowed=("fft", "matmul", "int8", "int8_fast")) -> str:
     """'auto' -> fastest engine for the backend; validates explicit names.
 
     Measured on TPU v5e at 1024^2 (262 us/pt for the round-1 windowed
@@ -60,6 +61,11 @@ def resolve_engine(engine: str, *, allowed=("fft", "matmul", "int8")) -> str:
       limb dots (the v5e MXU runs int8 at ~1.7x its bf16 rate) — 144 us/pt
       at ~1e-6 normalized RMS vs the f32 engine (reference's own fp16
       grids floor at ~1e-3). 'pallas' is accepted as an alias.
+    * ``int8_fast``: opt-in 2-limb mode of the same kernels — the
+      2^-16-weight limb-pair group is dropped, halving the int8 dot count
+      (9 passes per point instead of 18) at ~1.5e-5 normalized RMS: a
+      different accuracy class (never auto-selected), still ~100x below
+      the reference's fp16-grid floor.
     """
     if engine == "pallas":
         engine = "int8"
@@ -252,13 +258,14 @@ def _intensity_windowed_3m(x, t0, weights, matmul_precision="highest"):
     return jnp.sum(weights[:, None, None] * (er * er + ei * ei), axis=0)
 
 
-@jax.custom_vjp
-def _intensity_windowed_int8(x, t0r, t0i, weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _intensity_windowed_int8_impl(fast, x, t0r, t0i, weights):
     """Same contraction as :func:`_intensity_windowed_3m` but on fused
     Pallas int8 limb kernels (~1.8x the f32 engine on v5e; ~1e-6 normalized
-    RMS vs it). Forward-only int8: the VJP recomputes through the f32 path
-    (limb rounding has no useful gradient), so ILT/SMO losses differentiate
-    correctly through this engine."""
+    RMS vs it; ``fast`` drops the 2^-16 limb-pair group — half the dots at
+    ~1.5e-5 RMS). Forward-only int8: the VJP recomputes through the f32
+    path (limb rounding has no useful gradient), so ILT/SMO losses
+    differentiate correctly through this engine."""
     from .kernels.intensity_int8 import (
         column_intensity_int8, fused_window_intensity_int8,
         prepare_t0_limbs, row_transform_int8)
@@ -271,8 +278,10 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
     # layout rules). Split to single-field calls: B=1 at w=2048 is ~9.4 MB.
     if w > 1400 and x.shape[0] > 1:
         h = x.shape[0] // 2
-        return (_intensity_windowed_int8(x[:h], t0r, t0i, weights[:h])
-                + _intensity_windowed_int8(x[h:], t0r, t0i, weights[h:]))
+        return (_intensity_windowed_int8_impl(fast, x[:h], t0r, t0i,
+                                              weights[:h])
+                + _intensity_windowed_int8_impl(fast, x[h:], t0r, t0i,
+                                                weights[h:]))
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     t_limbs, t_scales = prepare_t0_limbs(t0r, t0i)
     # The fused row kernel holds all three (3, 1, w, w) int8 X-limb blocks
@@ -284,10 +293,10 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
     tile_n = 128 if w > 768 else 256
     if n % 128 == 0 and w <= 768:
         ylr, yli, yls, ysc = row_transform_int8(
-            x, t_limbs, t_scales, interpret=interpret)
+            x, t_limbs, t_scales, interpret=interpret, fast=fast)
         return column_intensity_int8(
             (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
-            tile_n=tile_n, interpret=interpret)
+            tile_n=tile_n, interpret=interpret, fast=fast)
     if n % 128 == 0 and w % 8 == 0 and w <= 1400:
         # Mid-size windows (the 2048^2 case is w=1032): the square-block row
         # kernel overflows VMEM, but the split-K variant blocks the
@@ -296,10 +305,11 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
         from .kernels.intensity_int8 import row_transform_int8_splitk
 
         ylr, yli, yls, ysc = row_transform_int8_splitk(
-            x, t_limbs, t_scales, tile_k=256, interpret=interpret)
+            x, t_limbs, t_scales, tile_k=256, interpret=interpret,
+            fast=fast)
         return column_intensity_int8(
             (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
-            tile_n=tile_n, interpret=interpret)
+            tile_n=tile_n, interpret=interpret, fast=fast)
     # Small or very large grids: f32 row transform (XLA), fused int8 column
     # kernel (the row kernel's scale blocks also need n % 128 == 0).
     prec = _PRECISIONS["highest"]
@@ -308,14 +318,15 @@ def _intensity_windowed_int8(x, t0r, t0i, weights):
     yr, yi = _cmatmul_3m(t0r, t0i, xr, xi, "iw,bwv->biv", prec)
     return fused_window_intensity_int8(
         yr, yi, t_limbs, t_scales, weights, tile_n=tile_n,
-        interpret=interpret)
+        interpret=interpret, fast=fast)
 
 
-def _intensity_windowed_int8_fwd(x, t0r, t0i, weights):
-    return _intensity_windowed_int8(x, t0r, t0i, weights), (x, t0r, t0i, weights)
+def _intensity_windowed_int8_fwd(fast, x, t0r, t0i, weights):
+    return (_intensity_windowed_int8_impl(fast, x, t0r, t0i, weights),
+            (x, t0r, t0i, weights))
 
 
-def _intensity_windowed_int8_bwd(res, g):
+def _intensity_windowed_int8_bwd(fast, res, g):
     x, t0r, t0i, weights = res
     t0 = t0r + 1j * t0i
 
@@ -327,8 +338,12 @@ def _intensity_windowed_int8_bwd(res, g):
     return gx, jnp.zeros_like(t0r), jnp.zeros_like(t0i), gw
 
 
-_intensity_windowed_int8.defvjp(_intensity_windowed_int8_fwd,
-                                _intensity_windowed_int8_bwd)
+_intensity_windowed_int8_impl.defvjp(_intensity_windowed_int8_fwd,
+                                     _intensity_windowed_int8_bwd)
+
+
+def _intensity_windowed_int8(x, t0r, t0i, weights, fast: bool = False):
+    return _intensity_windowed_int8_impl(fast, x, t0r, t0i, weights)
 
 
 def _fields_gau23(pupil_tiled, spectrum, shifts, fft_size, engine="fft",
@@ -398,10 +413,11 @@ def accumulate_intensity(
     # interior (no wraparound): requires a static bound on |shift|. The
     # phase-free shared-T0 form additionally needs the unmasked chirp
     # (fft_size >= n).
-    windowed = (engine in ("matmul", "int8") and max_abs_shift is not None
+    windowed = (engine in ("matmul", "int8", "int8_fast")
+                and max_abs_shift is not None
                 and max_abs_shift <= n // 4 - 2 and _window_size(n) < n
                 and fft_size >= n)
-    if engine == "int8" and (not windowed or solver != "gau23"):
+    if engine in ("int8", "int8_fast") and (not windowed or solver != "gau23"):
         engine = "matmul"  # int8 kernels exist for the windowed path only
     real_dtype = jnp.real(spectrum).dtype
 
@@ -421,8 +437,9 @@ def accumulate_intensity(
         s, w = sw
         if solver == "gau23" and windowed:
             x = _windowed_products(pupil_tiled, spectrum, s, w_win, lo)
-            if engine == "int8":
-                part = _intensity_windowed_int8(x, t0r, t0i, w)
+            if engine in ("int8", "int8_fast"):
+                part = _intensity_windowed_int8(x, t0r, t0i, w,
+                                                fast=engine == "int8_fast")
             else:
                 part = _intensity_windowed_3m(x, t0_c, w, matmul_precision)
             return acc + part, None

@@ -221,12 +221,13 @@ def socs_image(
     # 1.15x the f32 'highest' engine (85 ms vs 98 ms, rank 128 at 1024^2 on
     # v5e) at 6e-7 normalized RMS. Gradients flow through
     # the f32 path via the kernels' custom VJP (ILT/OPC stay differentiable).
-    explicit_int8 = engine in ("int8", "pallas")
-    engine = resolve_engine(engine, allowed=("fft", "matmul", "int8"))
+    explicit_int8 = engine in ("int8", "pallas", "int8_fast")
+    engine = resolve_engine(engine,
+                            allowed=("fft", "matmul", "int8", "int8_fast"))
 
     n = config.n
     fft_size = config.wavelength_scaling().fft_size
-    if engine == "int8" and (solver != "gau23" or fft_size < n):
+    if engine in ("int8", "int8_fast") and (solver != "gau23" or fft_size < n):
         if explicit_int8:  # fail loudly; only 'auto' reroutes (ADVICE r1)
             raise ValueError(
                 "engine='int8' needs solver='gau23' with fft_size >= n "
@@ -242,7 +243,7 @@ def socs_image(
     kernels = kernels.reshape(-1, chunk, n, n)
     lams = lams.reshape(-1, chunk)
 
-    if solver == "gau23" and engine == "int8":
+    if solver == "gau23" and engine in ("int8", "int8_fast"):
         from .abbe import _zoom_dft_kernel
 
         t_full = _zoom_dft_kernel(n, fft_size)
@@ -253,9 +254,10 @@ def socs_image(
         ks, ls = kl
         prod = ks * spectrum[None]
         if solver == "gau23":
-            if engine == "int8":
+            if engine in ("int8", "int8_fast"):
                 part = _intensity_windowed_int8(
-                    prod, t0r, t0i, ls.astype(jnp.float32))
+                    prod, t0r, t0i, ls.astype(jnp.float32),
+                    fast=engine == "int8_fast")
                 return acc + part, None
             if engine == "matmul":
                 from .abbe import _PRECISIONS, _zoom_dft_kernel

@@ -60,7 +60,7 @@ def quantize_rows(a: jnp.ndarray):
     return limbs, (scale * 65536.0)[..., 0]
 
 
-def _kernel(w_ref, ylr, yli, yls, ysc, tlr, tli, tls, tsc, out_ref):
+def _kernel(fast, w_ref, ylr, yli, yls, ysc, tlr, tli, tls, tsc, out_ref):
     batch = ylr.shape[1]  # static chunk size: unrolled in Python
 
     def idot(a, c):
@@ -71,11 +71,13 @@ def _kernel(w_ref, ylr, yli, yls, ysc, tlr, tli, tls, tsc, out_ref):
     def group(yl, b, tl):
         s0 = idot(yl[0, b], tl[0])
         s1 = idot(yl[0, b], tl[1]) + idot(yl[1, b], tl[0])
+        out = (s0.astype(jnp.float32)
+               + s1.astype(jnp.float32) * (1.0 / 256.0))
+        if fast:  # 2-limb mode: drop the 2^-16-weight pair group (3 dots)
+            return out
         s2 = (idot(yl[0, b], tl[2]) + idot(yl[1, b], tl[1])
               + idot(yl[2, b], tl[0]))
-        return (s0.astype(jnp.float32)
-                + s1.astype(jnp.float32) * (1.0 / 256.0)
-                + s2.astype(jnp.float32) * (1.0 / 65536.0))
+        return out + s2.astype(jnp.float32) * (1.0 / 65536.0)
 
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for b in range(batch):
@@ -88,7 +90,8 @@ def _kernel(w_ref, ylr, yli, yls, ysc, tlr, tli, tls, tsc, out_ref):
     out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_n", "interpret", "fast"))
 def fused_window_intensity_int8(
     yr: jnp.ndarray,       # (B, n, w) float32: real(T0 @ X_b)
     yi: jnp.ndarray,       # (B, n, w) float32: imag(T0 @ X_b)
@@ -99,6 +102,7 @@ def fused_window_intensity_int8(
     tile_m: int = 128,
     tile_n: int = 256,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """sum_b w_b |Y_b @ T0^T|^2 via int8 limb dots, field stack in VMEM."""
     ylr, syr = quantize_rows(yr)
@@ -107,10 +111,11 @@ def fused_window_intensity_int8(
     ysc = jnp.stack([syr, syi, sys_])  # (3, B, n)
     return column_intensity_int8(
         (ylr, yli, yls), ysc, t_limbs, t_scales, weights,
-        tile_m=tile_m, tile_n=tile_n, interpret=interpret)
+        tile_m=tile_m, tile_n=tile_n, interpret=interpret, fast=fast)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_n", "interpret", "fast"))
 def column_intensity_int8(
     y_limbs,               # (ylr, yli, yls): each (3, B, n, w) int8
     ysc: jnp.ndarray,      # (3, B, n) float32
@@ -121,7 +126,12 @@ def column_intensity_int8(
     tile_m: int = 128,
     tile_n: int = 256,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
+    """``fast=True`` runs the 2-limb mode: the 2^-16-weight limb-pair group
+    is dropped in every dot (9 int8 passes per point instead of 18),
+    trading exactness (2e-7 RMS) for ~1.5e-5 RMS — still ~100x below the
+    reference's fp16-grid floor. Pair with the fast row transform."""
     ylr, yli, yls = y_limbs
     _, b, n, w = ylr.shape
     tlr, tli, tls = t_limbs
@@ -138,7 +148,7 @@ def column_intensity_int8(
     t_spec = pl.BlockSpec((3, tile_n, w), lambda i, j: (0, j, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, fast),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -193,7 +203,7 @@ def _quant_rows_in_kernel(y):
             (scale * 65536.0)[:, 0])
 
 
-def _row_kernel(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
+def _row_kernel(fast, xlr, xli, xls, xsc, tlr, tli, tls, tsc,
                 ylr, yli, yls, ysc):
     """Per (b, i): Y_b[i-tile] = T0[i-tile] @ X_b via int8 limbs, then
     re-quantize Y rows in VMEM for the column kernel."""
@@ -207,11 +217,12 @@ def _row_kernel(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
     def group(tl, xl, ts, xs):
         s0 = idot(tl[0], xl[0, 0])
         s1 = idot(tl[0], xl[1, 0]) + idot(tl[1], xl[0, 0])
-        s2 = (idot(tl[0], xl[2, 0]) + idot(tl[1], xl[1, 0])
-              + idot(tl[2], xl[0, 0]))
         m = (s0.astype(jnp.float32)
-             + s1.astype(jnp.float32) * (1.0 / 256.0)
-             + s2.astype(jnp.float32) * (1.0 / 65536.0))
+             + s1.astype(jnp.float32) * (1.0 / 256.0))
+        if not fast:
+            s2 = (idot(tl[0], xl[2, 0]) + idot(tl[1], xl[1, 0])
+                  + idot(tl[2], xl[0, 0]))
+            m = m + s2.astype(jnp.float32) * (1.0 / 65536.0)
         return m * (ts[:, None] * xs[None, :])
 
     m1 = group(tlr[...], xlr[...], tsc[0], xsc[0, kb])
@@ -229,7 +240,7 @@ def _row_kernel(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
         ysc[out_s] = s
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "fast"))
 def row_transform_int8(
     x: jnp.ndarray,        # (B, w, w) complex64 windowed rolled products
     t_limbs,               # (tlr, tli, tls): each (3, n, w) int8 (row-quant)
@@ -237,6 +248,7 @@ def row_transform_int8(
     *,
     tile_m: int = 128,
     interpret: bool = False,
+    fast: bool = False,
 ):
     """Y_b = T0 @ X_b as int8 limb dots; returns Y already row-quantized
     ((ylr, yli, yls) each (3, B, n, w) int8, plus (3, B, n) scales)."""
@@ -268,7 +280,7 @@ def row_transform_int8(
     )
     blocks_per_b = n // tile_m
     ylr, yli, yls, ysc = pl.pallas_call(
-        _row_kernel,
+        functools.partial(_row_kernel, fast),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -288,7 +300,7 @@ def row_transform_int8(
     return ylr, yli, yls, ysc.reshape(3, b, n)
 
 
-def _row_kernel_splitk(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
+def _row_kernel_splitk(fast, xlr, xli, xls, xsc, tlr, tli, tls, tsc,
                        ylr, yli, yls, ysc, m1_acc, m2_acc, m3_acc):
     """Split-K variant of :func:`_row_kernel`: the contraction dim (X rows /
     T0 columns) is blocked over the innermost grid axis with f32 VMEM
@@ -310,11 +322,13 @@ def _row_kernel_splitk(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
     def group(tl, xl):
         s0 = idot(tl[0], xl[0, 0])
         s1 = idot(tl[0], xl[1, 0]) + idot(tl[1], xl[0, 0])
+        out = (s0.astype(jnp.float32)
+               + s1.astype(jnp.float32) * (1.0 / 256.0))
+        if fast:  # 2-limb mode (see column_intensity_int8)
+            return out
         s2 = (idot(tl[0], xl[2, 0]) + idot(tl[1], xl[1, 0])
               + idot(tl[2], xl[0, 0]))
-        return (s0.astype(jnp.float32)
-                + s1.astype(jnp.float32) * (1.0 / 256.0)
-                + s2.astype(jnp.float32) * (1.0 / 65536.0))
+        return out + s2.astype(jnp.float32) * (1.0 / 65536.0)
 
     @pl.when(kk == 0)
     def _():
@@ -344,7 +358,8 @@ def _row_kernel_splitk(xlr, xli, xls, xsc, tlr, tli, tls, tsc,
             ysc[out_s] = s
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_m", "tile_k", "interpret", "fast"))
 def row_transform_int8_splitk(
     x: jnp.ndarray,        # (B, w, w) complex64 windowed rolled products
     t_limbs,               # (tlr, tli, tls): each (3, n, w) int8 (row-quant)
@@ -353,6 +368,7 @@ def row_transform_int8_splitk(
     tile_m: int = 128,
     tile_k: int = 256,
     interpret: bool = False,
+    fast: bool = False,
 ):
     """Y_b = T0 @ X_b with the contraction split over k-blocks (see
     :func:`_row_kernel_splitk`); same outputs as :func:`row_transform_int8`.
@@ -397,7 +413,7 @@ def row_transform_int8_splitk(
     )
     blocks_per_b = n // tile_m
     ylr, yli, yls, ysc = pl.pallas_call(
-        _row_kernel_splitk,
+        functools.partial(_row_kernel_splitk, fast),
         grid=grid,
         interpret=interpret,
         in_specs=[

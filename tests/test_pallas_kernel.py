@@ -199,3 +199,57 @@ def test_int8_gradients_flow_through_f32_vjp():
     g32 = np.asarray(jax.grad(loss_f32)(spec))
     scale = np.abs(g32).max()
     np.testing.assert_allclose(g8, g32, atol=1e-6 * scale)
+
+
+def test_int8_fast_mode_accuracy_classes():
+    """The opt-in 2-limb 'int8_fast' engine: ~1e-5 RMS vs f32 (vs ~1e-7 for
+    the exact 6-pass engine), never auto-selected."""
+    import numpy as np
+    from lithographysimulator_tpu import (LightSource, OpticsConfig,
+                                          demo_bars, pupil_function,
+                                          spectrum_fft)
+    from lithographysimulator_tpu.ops.abbe import (abbe_image_points,
+                                                   resolve_engine)
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    cfg = OpticsConfig(pixel_number=256)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    pup = pupil_function(np.zeros(5, np.float32), cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    shifts, weights, _ = padded_source_arrays(src, 4)
+    ms = int(np.abs(np.asarray(shifts)).max())
+    sh, w = shifts[:8], weights[:8]
+
+    def img(engine):
+        return np.asarray(abbe_image_points(
+            spec, pup, sh, w, cfg, engine=engine, max_abs_shift=ms))
+
+    f32 = img("matmul")
+    exact = img("int8")
+    fast = img("int8_fast")
+
+    def nrms(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)) / b.max())
+
+    assert nrms(exact, f32) < 1e-6      # measured 6.7e-8
+    assert 1e-6 < nrms(fast, f32) < 1e-4  # measured 1.2e-5: its own class
+    # 'auto' must never pick the reduced-accuracy mode
+    assert resolve_engine("auto") in ("fft", "matmul", "int8")
+    assert resolve_engine("int8_fast") == "int8_fast"
+
+
+def test_int8_fast_socs_image():
+    import numpy as np
+    from lithographysimulator_tpu import (LightSource, OpticsConfig,
+                                          demo_bars, pupil_function,
+                                          randomized_socs, socs_image,
+                                          spectrum_fft)
+
+    cfg = OpticsConfig(pixel_number=256)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    socs = randomized_socs(pupil_function(np.zeros(1), cfg), src, cfg,
+                           rank=16, power_iters=1, lean=False)
+    a = np.asarray(socs_image(spec, socs, cfg, engine="matmul"))
+    b = np.asarray(socs_image(spec, socs, cfg, engine="int8_fast"))
+    assert float(np.sqrt(np.mean((a - b) ** 2)) / a.max()) < 1e-4
