@@ -386,3 +386,155 @@ def opc_correct_tiled(
                 if progress_cb is not None:
                     progress_cb(done_tiles / (n_sweeps * tiles * tiles))
     return corrected_pad[pad_lo:pad_lo + big_n, pad_lo:pad_lo + big_n]
+
+
+# ---------------------------------------------------------------------------
+# Process-window-aware OPC (round 3)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_pw_opc_step(config, steepness: float, learning_rate: float,
+                          resist_key, n_corners: int):
+    """One Adam step of the process-window OPC problem: the loss sums the
+    resist-profile mismatch over every (defocus, dose) corner, each imaged
+    through its own SOCS kernel set (a stacked pytree riding as a jit
+    argument). Compiled once per (config, corner-count)."""
+    from .models.resist import ResistModel
+    from .ops.fraunhofer import mask_spectrum
+    from .ops.hopkins import socs_image
+
+    resist = ResistModel(*resist_key)
+    optimizer = optax.adam(learning_rate)
+
+    def loss_fn(latent, target, kernel_stack, lam_stack, doses, weights):
+        mask = jax.nn.sigmoid(steepness * latent)
+        spectrum = mask_spectrum(mask, config, solver="gau23")
+
+        def corner_loss(kernels, lams, dose):
+            from .ops.hopkins import SOCSKernels
+
+            # engine pinned to the f32 matmul path: the corner vmap maps
+            # over kernel stacks, and f32-highest is the right accuracy/
+            # robustness point for an optimization forward model (the int8
+            # engine's VJP recomputes through f32 anyway).
+            img = socs_image(spectrum, SOCSKernels(kernels, lams), config,
+                             engine="matmul" if jax.devices()[0].platform
+                             in ("tpu", "axon") else "fft")
+            img = img / jnp.maximum(jnp.max(img), 1e-30)
+            profile = resist.develop(img * dose, config, normalize=False)
+            return jnp.mean((profile - target) ** 2)
+
+        losses = jax.vmap(corner_loss)(kernel_stack, lam_stack, doses)
+        return jnp.sum(weights * losses), losses
+
+    @jax.jit
+    def step(latent, opt_state, target, kernel_stack, lam_stack, doses,
+             weights):
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            latent, target, kernel_stack, lam_stack, doses, weights)
+        updates, opt_state = optimizer.update(grads, opt_state, latent)
+        return optax.apply_updates(latent, updates), opt_state, loss, losses
+
+    return step, optimizer
+
+
+def opc_correct_pw(
+    target_geometry,
+    config,
+    source_map,
+    *,
+    defocus_nm=(-60.0, 0.0, 60.0),
+    doses=(0.95, 1.0, 1.05),
+    corner_weights=None,
+    resist=None,
+    steps: int = 120,
+    learning_rate: float = 0.15,
+    mask_steepness: float = 4.0,
+    rank: int = 64,
+    aberrations=None,
+    polarization=None,
+) -> tuple[jnp.ndarray, dict]:
+    """Process-window-aware OPC: optimize the mask so the developed resist
+    pattern matches the target across EVERY (defocus, dose) corner of the
+    process window simultaneously — not just at nominal conditions. This is
+    the production treatment (nominal-only OPC over-fits to best focus and
+    loses the corners; see the FEM machinery in :mod:`.metrology` for
+    measuring exactly that).
+
+    One SOCS kernel set is built per defocus plane, warm-started from the
+    previous plane's Ritz basis (:func:`..ops.hopkins.randomized_socs`
+    ``init_basis``), so the corner sweep pays 1 cold + F-1 cheap builds;
+    the (defocus x dose) corner grid shares kernel sets across doses. The
+    optimizer sees all corners in ONE jitted step (vmap over a stacked
+    kernel pytree), with gradients flowing through every corner's resist
+    profile. ``polarization`` builds vector kernels.
+
+    Returns ``(corrected_mask, report)`` with per-corner final losses.
+    """
+    from .models.resist import ResistModel
+    from .simulate import _compiled_socs_build_basis
+
+    resist = resist or ResistModel(threshold=0.35, steepness=30.0)
+    resist_key = (resist.threshold, resist.steepness, resist.diffusion_nm)
+    if aberrations is None:
+        aberrations = np.zeros((5,), np.float32)
+    aberrations = np.asarray(aberrations, np.float32)
+    if aberrations.shape[0] < 5:
+        aberrations = np.pad(aberrations, (0, 5 - aberrations.shape[0]))
+    src = np.asarray(source_map, np.float32)
+
+    # one kernel set per focal plane, warm-chained
+    cold = _compiled_socs_build_basis(config, rank, polarization, True)
+    warm = _compiled_socs_build_basis(config, rank, polarization, True,
+                                      power_iters=0, warm=True)
+    kernel_sets = []
+    basis = None
+    for d in defocus_nm:
+        ab = aberrations.copy()
+        ab[4] += float(d)
+        if basis is None:
+            socs, basis, _, _ = cold(jnp.asarray(ab), src)
+        else:
+            socs, basis, _, _ = warm(jnp.asarray(ab), src, basis)
+        kernel_sets.append(socs)
+
+    # corner grid: (defocus x dose); kernel sets shared across doses
+    kernel_stack = jnp.stack(
+        [kernel_sets[i].kernels for i in range(len(defocus_nm))
+         for _ in doses])
+    lam_stack = jnp.stack(
+        [kernel_sets[i].eigenvalues for i in range(len(defocus_nm))
+         for _ in doses])
+    dose_vec = jnp.asarray([d for _ in defocus_nm for d in doses],
+                           jnp.float32)
+    n_corners = len(defocus_nm) * len(doses)
+    if corner_weights is None:
+        weights = jnp.full((n_corners,), 1.0 / n_corners, jnp.float32)
+    else:
+        weights = jnp.asarray(corner_weights, jnp.float32)
+        if weights.shape != (n_corners,):
+            raise ValueError(f"corner_weights shape {weights.shape} != "
+                             f"({n_corners},)")
+        weights = weights / jnp.sum(weights)
+
+    target = jnp.asarray(target_geometry, jnp.float32)
+    latent = latent_from_mask(target, mask_steepness)
+    step, optimizer = _compiled_pw_opc_step(
+        config, mask_steepness, learning_rate, resist_key, n_corners)
+    opt_state = optimizer.init(latent)
+    history = []
+    for _ in range(steps):
+        latent, opt_state, loss, losses = step(
+            latent, opt_state, target, kernel_stack, lam_stack, dose_vec,
+            weights)
+        history.append(float(loss))
+    corrected = mask_from_latent(latent, mask_steepness)
+    report = {
+        "loss_history": history,
+        "corner_losses": np.asarray(losses).reshape(
+            len(defocus_nm), len(doses)),
+        "defocus_nm": list(defocus_nm),
+        "doses": list(doses),
+    }
+    return corrected, report

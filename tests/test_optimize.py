@@ -165,3 +165,45 @@ def test_opc_improves_print_fidelity():
     assert hist[-1] < hist[0]
     assert after["mean_epe_nm"] <= base["mean_epe_nm"] + 1e-9
     assert after["iou"] >= base["iou"]
+
+
+def test_pw_opc_beats_nominal_on_worst_corner():
+    """Process-window OPC (round 3): optimizing across (defocus, dose)
+    corners yields a mask whose WORST-corner resist mismatch beats the
+    nominal-only-optimized mask's."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lithographysimulator_tpu import (LightSource, OpticsConfig,
+                                          demo_bars)
+    from lithographysimulator_tpu.models.resist import ResistModel
+    from lithographysimulator_tpu.optimize import opc_correct_pw
+
+    cfg = OpticsConfig(pixel_number=32)
+    target = np.asarray(demo_bars(cfg).geometry, np.float32)
+    src = np.asarray(LightSource(cfg, sigma_out=0.6).classical())
+    resist = ResistModel(threshold=0.35, steepness=30.0)
+    corners = dict(defocus_nm=(-80.0, 0.0, 80.0), doses=(0.9, 1.0, 1.1))
+
+    pw_mask, pw_report = opc_correct_pw(
+        target, cfg, src, resist=resist, steps=40, rank=24, **corners)
+    # nominal-only: same machinery, single corner
+    nom_mask, _ = opc_correct_pw(
+        target, cfg, src, resist=resist, steps=40, rank=24,
+        defocus_nm=(0.0,), doses=(1.0,))
+
+    # evaluate BOTH masks on the full corner grid via one 0-step call
+    def corner_losses(mask):
+        _, rep = opc_correct_pw(
+            np.asarray(mask), cfg, src, resist=resist, steps=1,
+            learning_rate=0.0, rank=24, **corners)
+        return rep["corner_losses"]
+
+    pw_losses = corner_losses(pw_mask)
+    nom_losses = corner_losses(nom_mask)
+    assert pw_losses.shape == (3, 3)
+    assert np.isfinite(pw_losses).all()
+    assert pw_losses.max() < nom_losses.max()  # better worst corner
+    # loss history decreased
+    h = pw_report["loss_history"]
+    assert h[-1] < h[0]
