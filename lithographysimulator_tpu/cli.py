@@ -258,7 +258,8 @@ def cmd_smo(args) -> int:
     import jax.numpy as jnp
 
     from .models.resist import ResistModel, pattern_fidelity
-    from .optimize import SMOProblem, forward, init_params, mask_from_latent, optimize
+    from .optimize import (SMOProblem, forward, init_params, mask_from_latent,
+                           optimize, optimize_socs)
     from .parallel import padded_source_arrays
 
     import jax
@@ -281,8 +282,14 @@ def cmd_smo(args) -> int:
                  shifts, weights)
     start = np.full((config.n, config.n), 0.4, np.float32)
     t0 = time.perf_counter()
-    params, history = optimize(problem, target, start, ab, shifts, weights,
-                               steps=args.steps, learning_rate=args.lr)
+    if args.forward == "socs":
+        params, history = optimize_socs(
+            problem, target, start, ab, shifts, weights,
+            steps=args.steps, learning_rate=args.lr, rank=args.rank)
+    else:
+        params, history = optimize(problem, target, start, ab, shifts,
+                                   weights, steps=args.steps,
+                                   learning_rate=args.lr)
     elapsed = time.perf_counter() - t0
 
     optimized = mask_from_latent(params["mask_latent"], problem.mask_steepness)
@@ -590,6 +597,11 @@ def main(argv=None) -> int:
     p_smo.add_argument("--steepness", type=float, default=4.0)
     p_smo.add_argument("--threshold", type=float, default=0.4)
     p_smo.add_argument("--chunk", type=int, default=4)
+    p_smo.add_argument("--forward", choices=("abbe", "socs"), default="abbe",
+                       help="mask-step forward model: exact per-point Abbe, "
+                            "or SOCS kernels (O(rank) work per step)")
+    p_smo.add_argument("--rank", type=int, default=64,
+                       help="SOCS kernel rank for --forward socs")
     p_smo.add_argument("--out", default=None, help="optimized mask .npy path")
     p_smo.set_defaults(func=cmd_smo)
 

@@ -139,6 +139,158 @@ def optimize(
 
 
 # ---------------------------------------------------------------------------
+# SOCS-accelerated SMO (alternating mask / source phases)
+# ---------------------------------------------------------------------------
+
+def _source_map_from_points(shifts, weights, n: int) -> jnp.ndarray:
+    """Scatter per-point source weights back onto the (n, n) weight map (the
+    inverse of :func:`..ops.abbe.source_points`; zero-weight padding points
+    scatter zeros, harmless)."""
+    idx = jnp.asarray(shifts, jnp.int32) + n // 2
+    return jnp.zeros((n, n), jnp.float32).at[idx[:, 0], idx[:, 1]].add(
+        jnp.asarray(weights, jnp.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_socs_mask_step(problem: SMOProblem, learning_rate: float):
+    """Jitted mask-latent gradient step through the SOCS forward model.
+
+    The aerial image is a quadratic form in the mask spectrum for FIXED
+    kernels, so holding the kernel set constant across mask steps is exact —
+    the source dependence lives entirely in the kernels, rebuilt (warm) in
+    the outer loop."""
+    from .ops.hopkins import socs_image
+
+    cfg = problem.config
+    optimizer = optax.adam(learning_rate)
+
+    def loss(latent, target, socs, w_sum):
+        geom = mask_from_latent(latent, problem.mask_steepness)
+        spectrum = mask_spectrum(geom, cfg, solver=problem.solver)
+        image = socs_image(spectrum, socs, cfg, solver=problem.solver,
+                           chunk=problem.chunk) / w_sum
+        return jnp.mean((image - target) ** 2)
+
+    @jax.jit
+    def step(latent, opt_state, target, socs, w_sum):
+        value, grads = jax.value_and_grad(loss)(latent, target, socs, w_sum)
+        updates, opt_state = optimizer.update(grads, opt_state, latent)
+        return optax.apply_updates(latent, updates), opt_state, value
+
+    return optimizer, step
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_source_step(problem: SMOProblem, learning_rate: float):
+    """Jitted source-logits gradient step through the exact Abbe model (the
+    kernels absorb the source, so the source gradient needs the per-point
+    path; one Abbe step per outer iteration, mask held fixed)."""
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(logits, opt_state, latent, target, aberrations, shifts, weights):
+        def loss(lg):
+            params = {"mask_latent": latent, "source_logits": lg}
+            return loss_fn(params, target, aberrations, shifts, weights,
+                           problem)
+
+        value, grads = jax.value_and_grad(loss)(logits)
+        updates, opt_state = optimizer.update(grads, opt_state, logits)
+        return optax.apply_updates(logits, updates), opt_state, value
+
+    return optimizer, step
+
+
+def optimize_socs(
+    problem: SMOProblem,
+    target: jnp.ndarray,
+    geometry_init,
+    aberrations,
+    shifts,
+    weights,
+    *,
+    steps: int = 100,
+    learning_rate: float = 0.1,
+    rank: int = 64,
+    power_iters: int = 2,
+    source_weights_init=None,
+    mask_steps_per_build: int = 20,
+    source_learning_rate: float | None = None,
+) -> tuple[dict, list[float]]:
+    """SMO with the SOCS forward model on the mask phase (ROADMAP item 7).
+
+    Mask-only problems build ONE kernel set and run every gradient step
+    through :func:`..ops.hopkins.socs_image` — O(rank) FFT-sized work per
+    step instead of O(source points), typically 10-100x cheaper per step
+    than :func:`optimize` at production source counts, with identical
+    physics up to the rank truncation.
+
+    With ``problem.optimize_source=True`` the loop alternates: an outer
+    iteration rebuilds the kernels for the CURRENT source — warm-started
+    from the previous iteration's Ritz basis
+    (:func:`..ops.hopkins.randomized_socs` ``init_basis``; a source
+    gradient step is a tiny operator perturbation, so ``power_iters=1``
+    converges like a cold default build) — runs ``mask_steps_per_build``
+    SOCS mask steps against it, then takes one exact-Abbe gradient step on
+    the source logits (the kernels absorb the source, so its gradient
+    needs the per-point path). Returns (params, loss history) like
+    :func:`optimize`; history entries are SOCS-model losses for mask steps
+    and Abbe-model losses for source steps.
+    """
+    from .simulate import _compiled_socs_build_basis
+
+    cfg = problem.config
+    params = init_params(problem, geometry_init, source_weights_init)
+    latent = params["mask_latent"]
+    aberrations = jnp.asarray(aberrations, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    live = (weights > 0).astype(jnp.float32)
+
+    mask_opt, mask_step = _compiled_socs_mask_step(problem, learning_rate)
+    mask_state = mask_opt.init(latent)
+    history: list[float] = []
+
+    warm_iters = min(power_iters, 1)
+    cold = _compiled_socs_build_basis(cfg, rank, None, True, power_iters)
+    warm = _compiled_socs_build_basis(cfg, rank, None, True, warm_iters,
+                                      warm=True)
+
+    if not problem.optimize_source:
+        src_map = _source_map_from_points(shifts, weights, cfg.n)
+        socs, _, _, _ = cold(aberrations, src_map)
+        w_sum = jnp.sum(weights)
+        for _ in range(steps):
+            latent, mask_state, loss = mask_step(latent, mask_state, target,
+                                                 socs, w_sum)
+            history.append(float(loss))
+        return {"mask_latent": latent}, history
+
+    logits = params["source_logits"]
+    src_lr = learning_rate if source_learning_rate is None else source_learning_rate
+    src_opt, src_step = _compiled_source_step(problem, src_lr)
+    src_state = src_opt.init(logits)
+    basis = None
+    done = 0
+    while done < steps:
+        w_now = jnp.exp(logits) * live
+        src_map = _source_map_from_points(shifts, w_now, cfg.n)
+        if basis is None:
+            socs, basis, _, _ = cold(aberrations, src_map)
+        else:
+            socs, basis, _, _ = warm(aberrations, src_map, basis)
+        w_sum = jnp.sum(w_now)
+        for _ in range(min(mask_steps_per_build, steps - done)):
+            latent, mask_state, loss = mask_step(latent, mask_state, target,
+                                                 socs, w_sum)
+            history.append(float(loss))
+            done += 1
+        logits, src_state, loss = src_step(logits, src_state, latent, target,
+                                           aberrations, shifts, weights)
+        history.append(float(loss))
+    return {"mask_latent": latent, "source_logits": logits}, history
+
+
+# ---------------------------------------------------------------------------
 # Aberration retrieval (wavefront metrology)
 # ---------------------------------------------------------------------------
 

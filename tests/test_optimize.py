@@ -16,9 +16,11 @@ from lithographysimulator_tpu.optimize import (
     SMOProblem,
     forward,
     init_params,
+    loss_fn,
     make_train_step,
     mask_from_latent,
     optimize,
+    optimize_socs,
 )
 from lithographysimulator_tpu.parallel import padded_source_arrays, source_mesh
 
@@ -110,6 +112,58 @@ def test_source_optimization_params():
     assert np.isfinite(np.asarray(img)).all()
     g = jax.grad(lambda p: forward(p, ab, shifts, weights, problem).sum())(params)
     assert np.abs(np.asarray(g["source_logits"])).max() > 0
+
+
+def test_smo_socs_mask_only_matches_abbe():
+    """SOCS-forward SMO reaches the same quality as the exact-Abbe loop:
+    final loss EVALUATED UNDER THE ABBE MODEL comparable, big reduction."""
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8)
+    ab = np.zeros(1, np.float32)
+    target_geom = demo_bars(CFG).geometry
+    target = forward(init_params(problem, target_geom), ab, shifts, weights,
+                     problem)
+    rng = np.random.default_rng(0)
+    geom0 = np.clip(np.asarray(target_geom) * 0.5 +
+                    0.25 * rng.random((32, 32)), 0, 1).astype(np.float32)
+
+    params_socs, hist = optimize_socs(problem, target, geom0, ab, shifts,
+                                      weights, steps=30, learning_rate=0.2,
+                                      rank=24)
+    assert "source_logits" not in params_socs
+    # Abbe-model loss of the SOCS-optimized mask: the rank truncation must
+    # not have optimized into a model artifact.
+    abbe_loss = float(loss_fn(params_socs, target, ab, shifts, weights,
+                              problem))
+    start_loss = float(loss_fn(init_params(problem, geom0), target, ab,
+                               shifts, weights, problem))
+    assert abbe_loss < start_loss * 0.5
+    assert hist[-1] < hist[0] * 0.5
+
+
+def test_smo_socs_alternating_source_decreases_loss():
+    """Alternating source/mask SMO: warm-rebuilt kernels per source update,
+    loss decreases and the source actually moves."""
+    shifts, weights = _setup()
+    problem = SMOProblem(config=CFG, chunk=8, optimize_source=True)
+    ab = np.zeros(1, np.float32)
+    target_geom = demo_bars(CFG).geometry
+    target = forward(
+        init_params(problem, target_geom,
+                    source_weights_init=np.maximum(np.asarray(weights), 1e-3)),
+        ab, shifts, weights, problem)
+    geom0 = np.full((32, 32), 0.4, np.float32)
+    w0 = np.maximum(np.asarray(weights), 1e-3)
+
+    params, hist = optimize_socs(
+        problem, target, geom0, ab, shifts, weights, steps=24,
+        learning_rate=0.2, rank=24, mask_steps_per_build=8,
+        source_weights_init=w0)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 0.6
+    moved = np.abs(np.asarray(params["source_logits"]) -
+                   np.log(w0)).max()
+    assert moved > 1e-4
 
 
 def test_aberration_retrieval_recovers_image():
