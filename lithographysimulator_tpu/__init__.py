@@ -39,6 +39,8 @@ from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import (SOCSKernels, randomized_socs,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
+from .ops.mask3d import (BoundaryLayer, apply_boundary_layers,
+                         fit_boundary_layer)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
                         tiled_socs_image_field, tiled_socs_image_scan,
                         tiled_socs_image_stream)
@@ -63,11 +65,14 @@ __all__ = [
     "SOCSKernels",
     "SourcePoints",
     "WavelengthScaling",
+    "BoundaryLayer",
     "abbe_image",
     "abbe_image_points",
     "alternating_psm",
+    "apply_boundary_layers",
     "attenuated_psm",
     "accumulate_intensity",
+    "fit_boundary_layer",
     "contact_holes",
     "cd_uniformity",
     "critical_dimension",

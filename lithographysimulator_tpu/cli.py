@@ -116,6 +116,26 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["osa", "noll", "fringe"],
                    help="single-index convention of --aberrations "
                         "(reordered to OSA internally)")
+    p.add_argument("--mask3d-width", type=float, default=0.0,
+                   help="thick-mask boundary-layer strip width in nm "
+                        "(0 = thin/Kirchhoff mask)")
+    p.add_argument("--mask3d-beta-h", type=complex, default=0j,
+                   help="complex strip transmission on horizontal edges, "
+                        "e.g. '-0.2+0.1j'")
+    p.add_argument("--mask3d-beta-v", type=complex, default=0j,
+                   help="complex strip transmission on vertical edges")
+
+
+def _build_mask3d(args):
+    """BoundaryLayer from CLI flags, or None when the model is off."""
+    width = getattr(args, "mask3d_width", 0.0)
+    bh = getattr(args, "mask3d_beta_h", 0j)
+    bv = getattr(args, "mask3d_beta_v", 0j)
+    if width == 0.0 or (bh == 0 and bv == 0):
+        return None
+    from .ops.mask3d import BoundaryLayer
+
+    return BoundaryLayer(width_nm=width, beta_h=bh, beta_v=bv)
 
 
 def cmd_simulate(args) -> int:
@@ -128,7 +148,7 @@ def cmd_simulate(args) -> int:
     polarization = None if args.polarization == "scalar" else args.polarization
     result = simulate(mask, source, args.aberrations, solver=args.solver,
                       chunk=args.chunk, normalize=args.normalize,
-                      polarization=polarization)
+                      polarization=polarization, mask3d=_build_mask3d(args))
     print(json.dumps(result.report, default=repr))
     if args.out:
         save_image(args.out, result.image, result.report)

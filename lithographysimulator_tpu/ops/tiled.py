@@ -58,7 +58,7 @@ def tile_layout(big_n: int, tile_n: int, halo: int):
 
 @functools.lru_cache(maxsize=32)
 def _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
-                   spectrum_solver):
+                   spectrum_solver, mask3d=None):
     """Cached jitted per-batch tile imager, keyed on the static parameters —
     a fresh @jax.jit per call would re-trace and recompile every invocation.
     socs/padded are jit ARGUMENTS, never closure captures: captured device
@@ -71,6 +71,11 @@ def _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
         def one(c):
             window = jax.lax.dynamic_slice(
                 padded, (c[0] * step, c[1] * step), (n, n))
+            if mask3d is not None:
+                # per-window application is exact: the BL stencil is one
+                # pixel wide, so the only deviation from a global apply is
+                # the roll wraparound ring, which lies in the cropped halo
+                window = mask3d.apply(window, tile_config)
             spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
             img = socs_image(spectrum, socs, tile_config,
                              solver=solver, chunk=chunk, engine=engine)
@@ -93,6 +98,7 @@ def tiled_socs_image(
     spectrum_solver: str = "gau23",
     tiles_per_dispatch: int = 8,
     progress_cb=None,
+    mask3d=None,
 ) -> jnp.ndarray:
     """(M, M) aerial image of an arbitrarily large mask, tile by tile.
     ``progress_cb(fraction)`` (optional) is called after each dispatch
@@ -126,7 +132,7 @@ def tiled_socs_image(
         coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
 
     tile_batch = _tile_batch_fn(tile_config, halo, step, solver, chunk,
-                                engine, spectrum_solver)
+                                engine, spectrum_solver, mask3d)
 
     cores = []
     n_batches = len(coords) // k
@@ -145,7 +151,7 @@ def tiled_socs_image(
 
 @functools.lru_cache(maxsize=32)
 def _window_batch_fn(tile_config, halo, step, solver, chunk, engine,
-                     spectrum_solver):
+                     spectrum_solver, mask3d=None):
     """Jitted imager for a batch of pre-extracted tile windows (k, n, n):
     the streaming path's kernel — no full-chip array exists anywhere."""
     n = tile_config.n
@@ -153,6 +159,8 @@ def _window_batch_fn(tile_config, halo, step, solver, chunk, engine,
     @jax.jit
     def window_batch(windows, socs):
         def one(window):
+            if mask3d is not None:
+                window = mask3d.apply(window, tile_config)
             spectrum = mask_spectrum(window, tile_config, solver=spectrum_solver)
             img = socs_image(spectrum, socs, tile_config,
                              solver=solver, chunk=chunk, engine=engine)
@@ -175,6 +183,7 @@ def tiled_socs_image_stream(
     engine: str = "auto",
     spectrum_solver: str = "gau23",
     tiles_per_dispatch: int = 8,
+    mask3d=None,
 ) -> jnp.ndarray:
     """(M, M) aerial image of a chip that never exists as one array.
 
@@ -200,7 +209,7 @@ def tiled_socs_image_stream(
         coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
 
     batch_fn = _window_batch_fn(tile_config, halo, step, solver, chunk,
-                                engine, spectrum_solver)
+                                engine, spectrum_solver, mask3d)
     cores = []
     for start in range(0, len(coords), k):
         block = coords[start : start + k]

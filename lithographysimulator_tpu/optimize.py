@@ -42,6 +42,9 @@ class SMOProblem:
     chunk: int = 4
     mask_steepness: float = 4.0  # sigmoid sharpness of the latent -> mask map
     optimize_source: bool = False
+    # Optional thick-mask BoundaryLayer (ops.mask3d): the optimizer then
+    # corrects the layout THROUGH the Mask-3D model (M3D-aware SMO/OPC).
+    mask3d: object | None = None
 
 
 def mask_from_latent(latent: jnp.ndarray, steepness: float) -> jnp.ndarray:
@@ -71,6 +74,8 @@ def forward(params: dict, aberrations, shifts, weights, problem: SMOProblem,
     """Differentiable aerial image from SMO parameters."""
     cfg = problem.config
     geom = mask_from_latent(params["mask_latent"], problem.mask_steepness)
+    if problem.mask3d is not None:
+        geom = problem.mask3d.apply(geom, cfg)
     spectrum = mask_spectrum(geom, cfg, solver=problem.solver)
     pupil = pupil_function(aberrations, cfg)
     if problem.optimize_source:
@@ -166,6 +171,8 @@ def _compiled_socs_mask_step(problem: SMOProblem, learning_rate: float):
 
     def loss(latent, target, socs, w_sum):
         geom = mask_from_latent(latent, problem.mask_steepness)
+        if problem.mask3d is not None:
+            geom = problem.mask3d.apply(geom, cfg)
         spectrum = mask_spectrum(geom, cfg, solver=problem.solver)
         image = socs_image(spectrum, socs, cfg, solver=problem.solver,
                            chunk=problem.chunk) / w_sum

@@ -39,9 +39,11 @@ class SimulationResult:
 @functools.lru_cache(maxsize=32)
 def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
                        normalize: bool, max_abs_shift: int | None,
-                       polarization=None, apodize: bool = True):
+                       polarization=None, apodize: bool = True, mask3d=None):
     @functools.partial(jax.jit)
     def run(geometry, aberrations, shifts, weights):
+        if mask3d is not None:
+            geometry = mask3d.apply(geometry, config)
         spectrum = mask_spectrum(geometry, config, solver=solver)
         pupil = pupil_function(aberrations, config)
         if polarization is None:
@@ -65,13 +67,16 @@ def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool):
+def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool,
+                         mask3d=None):
     """Imaging-only SOCS pipeline: kernels are a jit *argument* (pytree), so
     one compiled executable serves every kernel set of the same rank/grid —
     used by the auto-rank path, whose rank is chosen at runtime."""
 
     @functools.partial(jax.jit)
     def run(geometry, socs, source_total):
+        if mask3d is not None:
+            geometry = mask3d.apply(geometry, config)
         spectrum = mask_spectrum(geometry, config, solver="gau23")
         image = socs_image(spectrum, socs, config, chunk=chunk)
         if normalize:
@@ -226,9 +231,11 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
-                            rank: int):
+                            rank: int, mask3d=None):
     @functools.partial(jax.jit)
     def run(geometry, aberrations, source_map):
+        if mask3d is not None:
+            geometry = mask3d.apply(geometry, config)
         spectrum = mask_spectrum(geometry, config, solver="gau23")
         pupil = pupil_function(aberrations, config)
         socs = randomized_socs(pupil, source_map, config, rank=rank)
@@ -245,12 +252,15 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
 @functools.lru_cache(maxsize=8)
 def _compiled_batch_pipeline(config: OpticsConfig, solver: str, chunk: int,
                              normalize: bool, max_abs_shift: int | None,
-                             polarization=None, apodize: bool = True):
+                             polarization=None, apodize: bool = True,
+                             mask3d=None):
     @functools.partial(jax.jit)
     def run(geometries, aberrations, shifts, weights):
         pupil = pupil_function(aberrations, config)
 
         def one(geometry):
+            if mask3d is not None:
+                geometry = mask3d.apply(geometry, config)
             spectrum = mask_spectrum(geometry, config, solver=solver)
             if polarization is None:
                 return abbe_image_points(
@@ -271,10 +281,13 @@ def _compiled_batch_pipeline(config: OpticsConfig, solver: str, chunk: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_batch_socs(config: OpticsConfig, chunk: int, normalize: bool):
+def _compiled_batch_socs(config: OpticsConfig, chunk: int, normalize: bool,
+                         mask3d=None):
     @functools.partial(jax.jit)
     def run(geometries, socs, source_total):
         def one(geometry):
+            if mask3d is not None:
+                geometry = mask3d.apply(geometry, config)
             spectrum = mask_spectrum(geometry, config, solver="gau23")
             image = socs_image(spectrum, socs, config, chunk=chunk)
             if normalize:
@@ -300,6 +313,7 @@ def simulate_batch(
     socs_rank: int | str = "auto",
     polarization=None,
     apodize: bool = True,
+    mask3d=None,
 ) -> jnp.ndarray:
     """(B, n, n) aerial images for a batch of masks under ONE shared optical
     configuration — a single compiled dispatch (vmap over the mask axis), so
@@ -322,7 +336,7 @@ def simulate_batch(
     if solver == "socs":
         socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
                                           socs_rank, polarization, apodize)
-        run = _compiled_batch_socs(config, chunk, normalize)
+        run = _compiled_batch_socs(config, chunk, normalize, mask3d)
         images = run(geometries, socs, jnp.float32(src_np.sum()))
     else:
         pts = source_points(src_np)
@@ -331,7 +345,8 @@ def simulate_batch(
         weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_batch_pipeline(config, solver, chunk, normalize,
-                                       max_abs_shift, polarization, apodize)
+                                       max_abs_shift, polarization, apodize,
+                                       mask3d)
         images = run(geometries, aberrations, jnp.asarray(shifts),
                      jnp.asarray(weights))
     if block:
@@ -351,6 +366,7 @@ def simulate(
     socs_rank: int | str = "auto",
     polarization=None,
     apodize: bool = True,
+    mask3d=None,
 ) -> SimulationResult:
     """Run the full pipeline. ``source_map`` is a concrete (n, n) weight map
     (e.g. from :class:`..models.source.LightSource`).
@@ -367,7 +383,12 @@ def simulate(
     (:mod:`.ops.vector`); with ``solver='socs'`` the kernels come from the
     polarized build (:func:`..ops.hopkins.randomized_socs_vector`), so the
     fast path carries full vector physics. ``apodize`` adds the
-    1/sqrt(cos theta) radiometric obliquity factor."""
+    1/sqrt(cos theta) radiometric obliquity factor.
+
+    ``mask3d`` (a :class:`..ops.mask3d.BoundaryLayer`, default None = thin
+    mask) adds thick-mask boundary-layer strips to the transmission before
+    the spectrum — orientation-dependent CD bias and best-focus shift on
+    every solver path."""
     config = mask.config
     t0 = time.perf_counter()
 
@@ -393,19 +414,20 @@ def simulate(
             socs, pupil, socs_energy = _socs_kernels_cached(
                 config, src_np, aberrations, socs_rank, polarization,
                 apodize)
-            run = _compiled_socs_apply(config, chunk, normalize)
+            run = _compiled_socs_apply(config, chunk, normalize, mask3d)
             image, spectrum = run(mask.geometry, socs,
                                   jnp.float32(src_np.sum()))
             socs_rank_used = socs.rank
         else:
-            run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank)
+            run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank,
+                                          mask3d)
             image, spectrum, pupil = run(mask.geometry, aberrations,
                                          jnp.asarray(src_np))
             socs_rank_used = int(socs_rank)
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,
-                                 max_abs_shift, polarization, apodize)
+                                 max_abs_shift, polarization, apodize, mask3d)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(shifts), jnp.asarray(weights))
     if block:
@@ -425,6 +447,8 @@ def simulate(
         "source_points": pts.live_count,
         "polarization": (str(polarization) if polarization is not None
                          else "scalar"),
+        "mask3d": (f"BL(w={mask3d.width_nm}nm, bh={mask3d.beta_h}, "
+                   f"bv={mask3d.beta_v})" if mask3d is not None else "thin"),
         "wall_clock_s": elapsed,
     }
     if socs_rank_used is not None:

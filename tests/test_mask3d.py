@@ -1,0 +1,198 @@
+"""Thick-mask (boundary-layer) model tests: thin-mask limit, edge-field
+bookkeeping, H-V bias, focus asymmetry, solver-path consistency, and the
+differentiable calibration fit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lithographysimulator_tpu import (
+    BoundaryLayer,
+    LightSource,
+    OpticsConfig,
+    apply_boundary_layers,
+    demo_bars,
+    fit_boundary_layer,
+    lines_and_spaces,
+    simulate,
+)
+from lithographysimulator_tpu.ops.mask3d import edge_fields
+
+CFG = OpticsConfig(pixel_number=32)
+
+
+def _source(cfg=CFG):
+    return np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+
+
+def test_thin_mask_limit_exact():
+    """width 0 or beta 0 reproduces the thin-mask image bit-for-bit (the
+    perturbation term is exactly zero)."""
+    mask = demo_bars(CFG)
+    src = _source()
+    base = np.asarray(simulate(mask, src, normalize=True).image)
+    for bl in (BoundaryLayer(width_nm=0.0, beta_h=0.3, beta_v=0.3),
+               BoundaryLayer(width_nm=8.0, beta_h=0.0, beta_v=0.0)):
+        img = np.asarray(simulate(mask, src, normalize=True, mask3d=bl).image)
+        np.testing.assert_allclose(img, base, rtol=1e-6)
+
+
+def test_edge_fields_unit_step_bookkeeping():
+    """A unit step contributes total weight 1 split across its two flanking
+    pixels, on the correct orientation channel only."""
+    g = np.zeros((16, 16), np.float32)
+    g[:, 8:] = 1.0  # one vertical edge (transmission changes along axis 1)
+    e_h, e_v = edge_fields(jnp.asarray(g))
+    e_h, e_v = np.asarray(e_h), np.asarray(e_v)
+    # wrap-around at column 0/15 creates a second (periodic) edge; restrict
+    # to the interior edge at columns 7|8
+    assert e_v[4, 7] == 0.5 and e_v[4, 8] == 0.5
+    assert abs(e_v[:, 6]).max() < 1e-6
+    # no horizontal-edge response anywhere (columns are constant)
+    assert abs(e_h[1:-1]).max() < 1e-6
+
+
+def test_hv_bias_orientation_selective():
+    """beta_v perturbs vertical-line imaging but leaves the same pattern
+    rotated 90 degrees untouched when beta_h = 0 — the H-V bias signature
+    a thin mask cannot produce."""
+    src = _source()
+    v_mask = lines_and_spaces(CFG, line_width_px=4, pitch_px=8)
+    h_mask = lines_and_spaces(CFG, line_width_px=4, pitch_px=8,
+                              vertical=False)
+    bl = BoundaryLayer(width_nm=10.0, beta_v=-0.4, beta_h=0.0)
+
+    v_thin = np.asarray(simulate(v_mask, src, normalize=True).image)
+    v_thick = np.asarray(simulate(v_mask, src, normalize=True,
+                                  mask3d=bl).image)
+    h_thin = np.asarray(simulate(h_mask, src, normalize=True).image)
+    h_thick = np.asarray(simulate(h_mask, src, normalize=True,
+                                  mask3d=bl).image)
+
+    v_delta = np.abs(v_thick - v_thin).max() / v_thin.max()
+    h_delta = np.abs(h_thick - h_thin).max() / h_thin.max()
+    assert v_delta > 0.02          # vertical edges strongly perturbed
+    assert h_delta < v_delta / 50  # horizontal pattern essentially untouched
+
+
+def test_imaginary_beta_breaks_focus_symmetry():
+    """A real thin mask images identically at +-defocus (Hermitian spectrum,
+    even pupil). An imaginary boundary layer makes the effective mask
+    complex, producing the thick-mask best-focus shift: images at +-defocus
+    differ."""
+    mask = lines_and_spaces(CFG, line_width_px=4, pitch_px=8)
+    src = _source()
+    defocus = np.zeros(5, np.float32)
+    defocus[4] = 60.0  # Z4 defocus
+
+    thin_p = np.asarray(simulate(mask, src, defocus, normalize=True).image)
+    thin_m = np.asarray(simulate(mask, src, -defocus, normalize=True).image)
+    np.testing.assert_allclose(thin_p, thin_m, rtol=1e-4)
+
+    bl = BoundaryLayer(width_nm=10.0, beta_h=0.3j, beta_v=0.3j)
+    thick_p = np.asarray(simulate(mask, src, defocus, normalize=True,
+                                  mask3d=bl).image)
+    thick_m = np.asarray(simulate(mask, src, -defocus, normalize=True,
+                                  mask3d=bl).image)
+    asym = np.abs(thick_p - thick_m).max() / thick_p.max()
+    assert asym > 1e-3
+
+
+def test_socs_path_matches_abbe_with_mask3d():
+    """The SOCS fast path sees the same effective mask: socs vs exact Abbe
+    agree to kernel-truncation accuracy with a boundary layer applied."""
+    mask = demo_bars(CFG)
+    src = _source()
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.2 + 0.1j, beta_v=-0.3)
+    exact = np.asarray(simulate(mask, src, normalize=True, mask3d=bl).image)
+    fast = np.asarray(simulate(mask, src, solver="socs", normalize=True,
+                               mask3d=bl).image)
+    rms = np.sqrt(np.mean((fast - exact) ** 2)) / exact.max()
+    assert rms < 1e-3
+
+
+def test_fit_boundary_layer_recovers_parameters():
+    """Calibration: images rendered with a known (beta_h, beta_v) are fitted
+    from zero init to the true parameters."""
+    from lithographysimulator_tpu.ops.abbe import source_points
+
+    cfg = CFG
+    mask = demo_bars(cfg)
+    src = _source(cfg)
+    pts = source_points(src)
+    pad = (-pts.live_count) % 8
+    shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+    weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+
+    true = BoundaryLayer(width_nm=8.0, beta_h=-0.25 + 0.15j,
+                         beta_v=0.1 - 0.2j)
+    target = np.asarray(simulate(mask, src, normalize=True,
+                                 mask3d=true).image)
+
+    fitted, history = fit_boundary_layer(
+        target, mask.geometry, shifts, weights, cfg, width_nm=8.0,
+        steps=300, learning_rate=0.02)
+    assert history[-1] < history[0] * 1e-2
+    assert abs(fitted.beta_h - true.beta_h) < 0.05
+    assert abs(fitted.beta_v - true.beta_v) < 0.05
+
+
+def test_mask3d_gradient_flows_to_mask():
+    """SMO/OPC through the BL model: the image stays differentiable w.r.t.
+    the (continuous) mask with the edge-field nonlinearity in the path."""
+    from lithographysimulator_tpu.ops.fraunhofer import mask_spectrum
+
+    g0 = np.asarray(demo_bars(CFG).geometry) * 0.8 + 0.1
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.2, beta_v=-0.2)
+
+    @jax.jit
+    def total(g):
+        eff = apply_boundary_layers(g, CFG, width_nm=bl.width_nm,
+                                    beta_h=bl.beta_h, beta_v=bl.beta_v)
+        return jnp.sum(jnp.abs(mask_spectrum(eff, CFG)) ** 2)
+
+    grad = np.asarray(jax.grad(total)(jnp.asarray(g0, jnp.float32)))
+    assert np.isfinite(grad).all()
+    assert np.abs(grad).max() > 0
+
+
+def test_tiled_mask3d_matches_global_apply():
+    """Per-tile BL application equals applying the BL to the whole mask
+    first (the stencil is local; wraparound lands in the cropped halo)."""
+    from lithographysimulator_tpu.ops.hopkins import randomized_socs
+    from lithographysimulator_tpu.ops.tiled import tiled_socs_image
+    from lithographysimulator_tpu.models.pupil import pupil_function
+
+    tile_cfg = OpticsConfig(pixel_number=32)
+    big_n = 64
+    rng = np.random.default_rng(3)
+    mask_big = (rng.random((big_n, big_n)) > 0.6).astype(np.float32)
+    # zero the chip border so periodic global apply and zero-padded
+    # per-tile apply agree everywhere (border transmission steps are the
+    # one place the two boundary conventions legitimately differ)
+    mask_big[:6] = mask_big[-6:] = 0.0
+    mask_big[:, :6] = mask_big[:, -6:] = 0.0
+    src = _source(tile_cfg)
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.2, beta_v=-0.35 + 0.1j)
+
+    pupil = pupil_function(jnp.zeros(1, jnp.float32), tile_cfg)
+    socs = randomized_socs(pupil, jnp.asarray(src), tile_cfg, rank=24,
+                           seed=1)
+
+    tiled_bl = np.asarray(tiled_socs_image(
+        jnp.asarray(mask_big), socs, tile_cfg, mask3d=bl))
+
+    @jax.jit
+    def global_eff(m):
+        return apply_boundary_layers(m, tile_cfg, width_nm=bl.width_nm,
+                                     beta_h=bl.beta_h, beta_v=bl.beta_v)
+
+    # global apply, then tile the COMPLEX effective mask with no mask3d
+    eff_big = global_eff(jnp.asarray(mask_big))
+    tiled_eff = np.asarray(tiled_socs_image(eff_big, socs, tile_cfg))
+
+    # the window's outermost (wraparound) ring differs between the two
+    # paths and bleeds into the core through the PSF tail — same order as
+    # the tiled path's inherent halo-truncation error (<0.2% here)
+    np.testing.assert_allclose(tiled_bl, tiled_eff,
+                               rtol=4e-3, atol=1e-3 * float(tiled_eff.max()))
