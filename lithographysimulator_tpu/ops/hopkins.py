@@ -711,22 +711,6 @@ def randomized_socs_vector(
     """
     from .vector import component_factors, polarization_states
 
-    n = config.n
-    if probe_chunk == "auto":
-        # The frequency-side matvec keeps more live block-sized temporaries
-        # than the scalar Gram matvec (the batched (C, chunk, n, n)
-        # component stack plus the Fourier accumulator), so chunk earlier
-        # and smaller: unchunked rank 256 at 1024^2 peaked at 23.5 GB
-        # (OOM); chunked it fits easily.
-        probe_chunk = 4 if n >= 2048 else (8 if n >= 1024 else None)
-    # The matvec's source coordinate IS the physical shift, but the source
-    # map stores the point of shift s at array index s + n/2 (array center =
-    # on-axis): roll the weights so w(s) is evaluated at the shift. (The
-    # scalar source-side build is insensitive to this constant offset — G
-    # depends only on s - s' — but T is not: a missed roll is a permutation
-    # similarity that preserves eigenvalues while modulating every kernel.)
-    w = jnp.roll(jnp.asarray(source_map, jnp.float32),
-                 (-(n // 2), -(n // 2)), axis=(0, 1))
     pupil = to_device_complex(pupil).astype(jnp.complex64)
 
     # Collect DISTINCT component factors with summed weights: identical
@@ -746,11 +730,67 @@ def randomized_socs_vector(
                     break
             else:
                 factor_list.append([float(weight), factors[c]])
-    chats = jnp.stack([
-        jnp.fft.fft2(jnp.conj(jnp.asarray(f, jnp.complex64) * pupil))
-        for _, f in factor_list])  # (C, n, n)
-    q_vec = jnp.asarray([q for q, _ in factor_list],
-                        jnp.complex64)  # (C,)
+    components = jnp.stack([
+        jnp.asarray(f, jnp.complex64) * pupil for _, f in factor_list])
+    q = jnp.asarray([q for q, _ in factor_list], jnp.float32)
+    return randomized_socs_components(
+        components, q, source_map, config, rank=rank, oversample=oversample,
+        power_iters=power_iters, seed=seed, probe_chunk=probe_chunk,
+        compensated=compensated, krylov=krylov, init_basis=init_basis,
+        return_basis=return_basis)
+
+
+def randomized_socs_components(
+    components: jnp.ndarray,
+    weights,
+    source_map,
+    config: OpticsConfig,
+    *,
+    rank: int = 64,
+    oversample: int = 16,
+    power_iters: int = 2,
+    seed: int = 0,
+    probe_chunk: int | None | str = "auto",
+    compensated: bool = True,
+    krylov: bool = False,
+    init_basis=None,
+    return_basis: bool = False,
+) -> SOCSKernels:
+    """Summed-TCC SOCS kernels for ANY weighted stack of component pupils.
+
+    ``components`` is a (C, n, n) complex stack of effective pupils C_i and
+    ``weights`` their (C,) non-negative incoherent weights q_i: the build
+    eigendecomposes T = sum_i q_i T_i with T_i the TCC of C_i, producing
+    one kernel set whose quadratic form is the weighted incoherent sum of
+    the per-component images. Instances of this pattern:
+
+    - vector/high-NA polarization (:func:`randomized_socs_vector` — the
+      C_i are Jones-pupil components);
+    - chromatic/finite laser bandwidth (the C_i are the pupil at sampled
+      focus offsets, q_i the laser spectrum);
+    - both at once (the product set of polarization x focus components).
+
+    Same matrix-free frequency-side subspace iteration as the vector build
+    (2 shared + 2C FFTs per block vector); kernels flow through every
+    scalar-SOCS consumer unchanged."""
+    n = config.n
+    if probe_chunk == "auto":
+        # The frequency-side matvec keeps more live block-sized temporaries
+        # than the scalar Gram matvec (the batched (C, chunk, n, n)
+        # component stack plus the Fourier accumulator), so chunk earlier
+        # and smaller: unchunked rank 256 at 1024^2 peaked at 23.5 GB
+        # (OOM); chunked it fits easily.
+        probe_chunk = 4 if n >= 2048 else (8 if n >= 1024 else None)
+    # The matvec's source coordinate IS the physical shift, but the source
+    # map stores the point of shift s at array index s + n/2 (array center =
+    # on-axis): roll the weights so w(s) is evaluated at the shift. (The
+    # scalar source-side build is insensitive to this constant offset — G
+    # depends only on s - s' — but T is not: a missed roll is a permutation
+    # similarity that preserves eigenvalues while modulating every kernel.)
+    w = jnp.roll(jnp.asarray(source_map, jnp.float32),
+                 (-(n // 2), -(n // 2)), axis=(0, 1))
+    chats = jnp.fft.fft2(jnp.conj(components.astype(jnp.complex64)))  # (C,n,n)
+    q_vec = jnp.asarray(weights, jnp.float32).astype(jnp.complex64)  # (C,)
 
     def tcc_matvec(v):
         # batched over components: 2 shared + 2C FFTs per block, the
