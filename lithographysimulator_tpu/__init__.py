@@ -8,7 +8,8 @@ aerial-image formation — all as jit-compiled XLA programs with static shapes,
 batched FFTs, and ICI-sharded source-point parallelism.
 """
 
-from .config import DEMO_CONFIG, OpticsConfig, WavelengthScaling, nearest_pow2
+from .config import (DEMO_CONFIG, LaserSpectrum, OpticsConfig,
+                     WavelengthScaling, nearest_pow2)
 from .grid import Grid, unit_disk_mask
 from .models.mask import (
     Mask,
@@ -34,9 +35,11 @@ from .ops.abbe import (
     accumulate_intensity,
     source_points,
 )
-from .ops.focus import focus_stack_aberrations, through_focus_images
+from .ops.focus import (chromatic_aberrations, focus_stack_aberrations,
+                        through_focus_images)
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
 from .ops.hopkins import (SOCSKernels, randomized_socs,
+                          randomized_socs_chromatic, randomized_socs_components,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
 from .ops.mask3d import (BoundaryLayer, apply_boundary_layers,
@@ -58,6 +61,7 @@ __all__ = [
     "LightSource",
     "MackResist",
     "Mask",
+    "LaserSpectrum",
     "OpticsConfig",
     "Pupil",
     "ResistModel",
@@ -86,6 +90,7 @@ __all__ = [
     "tiled_fem",
     "tiled_focus_images",
     "tiled_meef",
+    "chromatic_aberrations",
     "focus_stack_aberrations",
     "from_array",
     "lines_and_spaces",
@@ -98,6 +103,8 @@ __all__ = [
     "to_osa_coefficients",
     "pupil_function",
     "randomized_socs",
+    "randomized_socs_chromatic",
+    "randomized_socs_components",
     "randomized_socs_vector",
     "simulate",
     "socs_image",

@@ -138,6 +138,29 @@ def _build_mask3d(args):
     return BoundaryLayer(width_nm=width, beta_h=bh, beta_v=bv)
 
 
+def _add_chromatic(p):
+    p.add_argument("--bandwidth-pm", type=float, default=0.0,
+                   help="E95 laser bandwidth in pm (0 = monochromatic)")
+    p.add_argument("--chromatic-focus", type=float, default=-250.0,
+                   help="longitudinal chromatic aberration, nm defocus "
+                        "per pm of wavelength")
+    p.add_argument("--chromatic-samples", type=int, default=7)
+    p.add_argument("--chromatic-shape", default="gaussian",
+                   choices=["gaussian", "lorentzian", "tophat"])
+
+
+def _build_chromatic(args):
+    """LaserSpectrum from CLI flags, or None when monochromatic."""
+    if getattr(args, "bandwidth_pm", 0.0) == 0.0:
+        return None
+    from .config import LaserSpectrum
+
+    return LaserSpectrum(bandwidth_pm=args.bandwidth_pm,
+                         focus_nm_per_pm=args.chromatic_focus,
+                         samples=args.chromatic_samples,
+                         shape=args.chromatic_shape)
+
+
 def cmd_simulate(args) -> int:
     from .simulate import simulate
     from .utils.artifacts import save_image
@@ -148,7 +171,8 @@ def cmd_simulate(args) -> int:
     polarization = None if args.polarization == "scalar" else args.polarization
     result = simulate(mask, source, args.aberrations, solver=args.solver,
                       chunk=args.chunk, normalize=args.normalize,
-                      polarization=polarization, mask3d=_build_mask3d(args))
+                      polarization=polarization, mask3d=_build_mask3d(args),
+                      chromatic=_build_chromatic(args))
     print(json.dumps(result.report, default=repr))
     if args.out:
         save_image(args.out, result.image, result.report)
@@ -166,8 +190,8 @@ def cmd_socs(args) -> int:
     import jax.numpy as jnp
 
     from .models.pupil import pupil_function
-    from .ops.hopkins import (randomized_socs, randomized_socs_vector,
-                              vector_pupil_power)
+    from .ops.hopkins import (randomized_socs, randomized_socs_chromatic,
+                              randomized_socs_vector, vector_pupil_power)
     from .utils.artifacts import save_socs
 
     config = _build_config(args)
@@ -175,20 +199,27 @@ def cmd_socs(args) -> int:
     aberr = jnp.asarray(args.aberrations if args.aberrations else [0.0], jnp.float32)
     polarization = (None if args.polarization == "scalar"
                     else args.polarization)
+    chromatic = _build_chromatic(args)
 
     # complex math must stay under jit on the TPU tunnel (CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=())
     def build(a, s_map):
         pupil = pupil_function(a, config)
         lean = {"auto": "auto", "on": True, "off": False}[args.lean]
-        if polarization is None:
+        if chromatic is not None:
+            socs = randomized_socs_chromatic(
+                a, s_map, config, spectrum=chromatic, rank=args.rank,
+                power_iters=args.power_iters, polarization=polarization)
+        elif polarization is None:
             socs = randomized_socs(pupil, s_map, config, rank=args.rank,
                                    power_iters=args.power_iters, lean=lean)
-            r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
             socs = randomized_socs_vector(
                 pupil, s_map, config, rank=args.rank,
                 power_iters=args.power_iters, polarization=polarization)
+        if polarization is None:
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
             r0 = vector_pupil_power(pupil, config, polarization=polarization)
         return socs, r0
 
@@ -590,6 +621,7 @@ def main(argv=None) -> int:
                        choices=["scalar", "x", "y", "unpolarized"],
                        help="vector (Jones-pupil) imaging for hyper-NA; "
                             "'scalar' = reference-equivalent scalar path")
+    _add_chromatic(p_sim)
     p_sim.add_argument("--out", default=None, help="output .npy path")
     p_sim.add_argument("--plot", default=None, help="output .png figure path")
     p_sim.set_defaults(func=cmd_simulate)
@@ -721,6 +753,7 @@ def main(argv=None) -> int:
                         choices=["scalar", "x", "y", "unpolarized"],
                         help="build polarized (vector Jones-pupil) kernels "
                              "via the summed-TCC eigensolver")
+    _add_chromatic(p_socs)
     p_socs.add_argument("--out", default=None, help="output .npz path")
     p_socs.set_defaults(func=cmd_socs)
 

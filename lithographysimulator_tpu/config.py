@@ -127,4 +127,82 @@ class OpticsConfig:
         return defocus_nm * self.na**2 / (4.0 * self.wavelength)
 
 
+@dataclasses.dataclass(frozen=True)
+class LaserSpectrum:
+    """Finite laser bandwidth for chromatic (polychromatic) imaging.
+
+    Excimer sources are not monochromatic: the E95 spectral width couples
+    through the projection lens's longitudinal chromatic aberration to a
+    focus blur — each wavelength offset ``d_lambda`` images at a defocus
+    ``focus_nm_per_pm * d_lambda``, and the aerial image is the incoherent
+    sum over the laser spectrum. (The reference is strictly monochromatic —
+    single ``wavelength`` scalar, ``mask.py:5`` / ``pupil.py:6`` — so this
+    subsystem has no counterpart there.)
+
+    Frozen/hashable so it can key jit caches as a static argument.
+
+    ``bandwidth_pm``: E95 width of the spectrum in picometres (the interval
+    containing 95% of the spectral energy — the standard excimer spec;
+    typical ArF values 0.2-1.2 pm).
+
+    ``focus_nm_per_pm``: longitudinal chromatic aberration of the lens in
+    nm of wafer-side defocus per pm of wavelength; all-refractive 193 nm
+    projection optics sit in the hundreds (default -250).
+
+    ``samples``: number of spectral quadrature points (odd keeps the center
+    wavelength in the set for symmetric shapes).
+
+    ``shape``: 'gaussian', 'lorentzian', or 'tophat' line shape.
+    """
+
+    bandwidth_pm: float
+    focus_nm_per_pm: float = -250.0
+    samples: int = 7
+    shape: str = "gaussian"
+
+    def __post_init__(self):
+        if self.bandwidth_pm < 0:
+            raise ValueError(f"bandwidth_pm must be >= 0, got {self.bandwidth_pm}")
+        if self.samples < 1:
+            raise ValueError(f"samples must be >= 1, got {self.samples}")
+        if self.shape not in ("gaussian", "lorentzian", "tophat"):
+            raise ValueError(f"unknown spectrum shape {self.shape!r}")
+
+    def wavelength_offsets_pm(self):
+        """(C,) spectral sample offsets in pm: equal-probability quantile
+        midpoints of the line shape (each sample carries weight 1/C, the
+        sample mean is exact for any symmetric shape, and bandwidth 0
+        degenerates to all-zero offsets = monochromatic)."""
+        import numpy as np
+
+        p = (np.arange(self.samples) + 0.5) / self.samples
+        if self.bandwidth_pm == 0:
+            return np.zeros(self.samples, np.float64)
+        if self.shape == "gaussian":
+            import statistics
+
+            # E95 = 2 * 1.95996 * sigma
+            sigma = self.bandwidth_pm / (2.0 * 1.959964)
+            nd = statistics.NormalDist(0.0, sigma)
+            return np.array([nd.inv_cdf(float(q)) for q in p])
+        if self.shape == "lorentzian":
+            # CDF within +-x of a Lorentzian of FWHM g is
+            # (2/pi) atan(2x/g): E95 => g = E95 / tan(0.475 pi).
+            g = self.bandwidth_pm / np.tan(0.475 * np.pi)
+            return (g / 2.0) * np.tan(np.pi * (p - 0.5))
+        # tophat of full width W covers 95% of itself in 0.95 W
+        return (self.bandwidth_pm / 0.95) * (p - 0.5)
+
+    def defocus_offsets_nm(self):
+        """(C,) defocus offsets in nm: the spectral samples mapped through
+        the lens's longitudinal chromatic aberration."""
+        return self.wavelength_offsets_pm() * self.focus_nm_per_pm
+
+    def weights(self):
+        """(C,) spectral weights (equal by construction, sum to 1)."""
+        import numpy as np
+
+        return np.full(self.samples, 1.0 / self.samples)
+
+
 DEMO_CONFIG = OpticsConfig(pixel_number=64, pixel_size=25.0, wavelength=193.0, na=0.7)

@@ -32,6 +32,24 @@ def focus_stack_aberrations(base_aberrations, defocus_nm_values) -> jnp.ndarray:
     return stack.at[:, DEFOCUS_OSA_INDEX].set(defocus)
 
 
+def chromatic_aberrations(base_aberrations, spectrum) -> tuple:
+    """((C, A) aberration stack, (C,) weights) for a finite laser bandwidth.
+
+    Each spectral sample of a :class:`..config.LaserSpectrum` lands at its
+    chromatic defocus offset ADDED to the base entry-4 defocus (both in nm —
+    the nm->waves map is linear, so offsets compose additively); the
+    polychromatic image is the ``weights``-weighted incoherent sum of the
+    per-plane images. Traceable in ``base_aberrations``; the offsets are
+    host-side constants (the spectrum is static config)."""
+    base = jnp.asarray(base_aberrations, jnp.float32)
+    if base.shape[0] < DEFOCUS_OSA_INDEX + 1:
+        base = jnp.pad(base, (0, DEFOCUS_OSA_INDEX + 1 - base.shape[0]))
+    offsets = jnp.asarray(spectrum.defocus_offsets_nm(), jnp.float32)
+    stack = jnp.broadcast_to(base, (offsets.shape[0], base.shape[0]))
+    stack = stack.at[:, DEFOCUS_OSA_INDEX].add(offsets)
+    return stack, jnp.asarray(spectrum.weights(), jnp.float32)
+
+
 def through_focus_images(
     spectrum: jnp.ndarray,
     aberrations_stack: jnp.ndarray,

@@ -766,8 +766,9 @@ def randomized_socs_components(
 
     - vector/high-NA polarization (:func:`randomized_socs_vector` — the
       C_i are Jones-pupil components);
-    - chromatic/finite laser bandwidth (the C_i are the pupil at sampled
-      focus offsets, q_i the laser spectrum);
+    - chromatic/finite laser bandwidth (:func:`randomized_socs_chromatic`
+      — the C_i are the pupil at sampled chromatic focus offsets, q_i the
+      laser spectrum);
     - both at once (the product set of polarization x focus components).
 
     Same matrix-free frequency-side subspace iteration as the vector build
@@ -832,6 +833,76 @@ def randomized_socs_components(
         total_rank=live,
     )
     return (socs, u) if return_basis else socs
+
+
+def randomized_socs_chromatic(
+    aberrations,
+    source_map,
+    config: OpticsConfig,
+    *,
+    spectrum,
+    polarization=None,
+    apodize: bool = True,
+    rank: int = 64,
+    oversample: int = 16,
+    power_iters: int = 2,
+    seed: int = 0,
+    probe_chunk: int | None | str = "auto",
+    compensated: bool = True,
+    krylov: bool = False,
+    init_basis=None,
+    return_basis: bool = False,
+) -> SOCSKernels:
+    """Polychromatic (finite laser-bandwidth) SOCS kernels — optionally
+    polarized too — as ONE kernel set for every scalar-SOCS consumer.
+
+    ``spectrum`` is a :class:`..config.LaserSpectrum`: its quadrature
+    samples land at chromatic defocus offsets (nm per pm of wavelength
+    through the lens), and the polychromatic TCC is the spectrum-weighted
+    sum of the per-plane TCCs — exactly the summed-component pattern of
+    :func:`randomized_socs_components`, with component pupils P_f = the
+    aberrated pupil at each offset plane. With ``polarization`` set, the
+    component set is the OUTER PRODUCT of the Jones-pupil factors and the
+    focus planes (vector physics AND bandwidth in one operator). Takes the
+    aberration VECTOR (not a prebuilt pupil): the offsets enter the
+    wavefront pre-exponential. Differentiable in ``aberrations``.
+
+    No reference counterpart (the reference is monochromatic,
+    ``pupil.py:6``); physics per Mack's focus-blur bandwidth model."""
+    from ..models.pupil import pupil_function
+    from .focus import chromatic_aberrations
+
+    stack_ab, q_f = chromatic_aberrations(aberrations, spectrum)
+    pupils = jax.vmap(
+        lambda ab: pupil_function(ab, config))(stack_ab)  # (F, n, n)
+    if polarization is None:
+        components, weights = pupils, q_f
+    else:
+        from .vector import component_factors, polarization_states
+
+        factor_list: list = []  # dedup as in randomized_socs_vector
+        for weight, jones in polarization_states(polarization):
+            factors = component_factors(config, jones, apodize=apodize)
+            for c in range(3):
+                if np.abs(factors[c]).max() <= 1e-12:
+                    continue
+                for entry in factor_list:
+                    if np.array_equal(entry[1], factors[c]):
+                        entry[0] += float(weight)
+                        break
+                else:
+                    factor_list.append([float(weight), factors[c]])
+        vfac = jnp.stack([jnp.asarray(f, jnp.complex64)
+                          for _, f in factor_list])  # (V, n, n)
+        q_v = jnp.asarray([q for q, _ in factor_list], jnp.float32)
+        n = config.n
+        components = (vfac[:, None] * pupils[None]).reshape(-1, n, n)
+        weights = (q_v[:, None] * q_f[None]).reshape(-1)
+    return randomized_socs_components(
+        components, weights, source_map, config, rank=rank,
+        oversample=oversample, power_iters=power_iters, seed=seed,
+        probe_chunk=probe_chunk, compensated=compensated, krylov=krylov,
+        init_basis=init_basis, return_basis=return_basis)
 
 
 def vector_pupil_power(pupil, config: OpticsConfig, *,

@@ -261,11 +261,16 @@ class JobRunner:
         rank = int(body.get("rank", 64))
         halo = body.get("halo")
         halo = int(halo) if halo is not None else None
-        return config, source, polarization, rank, halo
+        chromatic = LithoService._parse_chromatic(body.get("chromatic"))
+        return config, source, polarization, rank, halo, chromatic
 
     def _run(self, job: _Job) -> dict:
         body = job.body
-        config, source, polarization, rank, halo = self._parse_common(body)
+        (config, source, polarization, rank, halo,
+         chromatic) = self._parse_common(body)
+        if chromatic is not None and job.kind != "tiled":
+            raise ValueError(
+                f"chromatic is not yet supported for {job.kind!r} jobs")
         mask = body["mask"]
 
         def progress(f):
@@ -277,7 +282,8 @@ class JobRunner:
             from .simulate import _compiled_socs_build
 
             socs = _compiled_socs_build(config, rank, polarization,
-                                        bool(body.get("apodize", True)))(
+                                        bool(body.get("apodize", True)),
+                                        chromatic)(
                 np.asarray(body.get("aberrations") or [0.0], np.float32),
                 source)[0]
             from .ops.tiled import tiled_socs_image
@@ -428,9 +434,10 @@ class LithoService:
             float(src_spec.get("rotation", -np.pi / 8)),
         )
         aberr = tuple(float(a) for a in (body.get("aberrations") or ()))
+        chromatic = self._parse_chromatic(body.get("chromatic"))
         signature = (config, source_sig, aberr, solver, chunk,
                      bool(body.get("normalize", False)), socs_rank,
-                     polarization)
+                     polarization, chromatic)
         return signature, mask
 
     @staticmethod
@@ -458,6 +465,27 @@ class LithoService:
             return jones
         raise ValueError(f"unknown polarization {spec!r}")
 
+    @staticmethod
+    def _parse_chromatic(spec):
+        """None -> monochromatic; a dict with ``bandwidth_pm`` (plus optional
+        ``focus_nm_per_pm`` / ``samples`` / ``shape``) -> LaserSpectrum
+        (hashable, so it rides the batching signature)."""
+        if spec in (None, {}, "monochromatic"):
+            return None
+        if not isinstance(spec, dict) or "bandwidth_pm" not in spec:
+            raise ValueError(
+                f"chromatic must be a dict with 'bandwidth_pm', got {spec!r}")
+        from .config import LaserSpectrum
+
+        out = LaserSpectrum(
+            bandwidth_pm=float(spec["bandwidth_pm"]),
+            focus_nm_per_pm=float(spec.get("focus_nm_per_pm", -250.0)),
+            samples=int(spec.get("samples", 7)),
+            shape=str(spec.get("shape", "gaussian")))
+        if out.samples > 33:
+            raise ValueError(f"chromatic samples {out.samples} > 33")
+        return None if out.bandwidth_pm == 0 else out
+
     # -- execution -----------------------------------------------------------
 
     def _run_batch(self, signature, masks: np.ndarray) -> np.ndarray:
@@ -467,7 +495,7 @@ class LithoService:
         from .simulate import simulate_batch
 
         (config, source_sig, aberr, solver, chunk, normalize, socs_rank,
-         polarization) = signature
+         polarization, chromatic) = signature
         source = _source_from_sig(config, source_sig)
         b = len(masks)
         padded_b = 1 << (b - 1).bit_length()  # next power of two
@@ -478,7 +506,8 @@ class LithoService:
             masks, config, source,
             np.asarray(aberr, np.float32) if aberr else None,
             solver=solver, chunk=chunk, normalize=normalize,
-            socs_rank=socs_rank, polarization=polarization)
+            socs_rank=socs_rank, polarization=polarization,
+            chromatic=chromatic)
         return np.asarray(images)[:b]
 
     def _drain_once(self, timeout: float | None = None) -> bool:
@@ -629,7 +658,8 @@ class Router:
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
                          "immersion_index", "solver", "chunk", "normalize",
-                         "socs_rank", "aberrations", "source", "polarization")
+                         "socs_rank", "aberrations", "source", "polarization",
+                         "chromatic")
 
     def _pick_start(self, raw_body: bytes | None) -> int:
         if self.affinity and raw_body:

@@ -36,31 +36,55 @@ class SimulationResult:
     report: dict
 
 
+def _exact_image(spectrum, aberrations, shifts, weights, config, *,
+                 solver, chunk, normalize, max_abs_shift,
+                 polarization=None, apodize=True, chromatic=None):
+    """One exact-Abbe aerial image (scalar or vector), optionally the
+    polychromatic spectrum-weighted sum over the chromatic focus planes of a
+    :class:`..config.LaserSpectrum` (``lax.map`` keeps one plane's imaging
+    state live at a time). Traceable; shared by the single and batch
+    pipelines."""
+
+    def one(ab):
+        pupil = pupil_function(ab, config)
+        if polarization is None:
+            return abbe_image_points(
+                spectrum, pupil, shifts, weights, config,
+                solver=solver, chunk=chunk, normalize=normalize,
+                max_abs_shift=max_abs_shift)
+        from .ops.vector import vector_abbe_image
+
+        return vector_abbe_image(
+            spectrum, pupil, shifts, weights, config,
+            polarization=polarization, apodize=apodize,
+            solver=solver, chunk=chunk, normalize=normalize,
+            max_abs_shift=max_abs_shift)
+
+    if chromatic is None:
+        return one(aberrations)
+    from .ops.focus import chromatic_aberrations
+
+    stack_ab, q_f = chromatic_aberrations(aberrations, chromatic)
+    planes = jax.lax.map(one, stack_ab)  # (F, n, n)
+    return jnp.tensordot(q_f, planes, axes=1)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_pipeline(config: OpticsConfig, solver: str, chunk: int,
                        normalize: bool, max_abs_shift: int | None,
-                       polarization=None, apodize: bool = True, mask3d=None):
+                       polarization=None, apodize: bool = True, mask3d=None,
+                       chromatic=None):
     @functools.partial(jax.jit)
     def run(geometry, aberrations, shifts, weights):
         if mask3d is not None:
             geometry = mask3d.apply(geometry, config)
         spectrum = mask_spectrum(geometry, config, solver=solver)
         pupil = pupil_function(aberrations, config)
-        if polarization is None:
-            image = abbe_image_points(
-                spectrum, pupil, shifts, weights, config,
-                solver=solver, chunk=chunk, normalize=normalize,
-                max_abs_shift=max_abs_shift,
-            )
-        else:
-            from .ops.vector import vector_abbe_image
-
-            image = vector_abbe_image(
-                spectrum, pupil, shifts, weights, config,
-                polarization=polarization, apodize=apodize,
-                solver=solver, chunk=chunk, normalize=normalize,
-                max_abs_shift=max_abs_shift,
-            )
+        image = _exact_image(
+            spectrum, aberrations, shifts, weights, config,
+            solver=solver, chunk=chunk, normalize=normalize,
+            max_abs_shift=max_abs_shift, polarization=polarization,
+            apodize=apodize, chromatic=chromatic)
         return image, spectrum, pupil
 
     return run
@@ -89,7 +113,8 @@ def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool,
 
 @functools.lru_cache(maxsize=16)
 def _compiled_socs_build(config: OpticsConfig, rank: int,
-                         polarization=None, apodize: bool = True):
+                         polarization=None, apodize: bool = True,
+                         chromatic=None):
     """Jitted SOCS build. Everything complex-valued must run under jit on
     the TPU tunnel (complex constants/arrays cannot cross the host<->device
     boundary eagerly — see CLAUDE.md); r0 (sum|P|^2, or the vector
@@ -99,19 +124,30 @@ def _compiled_socs_build(config: OpticsConfig, rank: int,
     ``polarization`` switches to the vector kernel build
     (:func:`..ops.hopkins.randomized_socs_vector`): the returned kernel set
     then carries the full Jones-pupil physics through every downstream
-    consumer (socs_image / tiled / metrology / OPC / serving) unchanged."""
-    from .ops.hopkins import randomized_socs_vector, vector_pupil_power
+    consumer (socs_image / tiled / metrology / OPC / serving) unchanged.
+    ``chromatic`` (a :class:`..config.LaserSpectrum`) switches to the
+    polychromatic summed-TCC build — composable with ``polarization``. Both
+    leave r0 unchanged: spectral weights sum to 1 and the chromatic defocus
+    phases are unit modulus on the disk, so trace(T) is bandwidth-blind."""
+    from .ops.hopkins import (randomized_socs_chromatic,
+                              randomized_socs_vector, vector_pupil_power)
 
     @functools.partial(jax.jit)
     def build(aberrations, source_map):
         pupil = pupil_function(aberrations, config)
-        if polarization is None:
+        if chromatic is not None:
+            socs = randomized_socs_chromatic(
+                aberrations, source_map, config, spectrum=chromatic,
+                rank=rank, polarization=polarization, apodize=apodize)
+        elif polarization is None:
             socs = randomized_socs(pupil, source_map, config, rank=rank)
-            r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
             socs = randomized_socs_vector(
                 pupil, source_map, config, rank=rank,
                 polarization=polarization, apodize=apodize)
+        if polarization is None:
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
             r0 = vector_pupil_power(pupil, config, polarization=polarization,
                                     apodize=apodize)
         return socs, pupil, r0
@@ -122,27 +158,35 @@ def _compiled_socs_build(config: OpticsConfig, rank: int,
 @functools.lru_cache(maxsize=32)
 def _compiled_socs_build_basis(config: OpticsConfig, rank: int,
                                polarization=None, apodize: bool = True,
-                               power_iters: int = 2, warm: bool = False):
+                               power_iters: int = 2, warm: bool = False,
+                               chromatic=None):
     """Jitted SOCS build that also returns the Ritz basis for warm restarts
     (``warm=True`` additionally TAKES a basis argument). Used by the
     focus-sweep metrology loop and the auto-rank doubling loop, where
     successive builds differ by a tiny operator perturbation — the previous
     basis makes ``power_iters=0-1`` converge as well as a cold default
     build. Standard (non-lean) memory discipline only."""
-    from .ops.hopkins import randomized_socs_vector, vector_pupil_power
+    from .ops.hopkins import (randomized_socs_chromatic,
+                              randomized_socs_vector, vector_pupil_power)
 
     def _build(aberrations, source_map, init_basis=None):
         pupil = pupil_function(aberrations, config)
         kwargs = dict(rank=rank, power_iters=power_iters,
                       init_basis=init_basis, return_basis=True)
-        if polarization is None:
+        if chromatic is not None:
+            socs, basis = randomized_socs_chromatic(
+                aberrations, source_map, config, spectrum=chromatic,
+                polarization=polarization, apodize=apodize, **kwargs)
+        elif polarization is None:
             socs, basis = randomized_socs(pupil, source_map, config,
                                           lean=False, **kwargs)
-            r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
             socs, basis = randomized_socs_vector(
                 pupil, source_map, config, polarization=polarization,
                 apodize=apodize, **kwargs)
+        if polarization is None:
+            r0 = jnp.sum(jnp.abs(pupil) ** 2)
+        else:
             r0 = vector_pupil_power(pupil, config, polarization=polarization,
                                     apodize=apodize)
         return socs, basis, pupil, r0
@@ -167,9 +211,10 @@ _AUTO_ENERGY_TARGET = 0.999
 
 def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                          aberrations: jnp.ndarray, rank: int | str,
-                         polarization=None, apodize: bool = True):
+                         polarization=None, apodize: bool = True,
+                         chromatic=None):
     key = (config, src_np.tobytes(), np.asarray(aberrations).tobytes(), rank,
-           polarization, apodize)
+           polarization, apodize, chromatic)
     hit = _SOCS_BUILD_CACHE.get(key)
     if hit is None:
         from .ops.hopkins import lean_auto
@@ -192,6 +237,8 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
             # basis retention is skipped only where the standard-memory
             # build would not fit HBM (the lean build has no basis).
             n_comp = 1 if polarization is None else 3
+            if chromatic is not None:
+                n_comp *= chromatic.samples
             max_rank = max(1, min(_AUTO_RANK_MAX,
                                   n_comp * int((src_np > 0).sum())))
             r = min(_AUTO_RANK_START, max_rank)
@@ -202,15 +249,16 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                 if basis is not None:
                     socs, basis, pupil, r0 = _compiled_socs_build_basis(
                         config, r, polarization, apodize, power_iters=1,
-                        warm=True)(aberrations, src_dev, basis)
+                        warm=True, chromatic=chromatic)(aberrations, src_dev,
+                                                        basis)
                 elif keep_basis:
                     socs, basis, pupil, r0 = _compiled_socs_build_basis(
-                        config, r, polarization, apodize)(aberrations,
-                                                          src_dev)
+                        config, r, polarization, apodize,
+                        chromatic=chromatic)(aberrations, src_dev)
                 else:
                     socs, pupil, r0 = _compiled_socs_build(
-                        config, r, polarization, apodize)(aberrations,
-                                                          src_dev)
+                        config, r, polarization, apodize,
+                        chromatic)(aberrations, src_dev)
                 energy = energy_of(socs, r0)
                 if energy >= _AUTO_ENERGY_TARGET or r >= max_rank:
                     break
@@ -219,8 +267,8 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                     basis = None
         else:
             socs, pupil, r0 = _compiled_socs_build(
-                config, int(rank), polarization, apodize)(aberrations,
-                                                          src_dev)
+                config, int(rank), polarization, apodize,
+                chromatic)(aberrations, src_dev)
             energy = energy_of(socs, r0)
         hit = (socs, pupil, energy)
         if len(_SOCS_BUILD_CACHE) >= _SOCS_BUILD_CACHE_MAX:
@@ -253,27 +301,18 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
 def _compiled_batch_pipeline(config: OpticsConfig, solver: str, chunk: int,
                              normalize: bool, max_abs_shift: int | None,
                              polarization=None, apodize: bool = True,
-                             mask3d=None):
+                             mask3d=None, chromatic=None):
     @functools.partial(jax.jit)
     def run(geometries, aberrations, shifts, weights):
-        pupil = pupil_function(aberrations, config)
-
         def one(geometry):
             if mask3d is not None:
                 geometry = mask3d.apply(geometry, config)
             spectrum = mask_spectrum(geometry, config, solver=solver)
-            if polarization is None:
-                return abbe_image_points(
-                    spectrum, pupil, shifts, weights, config,
-                    solver=solver, chunk=chunk, normalize=normalize,
-                    max_abs_shift=max_abs_shift)
-            from .ops.vector import vector_abbe_image
-
-            return vector_abbe_image(
-                spectrum, pupil, shifts, weights, config,
-                polarization=polarization, apodize=apodize,
+            return _exact_image(
+                spectrum, aberrations, shifts, weights, config,
                 solver=solver, chunk=chunk, normalize=normalize,
-                max_abs_shift=max_abs_shift)
+                max_abs_shift=max_abs_shift, polarization=polarization,
+                apodize=apodize, chromatic=chromatic)
 
         return jax.vmap(one)(geometries)
 
@@ -314,14 +353,15 @@ def simulate_batch(
     polarization=None,
     apodize: bool = True,
     mask3d=None,
+    chromatic=None,
 ) -> jnp.ndarray:
     """(B, n, n) aerial images for a batch of masks under ONE shared optical
     configuration — a single compiled dispatch (vmap over the mask axis), so
     the pupil/source/SOCS work is paid once per batch instead of once per
     mask. The serving layer batches same-config requests onto this path.
     ``polarization`` routes through the vector Jones-pupil engine (exact
-    Abbe solvers) or the vector SOCS kernel build (``solver='socs'``), as
-    in :func:`simulate`."""
+    Abbe solvers) or the vector SOCS kernel build (``solver='socs'``), and
+    ``chromatic`` through the polychromatic paths, as in :func:`simulate`."""
     geometries = jnp.asarray(geometries)
     if geometries.ndim != 3:
         raise ValueError(f"expected (B, n, n) geometries, got {geometries.shape}")
@@ -335,7 +375,8 @@ def simulate_batch(
         polarization = tuple(complex(v) for v in polarization)
     if solver == "socs":
         socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
-                                          socs_rank, polarization, apodize)
+                                          socs_rank, polarization, apodize,
+                                          chromatic)
         run = _compiled_batch_socs(config, chunk, normalize, mask3d)
         images = run(geometries, socs, jnp.float32(src_np.sum()))
     else:
@@ -346,7 +387,7 @@ def simulate_batch(
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_batch_pipeline(config, solver, chunk, normalize,
                                        max_abs_shift, polarization, apodize,
-                                       mask3d)
+                                       mask3d, chromatic)
         images = run(geometries, aberrations, jnp.asarray(shifts),
                      jnp.asarray(weights))
     if block:
@@ -367,6 +408,7 @@ def simulate(
     polarization=None,
     apodize: bool = True,
     mask3d=None,
+    chromatic=None,
 ) -> SimulationResult:
     """Run the full pipeline. ``source_map`` is a concrete (n, n) weight map
     (e.g. from :class:`..models.source.LightSource`).
@@ -388,7 +430,14 @@ def simulate(
     ``mask3d`` (a :class:`..ops.mask3d.BoundaryLayer`, default None = thin
     mask) adds thick-mask boundary-layer strips to the transmission before
     the spectrum — orientation-dependent CD bias and best-focus shift on
-    every solver path."""
+    every solver path.
+
+    ``chromatic`` (a :class:`..config.LaserSpectrum`, default None =
+    monochromatic) adds finite laser bandwidth: the image becomes the
+    spectrum-weighted incoherent sum over chromatic defocus planes — on the
+    exact solvers as a ``lax.map`` focal blend, on ``solver='socs'`` as ONE
+    polychromatic kernel set (:func:`..ops.hopkins.randomized_socs_chromatic`;
+    composable with ``polarization``)."""
     config = mask.config
     t0 = time.perf_counter()
 
@@ -408,12 +457,13 @@ def simulate(
     socs_rank_used = None
     socs_energy = None
     if solver == "socs":
-        if socs_rank == "auto" or polarization is not None:
-            # vector kernels always go through the cached build (the
-            # pinned-rank all-in-one pipeline is scalar-only)
+        if (socs_rank == "auto" or polarization is not None
+                or chromatic is not None):
+            # vector/chromatic kernels always go through the cached build
+            # (the pinned-rank all-in-one pipeline is scalar monochromatic)
             socs, pupil, socs_energy = _socs_kernels_cached(
                 config, src_np, aberrations, socs_rank, polarization,
-                apodize)
+                apodize, chromatic)
             run = _compiled_socs_apply(config, chunk, normalize, mask3d)
             image, spectrum = run(mask.geometry, socs,
                                   jnp.float32(src_np.sum()))
@@ -427,7 +477,8 @@ def simulate(
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,
-                                 max_abs_shift, polarization, apodize, mask3d)
+                                 max_abs_shift, polarization, apodize, mask3d,
+                                 chromatic)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(shifts), jnp.asarray(weights))
     if block:
@@ -447,6 +498,9 @@ def simulate(
         "source_points": pts.live_count,
         "polarization": (str(polarization) if polarization is not None
                          else "scalar"),
+        "chromatic": (f"{chromatic.shape} E95={chromatic.bandwidth_pm}pm "
+                      f"x{chromatic.samples} @ {chromatic.focus_nm_per_pm}"
+                      "nm/pm" if chromatic is not None else "monochromatic"),
         "mask3d": (f"BL(w={mask3d.width_nm}nm, bh={mask3d.beta_h}, "
                    f"bv={mask3d.beta_v})" if mask3d is not None else "thin"),
         "wall_clock_s": elapsed,

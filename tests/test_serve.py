@@ -322,6 +322,36 @@ def test_polarized_simulate(server):
     assert status == 400
 
 
+def test_chromatic_simulate(server):
+    """Finite laser bandwidth through the serving API: a chromatic request
+    succeeds, differs from the monochromatic image (focus blur), and the
+    chromatic SOCS build agrees with the exact chromatic path."""
+    mask = np.asarray(demo_bars(CFG).geometry)
+    chrom = {"bandwidth_pm": 1.0, "focus_nm_per_pm": -400.0, "samples": 3}
+    st_m, mono = _post(server, "/simulate", _simulate_body(mask))
+    st_c, poly = _post(server, "/simulate",
+                       _simulate_body(mask, chromatic=chrom))
+    assert st_m == 200 and st_c == 200
+    a = _decode_array(mono["image"])
+    b = _decode_array(poly["image"])
+    assert np.abs(a - b).max() > 1e-4 * a.max()
+
+    status, socs = _post(server, "/simulate",
+                         _simulate_body(mask, chromatic=chrom,
+                                        solver="socs"))
+    assert status == 200
+    c = _decode_array(socs["image"])
+    assert np.abs(c - b).max() < 2e-2 * b.max()
+
+    status, _ = _post(server, "/simulate",
+                      _simulate_body(mask, chromatic={"shape": "gaussian"}))
+    assert status == 400
+    status, _ = _post(server, "/simulate",
+                      _simulate_body(mask, chromatic={"bandwidth_pm": 0.5,
+                                                      "samples": 99}))
+    assert status == 400
+
+
 # ---------------------------------------------------------------------------
 # Async jobs API (round 3)
 # ---------------------------------------------------------------------------

@@ -264,10 +264,10 @@ def test_serve_parses_jones_polarization():
         "polarization": [[1.0, 0.0], [0.0, 1.0]],  # circular-ish Jones
     }
     sig, _ = svc._parse(body)
-    assert sig[-1] == (1.0 + 0.0j, 1.0j)
+    assert sig[-2] == (1.0 + 0.0j, 1.0j)  # [-1] is the chromatic slot
     body["polarization"] = "unpolarized"
     sig, _ = svc._parse(body)
-    assert sig[-1] == "unpolarized"
+    assert sig[-2] == "unpolarized"
     body["polarization"] = [0.0, 0.0]
     with pytest.raises(ValueError, match="zero Jones"):
         svc._parse(body)
