@@ -401,7 +401,8 @@ def cmd_fem(args) -> int:
         rank=args.rank, halo=args.halo,
         tiles_per_dispatch=args.tiles_per_dispatch,
         window_fn=window_fn, big_n=big_n if window_fn is not None else None,
-        polarization=polarization, warm_start=not args.no_warm_start,
+        polarization=polarization, chromatic=_build_chromatic(args),
+        warm_start=not args.no_warm_start,
     )
     elapsed = time.perf_counter() - t0
     report = {
@@ -485,7 +486,8 @@ def cmd_opc(args) -> int:
     corrected = opc_correct_tiled(
         target, tile_config, source, resist=resist, halo=args.halo,
         steps=args.steps, learning_rate=args.lr, rank=args.rank,
-        sweeps=args.sweeps, polarization=polarization)
+        sweeps=args.sweeps, polarization=polarization,
+        chromatic=_build_chromatic(args))
     elapsed = time.perf_counter() - t0
     print(json.dumps({
         "big_n": big_n, "tile_n": tile_config.n, "steps": args.steps,
@@ -691,6 +693,7 @@ def main(argv=None) -> int:
     p_fem.add_argument("--stream", action="store_true",
                        help="stream tile windows straight from --mask-file "
                             "(no full-chip raster; any layout size)")
+    _add_chromatic(p_fem)
     p_fem.set_defaults(func=cmd_fem)
 
     p_opc = sub.add_parser(
@@ -709,6 +712,7 @@ def main(argv=None) -> int:
                        help="vector (Jones-pupil) forward model for the "
                             "correction and the fidelity report")
     p_opc.add_argument("--out", default=None, help="corrected mask .npy path")
+    _add_chromatic(p_opc)
     p_opc.set_defaults(func=cmd_opc)
 
     p_r3d = sub.add_parser(

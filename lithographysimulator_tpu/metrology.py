@@ -42,6 +42,7 @@ def tiled_focus_images(
     field_blend: str = "linear",
     polarization=None,
     apodize: bool = True,
+    chromatic=None,
     warm_start: bool = True,
     warm_power_iters: int = 0,
     progress_cb=None,
@@ -65,7 +66,11 @@ def tiled_focus_images(
     basis), or when a custom ``socs_builder`` is supplied.
 
     ``polarization``/``apodize`` run every plane's kernel build through the
-    polarized vector build — full-chip vector FEM.
+    polarized vector build — full-chip vector FEM. ``chromatic`` (a
+    :class:`..config.LaserSpectrum`) makes every plane polychromatic: the
+    spectral focus blur rides ON TOP of each sweep plane's defocus, so the
+    FEM measures the process window the finite-bandwidth laser actually
+    prints (bandwidth shrinks DOF — the effect this knob exists to expose).
 
     ``field_aberrations(fx, fy) -> OSA coefficients`` makes the optics vary
     across the chip (scanner-slit aberration maps): each plane images
@@ -105,7 +110,8 @@ def tiled_focus_images(
                 field_points=field_points, blend=field_blend, rank=rank,
                 halo=halo, engine=engine,
                 tiles_per_dispatch=tiles_per_dispatch,
-                polarization=polarization, apodize=apodize)))
+                polarization=polarization, apodize=apodize,
+                chromatic=chromatic)))
         return np.stack(out)
     if base_aberrations is None:
         base_aberrations = np.zeros((5,), np.float32)
@@ -114,11 +120,11 @@ def tiled_focus_images(
         build = socs_builder
     elif warm_start and not lean_auto(rank + 16, tile_config.n):
         cold = _compiled_socs_build_basis(tile_config, rank, polarization,
-                                          apodize)
+                                          apodize, chromatic=chromatic)
         warm = _compiled_socs_build_basis(tile_config, rank, polarization,
                                           apodize,
                                           power_iters=warm_power_iters,
-                                          warm=True)
+                                          warm=True, chromatic=chromatic)
         basis_box = [None]
 
         def build(aberr):
@@ -129,7 +135,8 @@ def tiled_focus_images(
             return socs
     else:
         build = lambda aberr: _compiled_socs_build(
-            tile_config, rank, polarization, apodize)(aberr, src_dev)[0]
+            tile_config, rank, polarization, apodize,
+            chromatic)(aberr, src_dev)[0]
     stack_ab = np.asarray(
         focus_stack_aberrations(base_aberrations, np.asarray(defocus_nm)))
     out = []
@@ -172,6 +179,7 @@ def tiled_fem(
     field_blend: str = "linear",
     polarization=None,
     apodize: bool = True,
+    chromatic=None,
     warm_start: bool = True,
     cd_stat: str = "median",
     cd_axis: int = 1,
@@ -213,7 +221,7 @@ def tiled_fem(
         window_fn=window_fn, big_n=big_n,
         field_aberrations=field_aberrations, field_points=field_points,
         field_blend=field_blend, polarization=polarization, apodize=apodize,
-        warm_start=warm_start,
+        chromatic=chromatic, warm_start=warm_start,
         progress_cb=(None if progress_cb is None
                      else lambda f: progress_cb(0.8 * f)))
     scale = max(float(stack.max()), 1e-30)
@@ -285,15 +293,18 @@ def tiled_meef(
     socs=None,
     polarization=None,
     apodize: bool = True,
+    chromatic=None,
 ) -> float:
     """Full-chip MEEF: d(printed CD)/d(mask CD) with the biased mask imaged
     through the tiled path (kernels built once, reused for both biases;
-    ``polarization`` builds them with the vector physics)."""
+    ``polarization`` builds them with the vector physics, ``chromatic``
+    with the finite-bandwidth spectrum)."""
     resist = resist or ResistModel()
     if socs is None:
         from .simulate import _compiled_socs_build
 
-        socs = _compiled_socs_build(tile_config, rank, polarization, apodize)(
+        socs = _compiled_socs_build(tile_config, rank, polarization, apodize,
+                                    chromatic)(
             np.zeros((5,), np.float32), np.asarray(source_map, np.float32))[0]
 
     def image_fn(geometry):

@@ -241,6 +241,7 @@ def tiled_socs_image_field(
     tiles_per_dispatch: int = 8,
     polarization=None,
     apodize: bool = True,
+    chromatic=None,
     blend: str = "linear",
 ) -> jnp.ndarray:
     """Full-chip image under FIELD-DEPENDENT aberrations: scanner optics
@@ -272,7 +273,9 @@ def tiled_socs_image_field(
 
     ``polarization``/``apodize`` switch the per-sample kernel builds to the
     polarized vector build (:func:`..ops.hopkins.randomized_socs_vector`),
-    making the full-chip field-dependent image carry Jones-pupil physics.
+    making the full-chip field-dependent image carry Jones-pupil physics;
+    ``chromatic`` (a :class:`..config.LaserSpectrum`) to the polychromatic
+    build (:func:`..ops.hopkins.randomized_socs_chromatic`) — both compose.
     """
     from ..simulate import _compiled_socs_build
 
@@ -326,7 +329,8 @@ def tiled_socs_image_field(
                     groups.setdefault((iy, ix), []).append(
                         (ti, tj, wy * wx))
 
-    build = _compiled_socs_build(tile_config, rank, polarization, apodize)
+    build = _compiled_socs_build(tile_config, rank, polarization, apodize,
+                                 chromatic)
     src_dev = jnp.asarray(np.asarray(source_map, np.float32))
     kernel_sets = {}
     for (i, j) in groups:

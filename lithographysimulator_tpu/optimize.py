@@ -223,6 +223,7 @@ def optimize_socs(
     source_weights_init=None,
     mask_steps_per_build: int = 20,
     source_learning_rate: float | None = None,
+    chromatic=None,
 ) -> tuple[dict, list[float]]:
     """SMO with the SOCS forward model on the mask phase (ROADMAP item 7).
 
@@ -257,10 +258,15 @@ def optimize_socs(
     mask_state = mask_opt.init(latent)
     history: list[float] = []
 
+    if chromatic is not None and problem.optimize_source:
+        # the source step's exact-Abbe gradient path is monochromatic
+        raise ValueError(
+            "chromatic SMO requires optimize_source=False (mask-only)")
     warm_iters = min(power_iters, 1)
-    cold = _compiled_socs_build_basis(cfg, rank, None, True, power_iters)
+    cold = _compiled_socs_build_basis(cfg, rank, None, True, power_iters,
+                                      chromatic=chromatic)
     warm = _compiled_socs_build_basis(cfg, rank, None, True, warm_iters,
-                                      warm=True)
+                                      warm=True, chromatic=chromatic)
 
     if not problem.optimize_source:
         src_map = _source_map_from_points(shifts, weights, cfg.n)
@@ -476,6 +482,7 @@ def opc_correct_tiled(
     aberrations=None,
     polarization=None,
     apodize: bool = True,
+    chromatic=None,
     progress_cb=None,
 ) -> np.ndarray:
     """Resist-aware OPC on an arbitrarily large layout, tile by tile.
@@ -493,7 +500,9 @@ def opc_correct_tiled(
     geometry). ``polarization`` builds the forward model's kernels with the
     vector Jones-pupil physics (:func:`..ops.hopkins.randomized_socs_vector`;
     kernels are constants to the optimizer, so differentiability is
-    untouched). The reference has no OPC at all (README.md:21 roadmap)."""
+    untouched), and ``chromatic`` with the finite-bandwidth polychromatic
+    build — OPC against the image the real laser prints. The reference has
+    no OPC at all (README.md:21 roadmap)."""
     from .models.resist import ResistModel
     from .ops.tiled import default_halo, tile_layout
     from .simulate import _compiled_socs_build
@@ -508,7 +517,8 @@ def opc_correct_tiled(
         halo = min(default_halo(tile_config), n // 4)
     tiles, step_px = tile_layout(big_n, n, halo)
 
-    socs = _compiled_socs_build(tile_config, rank, polarization, apodize)(
+    socs = _compiled_socs_build(tile_config, rank, polarization, apodize,
+                                chromatic)(
         np.asarray(aberrations, np.float32),
         np.asarray(source_map, np.float32))[0]
     step, optimizer = _compiled_tile_opc_step(
@@ -613,6 +623,7 @@ def opc_correct_pw(
     rank: int = 64,
     aberrations=None,
     polarization=None,
+    chromatic=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Process-window-aware OPC: optimize the mask so the developed resist
     pattern matches the target across EVERY (defocus, dose) corner of the
@@ -627,7 +638,9 @@ def opc_correct_pw(
     the (defocus x dose) corner grid shares kernel sets across doses. The
     optimizer sees all corners in ONE jitted step (vmap over a stacked
     kernel pytree), with gradients flowing through every corner's resist
-    profile. ``polarization`` builds vector kernels.
+    profile. ``polarization`` builds vector kernels; ``chromatic`` builds
+    each corner polychromatic (the laser's focus blur rides on top of each
+    defocus corner).
 
     Returns ``(corrected_mask, report)`` with per-corner final losses.
     """
@@ -644,9 +657,11 @@ def opc_correct_pw(
     src = np.asarray(source_map, np.float32)
 
     # one kernel set per focal plane, warm-chained
-    cold = _compiled_socs_build_basis(config, rank, polarization, True)
+    cold = _compiled_socs_build_basis(config, rank, polarization, True,
+                                      chromatic=chromatic)
     warm = _compiled_socs_build_basis(config, rank, polarization, True,
-                                      power_iters=0, warm=True)
+                                      power_iters=0, warm=True,
+                                      chromatic=chromatic)
     kernel_sets = []
     basis = None
     for d in defocus_nm:

@@ -268,9 +268,6 @@ class JobRunner:
         body = job.body
         (config, source, polarization, rank, halo,
          chromatic) = self._parse_common(body)
-        if chromatic is not None and job.kind != "tiled":
-            raise ValueError(
-                f"chromatic is not yet supported for {job.kind!r} jobs")
         mask = body["mask"]
 
         def progress(f):
@@ -308,7 +305,7 @@ class JobRunner:
                     threshold=float(body.get("threshold", 0.3))),
                 tolerance=float(body.get("tolerance", 0.10)),
                 rank=rank, halo=halo, polarization=polarization,
-                progress_cb=progress)
+                chromatic=chromatic, progress_cb=progress)
             cdu = dict(result["cdu"] or {})
             cd_map = cdu.pop("cd_map_nm", None)
             out = {
@@ -336,7 +333,7 @@ class JobRunner:
             steps=int(body.get("steps", 40)),
             sweeps=int(body.get("sweeps", 1)),
             learning_rate=float(body.get("lr", 0.15)),
-            polarization=polarization,
+            polarization=polarization, chromatic=chromatic,
             progress_cb=progress)
         return {"mask": _encode_array(corrected),
                 "big_n": int(mask.shape[0])}

@@ -173,6 +173,77 @@ def test_socs_vector_chromatic_kernels_match_exact():
     assert nrms(img, exact) < 1e-3
 
 
+# --- production paths: tiled full-chip, FEM, OPC ---------------------------
+
+
+BIG_N = 64
+
+
+def _lines_big():
+    x = np.arange(BIG_N)
+    cols = ((x // 4) % 4 == 0).astype(np.float32)
+    return np.broadcast_to(cols, (BIG_N, BIG_N)).copy()
+
+
+def test_tiled_chromatic_is_weighted_blend():
+    """The polychromatic tiled full-chip image equals the spectrum-weighted
+    blend of monochromatic tiled images at the sample defocus planes (same
+    tiling machinery both sides, so stitching effects cancel; residual is
+    kernel-rank truncation only)."""
+    from lithographysimulator_tpu.metrology import tiled_focus_images
+
+    spec = LaserSpectrum(bandwidth_pm=2.0, focus_nm_per_pm=-60.0, samples=3)
+    mask, src = _lines_big(), _src()
+    chrom = tiled_focus_images(mask, CFG, src, [0.0], rank=150, halo=8,
+                               chromatic=spec)[0]
+    planes = tiled_focus_images(mask, CFG, src, spec.defocus_offsets_nm(),
+                                rank=64, halo=8)
+    manual = np.tensordot(spec.weights(), planes, axes=1)
+    assert nrms(chrom, manual) < 5e-3
+
+
+def test_fem_chromatic_process_window():
+    """Laser bandwidth SHRINKS the measured process window: dense 100 nm
+    L/S at k1 = 0.36 survive the whole +-100 nm sweep monochromatically, but
+    a strong-bandwidth source (spectral focus blur ~ +-190 nm) prints fat
+    off-focus CDs and loses half the window — the effect a chromatic FEM
+    exists to measure."""
+    from lithographysimulator_tpu.metrology import tiled_fem
+    from lithographysimulator_tpu.models.resist import ResistModel
+
+    x = np.arange(BIG_N)
+    mask = np.broadcast_to(((x // 4) % 2 == 0).astype(np.float32),
+                           (BIG_N, BIG_N)).copy()
+    src = _src()
+    kwargs = dict(defocus_nm=[-100.0, 0.0, 100.0], doses=[0.95, 1.0, 1.05],
+                  target_cd_nm=None, resist=ResistModel(threshold=0.25),
+                  tolerance=0.10, rank=48, halo=8)
+    mono = tiled_fem(mask, CFG, src, **kwargs)
+    spec = LaserSpectrum(bandwidth_pm=2.0, focus_nm_per_pm=-200.0, samples=3)
+    chrom = tiled_fem(mask, CFG, src, chromatic=spec, **kwargs)
+    assert chrom["cd_nm"].shape == mono["cd_nm"].shape
+    # nominal (best-focus, unit-dose) cell still prints the same CD...
+    assert abs(chrom["target_cd_nm"] - mono["target_cd_nm"]) < 1.0
+    # ...but off-focus CDs fatten and the window shrinks
+    assert np.abs(chrom["cd_nm"] - mono["cd_nm"]).max() > 10.0
+    assert chrom["depth_of_focus_nm"] < mono["depth_of_focus_nm"]
+    assert chrom["in_spec_fraction"] < mono["in_spec_fraction"]
+
+
+def test_opc_tiled_chromatic_smoke():
+    """Full-chip OPC against the polychromatic forward model runs and
+    returns a valid continuous mask."""
+    from lithographysimulator_tpu.optimize import opc_correct_tiled
+
+    spec = LaserSpectrum(bandwidth_pm=1.0, focus_nm_per_pm=-150.0, samples=3)
+    target = _lines_big()[:32, :32]
+    corrected = np.asarray(opc_correct_tiled(
+        target, CFG, _src(), steps=6, rank=32, chromatic=spec))
+    assert corrected.shape == target.shape
+    assert np.isfinite(corrected).all()
+    assert 0.0 <= corrected.min() and corrected.max() <= 1.0
+
+
 def test_batch_chromatic_matches_single():
     mask, src = demo_bars(CFG), _src()
     single = np.asarray(simulate(mask, src, ABERR, chromatic=SPEC3).image)
