@@ -283,6 +283,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![pw](process_window.png) | Full-chip focus-exposure matrix → process window (tiled SOCS path) |
 | ![polsocs](polarized_socs.png) | Polarized SOCS (round 3): one summed-TCC kernel set carries hyper-NA vector physics on the fast path — matches the exact vector Abbe engine |
 | ![cdu](cd_metrology.png) | Full-chip CD metrology (round 3): developed chip, per-region CD-uniformity map, subpixel CD distribution |
+| ![chromatic](chromatic.png) | Chromatic imaging (round 3): finite laser bandwidth (E95) blurs focus through the lens's longitudinal chromatic aberration — dense-line contrast erodes with spectral width |
 """)
     print("wrote", gallery)
 
@@ -350,6 +351,36 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "cd_metrology.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "cd_metrology.png")
+
+    # 13. Chromatic: laser bandwidth blurs focus and erodes contrast
+    cfg_ch = lt.OpticsConfig(pixel_number=32)
+    dense = lt.lines_and_spaces(cfg_ch, line_width_px=4, pitch_px=8)
+    src_ch = np.asarray(lt.LightSource(cfg_ch, sigma_in=0.2,
+                                       sigma_out=0.6).annular())
+    fig, axes = plt.subplots(1, 4, dpi=170, figsize=(13.0, 3.4))
+    cuts = []
+    for ax, bw in zip(axes[:3], (0.0, 1.5, 3.0)):
+        spec_l = (lt.LaserSpectrum(bandwidth_pm=bw, focus_nm_per_pm=-400.0,
+                                   samples=5) if bw else None)
+        img = np.asarray(lt.simulate(dense, src_ch, normalize=True,
+                                     chromatic=spec_l).image)
+        row = img[cfg_ch.n // 2, 6:-6]
+        contrast = (row.max() - row.min()) / (row.max() + row.min())
+        cuts.append((bw, img[cfg_ch.n // 2]))
+        ax.imshow(img, cmap="viridis")
+        ax.set_title(f"E95 = {bw:g} pm  (contrast {contrast:.2f})",
+                     fontsize=9)
+        ax.axis("off")
+    x_nm = (np.arange(cfg_ch.n) - cfg_ch.n / 2) * cfg_ch.pixel_size
+    for bw, cut in cuts:
+        axes[3].plot(x_nm, cut / cuts[0][1].max(), label=f"{bw:g} pm")
+    axes[3].set_title("center cut: spaces fill in", fontsize=9)
+    axes[3].set_xlabel("x (nm)")
+    axes[3].legend(fontsize=8, title="E95")
+    fig.tight_layout()
+    fig.savefig(DOCS / "chromatic.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "chromatic.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
