@@ -243,6 +243,27 @@ def main() -> None:
     jax.block_until_ready(vector_socs_cold(*argsv))
     t_vector_cold = time.perf_counter() - t0
 
+    # --- round 3: chromatic (finite-bandwidth) SOCS cold, 1024^2 --------
+    # One polychromatic kernel set: 0.3 pm E95 ArF spectrum, 5 samples ->
+    # 5 defocus-plane component pupils in the summed-TCC build (no
+    # reference analog; the reference is monochromatic).
+    from lithographysimulator_tpu.config import LaserSpectrum
+    from lithographysimulator_tpu.ops.hopkins import randomized_socs_chromatic
+
+    spec_laser = LaserSpectrum(bandwidth_pm=0.3, samples=5)
+
+    @jax.jit
+    def chromatic_socs_cold(geom, a, s_map):
+        k = randomized_socs_chromatic(
+            a, s_map, cfg, spectrum=spec_laser, rank=RANK, power_iters=1)
+        return socs_image(mask_spectrum(geom, cfg), k, cfg, chunk=CHUNK)
+
+    _progress("compiling 1024^2 chromatic SOCS cold")
+    jax.block_until_ready(chromatic_socs_cold(*argsv))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chromatic_socs_cold(*argsv))
+    t_chromatic_cold = time.perf_counter() - t0
+
     # --- round 3: lean single-block-peak build, 2048^2 rank 256 ---------
     # The memory-constrained config (standard build would OOM HBM); round-3
     # chunk re-tune cut it ~14 s -> ~6 s (row_chunk 32 / img_row_chunk 128).
@@ -282,6 +303,7 @@ def main() -> None:
         "socs_build_warm_s": round(t_build_warm, 4),
         "socs_warm_speedup": round(t_build / max(t_build_warm, 1e-9), 2),
         "vector_socs_cold_s": round(t_vector_cold, 3),
+        "chromatic_socs_cold_s": round(t_chromatic_cold, 3),
         "socs_cold_2048_s": round(t_socs_2048, 3),
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
         "socs_lean_2048_rank256_s": round(t_lean_2048, 3),
