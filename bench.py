@@ -226,42 +226,53 @@ def main() -> None:
 
     # --- round 3: polarized (vector) SOCS cold, 1024^2 ------------------
     # Full Jones-pupil physics in one kernel set (no reference analog at
-    # all); build + image fused, unpolarized (6 component pupils).
+    # all); build + image fused, unpolarized (6 component pupils), with the
+    # production path's principal-channel compression (6 -> 5 here: one
+    # exactly redundant channel, found by the channel Gram).
     from lithographysimulator_tpu.ops.hopkins import randomized_socs_vector
+    from lithographysimulator_tpu.simulate import _channel_rotation_cached
+
+    rot_v = _channel_rotation_cached(cfg, "unpolarized", True, None)
+    vchan = None if rot_v is None else int(rot_v.shape[2])
 
     @jax.jit
-    def vector_socs_cold(geom, a, s_map):
+    def vector_socs_cold(geom, a, s_map, rot):
         k = randomized_socs_vector(
             pupil_function(a, cfg), s_map, cfg, rank=RANK,
-            polarization="unpolarized", power_iters=1)
+            polarization="unpolarized", power_iters=1, channel_rotation=rot)
         return socs_image(mask_spectrum(geom, cfg), k, cfg, chunk=CHUNK)
 
     _progress("compiling 1024^2 polarized SOCS cold")
     argsv = (mask.geometry, ab_planes[0], src_dev)
-    jax.block_until_ready(vector_socs_cold(*argsv))
+    jax.block_until_ready(vector_socs_cold(*argsv, rot_v))
     t0 = time.perf_counter()
-    jax.block_until_ready(vector_socs_cold(*argsv))
+    jax.block_until_ready(vector_socs_cold(*argsv, rot_v))
     t_vector_cold = time.perf_counter() - t0
 
     # --- round 3: chromatic (finite-bandwidth) SOCS cold, 1024^2 --------
-    # One polychromatic kernel set: 0.3 pm E95 ArF spectrum, 5 samples ->
-    # 5 defocus-plane component pupils in the summed-TCC build (no
-    # reference analog; the reference is monochromatic).
+    # One polychromatic kernel set: 0.3 pm E95 ArF spectrum, 5 quadrature
+    # samples, principal-channel-compressed to 2 effective component pupils
+    # (1e-6 trace tolerance; 2.06x over the uncompressed build, 2.5e-7
+    # nRMS) in the summed-TCC build (no reference analog; the reference is
+    # monochromatic).
     from lithographysimulator_tpu.config import LaserSpectrum
     from lithographysimulator_tpu.ops.hopkins import randomized_socs_chromatic
 
     spec_laser = LaserSpectrum(bandwidth_pm=0.3, samples=5)
+    rot_c = _channel_rotation_cached(cfg, None, True, spec_laser)
+    cchan = None if rot_c is None else int(rot_c.shape[2])
 
     @jax.jit
-    def chromatic_socs_cold(geom, a, s_map):
+    def chromatic_socs_cold(geom, a, s_map, rot):
         k = randomized_socs_chromatic(
-            a, s_map, cfg, spectrum=spec_laser, rank=RANK, power_iters=1)
+            a, s_map, cfg, spectrum=spec_laser, rank=RANK, power_iters=1,
+            channel_rotation=rot)
         return socs_image(mask_spectrum(geom, cfg), k, cfg, chunk=CHUNK)
 
     _progress("compiling 1024^2 chromatic SOCS cold")
-    jax.block_until_ready(chromatic_socs_cold(*argsv))
+    jax.block_until_ready(chromatic_socs_cold(*argsv, rot_c))
     t0 = time.perf_counter()
-    jax.block_until_ready(chromatic_socs_cold(*argsv))
+    jax.block_until_ready(chromatic_socs_cold(*argsv, rot_c))
     t_chromatic_cold = time.perf_counter() - t0
 
     # --- round 3: lean single-block-peak build, 2048^2 rank 256 ---------
@@ -303,7 +314,9 @@ def main() -> None:
         "socs_build_warm_s": round(t_build_warm, 4),
         "socs_warm_speedup": round(t_build / max(t_build_warm, 1e-9), 2),
         "vector_socs_cold_s": round(t_vector_cold, 3),
+        "vector_socs_channels": vchan,
         "chromatic_socs_cold_s": round(t_chromatic_cold, 3),
+        "chromatic_socs_channels": cchan,
         "socs_cold_2048_s": round(t_socs_2048, 3),
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
         "socs_lean_2048_rank256_s": round(t_lean_2048, 3),

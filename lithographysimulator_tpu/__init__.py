@@ -38,7 +38,8 @@ from .ops.abbe import (
 from .ops.focus import (chromatic_aberrations, focus_stack_aberrations,
                         through_focus_images)
 from .ops.fraunhofer import mask_spectrum, spectrum_direct, spectrum_fft
-from .ops.hopkins import (SOCSKernels, randomized_socs,
+from .ops.hopkins import (SOCSKernels, principal_channel_rotation,
+                          randomized_socs,
                           randomized_socs_chromatic, randomized_socs_components,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
@@ -104,6 +105,7 @@ __all__ = [
     "pupil_function",
     "randomized_socs",
     "randomized_socs_chromatic",
+    "principal_channel_rotation",
     "randomized_socs_components",
     "randomized_socs_vector",
     "simulate",

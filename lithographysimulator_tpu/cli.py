@@ -201,22 +201,30 @@ def cmd_socs(args) -> int:
                     else args.polarization)
     chromatic = _build_chromatic(args)
 
+    # Aberration-independent principal-channel rotation (chromatic/vector
+    # stacks), shared with the simulate-layer build cache.
+    from .simulate import _channel_rotation_cached
+
+    rot = _channel_rotation_cached(config, polarization, True, chromatic)
+
     # complex math must stay under jit on the TPU tunnel (CLAUDE.md)
     @functools.partial(jax.jit, static_argnames=())
-    def build(a, s_map):
+    def build(a, s_map, channel_rotation=None):
         pupil = pupil_function(a, config)
         lean = {"auto": "auto", "on": True, "off": False}[args.lean]
         if chromatic is not None:
             socs = randomized_socs_chromatic(
                 a, s_map, config, spectrum=chromatic, rank=args.rank,
-                power_iters=args.power_iters, polarization=polarization)
+                power_iters=args.power_iters, polarization=polarization,
+                channel_rotation=channel_rotation)
         elif polarization is None:
             socs = randomized_socs(pupil, s_map, config, rank=args.rank,
                                    power_iters=args.power_iters, lean=lean)
         else:
             socs = randomized_socs_vector(
                 pupil, s_map, config, rank=args.rank,
-                power_iters=args.power_iters, polarization=polarization)
+                power_iters=args.power_iters, polarization=polarization,
+                channel_rotation=channel_rotation)
         if polarization is None:
             r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
@@ -224,7 +232,8 @@ def cmd_socs(args) -> int:
         return socs, r0
 
     t0 = time.perf_counter()
-    socs, r0 = jax.block_until_ready(build(aberr, jnp.asarray(np.asarray(source))))
+    socs, r0 = jax.block_until_ready(
+        build(aberr, jnp.asarray(np.asarray(source)), rot))
     elapsed = time.perf_counter() - t0
     ev = np.asarray(socs.eigenvalues)
     trace = float(np.asarray(source).sum()) * float(r0)
@@ -232,6 +241,7 @@ def cmd_socs(args) -> int:
         "rank": int(socs.rank), "build_s": round(elapsed, 3),
         "eig_max": float(ev[0]), "eig_min_kept": float(ev[-1]),
         "energy_captured": round(float(ev.sum()) / trace, 6) if trace > 0 else 1.0,
+        "channels": None if rot is None else int(rot.shape[2]),
     }))
     if args.out:
         save_socs(args.out, socs)

@@ -86,7 +86,8 @@ def tiled_focus_images(
     layouts that never exist as one raster."""
     from .ops.hopkins import lean_auto
     from .ops.tiled import tiled_socs_image_field, tiled_socs_image_stream
-    from .simulate import _compiled_socs_build, _compiled_socs_build_basis
+    from .simulate import (_socs_build_basis_with_channels,
+                           _socs_build_with_channels)
 
     if (window_fn is None) == (mask_big is None):
         raise ValueError("pass exactly one of mask_big or (window_fn, big_n)")
@@ -119,12 +120,13 @@ def tiled_focus_images(
     if socs_builder is not None:
         build = socs_builder
     elif warm_start and not lean_auto(rank + 16, tile_config.n):
-        cold = _compiled_socs_build_basis(tile_config, rank, polarization,
-                                          apodize, chromatic=chromatic)
-        warm = _compiled_socs_build_basis(tile_config, rank, polarization,
-                                          apodize,
-                                          power_iters=warm_power_iters,
-                                          warm=True, chromatic=chromatic)
+        cold = _socs_build_basis_with_channels(tile_config, rank,
+                                               polarization, apodize,
+                                               chromatic=chromatic)
+        warm = _socs_build_basis_with_channels(tile_config, rank,
+                                               polarization, apodize,
+                                               power_iters=warm_power_iters,
+                                               warm=True, chromatic=chromatic)
         basis_box = [None]
 
         def build(aberr):
@@ -134,7 +136,7 @@ def tiled_focus_images(
                 socs, basis_box[0], _, _ = warm(aberr, src_dev, basis_box[0])
             return socs
     else:
-        build = lambda aberr: _compiled_socs_build(
+        build = lambda aberr: _socs_build_with_channels(
             tile_config, rank, polarization, apodize,
             chromatic)(aberr, src_dev)[0]
     stack_ab = np.asarray(
@@ -301,10 +303,10 @@ def tiled_meef(
     with the finite-bandwidth spectrum)."""
     resist = resist or ResistModel()
     if socs is None:
-        from .simulate import _compiled_socs_build
+        from .simulate import _socs_build_with_channels
 
-        socs = _compiled_socs_build(tile_config, rank, polarization, apodize,
-                                    chromatic)(
+        socs = _socs_build_with_channels(tile_config, rank, polarization,
+                                         apodize, chromatic)(
             np.zeros((5,), np.float32), np.asarray(source_map, np.float32))[0]
 
     def image_fn(geometry):

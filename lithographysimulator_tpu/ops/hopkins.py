@@ -672,6 +672,8 @@ def randomized_socs_vector(
     krylov: bool = False,
     init_basis=None,
     return_basis: bool = False,
+    channels: int | str | None = None,
+    channel_rotation=None,
 ) -> SOCSKernels:
     """Polarized (vector/high-NA) SOCS kernels: ONE kernel set carrying the
     full Jones-pupil physics, drop-in for every scalar-SOCS consumer.
@@ -707,18 +709,53 @@ def randomized_socs_vector(
 
     Build cost is ~(1 + #components)/3 x the scalar build's matvec stage
     (whitening/Rayleigh-Ritz costs are identical); unpolarized runs 6
-    components, a single Jones state 3.
+    components, a single Jones state 3. ``channels`` / ``channel_rotation``
+    first compress the stack to its principal channels (exact unitary
+    mixing + trace-bounded truncation — see
+    :func:`randomized_socs_components`): at moderate NA the 5 deduped
+    unpolarized components carry their energy in 2-3 channels.
     """
+    components, q = vector_component_stack(
+        pupil, config, polarization=polarization, apodize=apodize)
+    return randomized_socs_components(
+        components, q, source_map, config, rank=rank, oversample=oversample,
+        power_iters=power_iters, seed=seed, probe_chunk=probe_chunk,
+        compensated=compensated, krylov=krylov, init_basis=init_basis,
+        return_basis=return_basis, channels=channels,
+        channel_rotation=channel_rotation)
+
+
+def vector_component_stack(pupil, config: OpticsConfig, *,
+                           polarization="unpolarized", apodize: bool = True):
+    """(C, n, n) deduped Jones-pupil component stack + (C,) weights of the
+    vector summed-TCC operator — the front half of
+    :func:`randomized_socs_vector`, exposed for channel analysis
+    (:func:`channel_gram` / :func:`principal_channel_rotation`). Its channel
+    Gram is independent of phase-only aberrations in ``pupil`` (it sees only
+    |P| = disk x apodization), so one principal-channel rotation serves
+    every aberration and defocus at a given (config, polarization)."""
+    pupil = to_device_complex(pupil).astype(jnp.complex64)
+    factor_list = dedup_polarization_factors(config, polarization,
+                                             apodize=apodize)
+    components = jnp.stack([
+        jnp.asarray(f, jnp.complex64) * pupil for _, f in factor_list])
+    q = jnp.asarray([q for q, _ in factor_list], jnp.float32)
+    return components, q
+
+
+def dedup_polarization_factors(config: OpticsConfig, polarization, *,
+                               apodize: bool = True) -> list:
+    """DISTINCT vector component factors with summed weights, host-side.
+
+    Identical factors yield identical per-component TCCs, so duplicates fold
+    into one matvec term. (For unpolarized illumination the
+    cross-polarization factors coincide — V[0,1] = V[1,0] =
+    t_x t_y + gamma r_x r_y — so 6 components reduce to 5: a 17% matvec
+    saving, exact.) Returns a list of [summed weight, (n, n) complex numpy
+    factor] pairs."""
     from .vector import component_factors, polarization_states
 
-    pupil = to_device_complex(pupil).astype(jnp.complex64)
-
-    # Collect DISTINCT component factors with summed weights: identical
-    # factors yield identical T_i, so duplicates fold into one matvec term.
-    # (For unpolarized illumination the cross-polarization factors coincide
-    # — V[0,1] = V[1,0] = t_x t_y + gamma r_x r_y — so 6 components reduce
-    # to 5: a 17% matvec saving, exact.)
-    factor_list: list = []  # (summed weight, host factor array)
+    factor_list: list = []
     for weight, jones in polarization_states(polarization):
         factors = component_factors(config, jones, apodize=apodize)
         for c in range(3):
@@ -730,14 +767,127 @@ def randomized_socs_vector(
                     break
             else:
                 factor_list.append([float(weight), factors[c]])
-    components = jnp.stack([
-        jnp.asarray(f, jnp.complex64) * pupil for _, f in factor_list])
-    q = jnp.asarray([q for q, _ in factor_list], jnp.float32)
-    return randomized_socs_components(
-        components, q, source_map, config, rank=rank, oversample=oversample,
-        power_iters=power_iters, seed=seed, probe_chunk=probe_chunk,
-        compensated=compensated, krylov=krylov, init_basis=init_basis,
-        return_basis=return_basis)
+    return factor_list
+
+
+DEFAULT_CHANNEL_TOL = 1e-6
+
+
+def channel_gram(components, weights) -> jnp.ndarray:
+    """(C, C) Hermitian channel Gram S = sum_k x(k) x(k)^H of the weighted
+    component stack x_i(k) = sqrt(q_i) C_i(k).
+
+    The summed TCC T = sum_i q_i T_i depends on the stack only through the
+    frequency-wise outer products x(k) x(k)^H (its kernel is
+    M(a, b) = x(a)^H x(b)), so trace(T) = (sum_s w_s) * trace(S) and the
+    eigenspectrum of S is the exact energy budget of principal-channel
+    compression (:func:`principal_channel_rotation`). Jit-traceable;
+    returned as a (2, C, C) float32 real/imag pair (complex arrays cannot
+    cross the TPU-tunnel host boundary)."""
+    c = components.shape[0]
+    x = (components.astype(jnp.complex64)
+         * jnp.sqrt(jnp.asarray(weights, jnp.float32)
+                    ).astype(jnp.complex64)[:, None, None])
+    xm = x.reshape(c, -1)
+    s = jnp.matmul(xm, xm.conj().T, precision=_HI)
+    return jnp.stack([s.real, s.imag]).astype(jnp.float32)
+
+
+def principal_channel_rotation(components, weights, *,
+                               channels: int | None = None,
+                               tol: float = DEFAULT_CHANNEL_TOL):
+    """Host-side principal-channel rotation of a weighted component stack.
+
+    T is invariant under any unitary mixing U of the weighted components
+    x(k) -> U^H x(k) (M(a, b) = x(a)^H U U^H x(b) = x(a)^H x(b)), so
+    rotating to the eigenbasis of the channel Gram S and KEEPING only the
+    top K channels approximates T with trace error exactly
+    (sum_s w_s) * (dropped eigenvalue sum) — SOCS-style truncation on the
+    CHANNEL axis, bought before any subspace iteration. ``channels`` picks K
+    directly; otherwise the smallest K capturing >= 1 - tol of trace(S).
+
+    Returns ``(rotation, captured)``: a (2, C, K) float32 real/imag pair
+    (tunnel-transfer-safe, exactly isometric — eigh runs in float64 on the
+    host) for :func:`randomized_socs_components`'s ``channel_rotation``
+    argument, and the captured trace fraction. Outside jit only (the
+    channel count is data-dependent); under jit pass a static ``channels``
+    int instead."""
+    try:
+        s_pair = np.asarray(channel_gram(components, weights))
+    except jax.errors.TracerArrayConversionError as exc:
+        raise ValueError(
+            "principal_channel_rotation needs concrete components (it picks "
+            "a data-dependent channel count); under jit pass channels=<int> "
+            "to the build instead") from exc
+    return rotation_from_gram(s_pair, channels=channels, tol=tol)
+
+
+def rotation_from_gram(s_pair: np.ndarray, *, channels: int | None = None,
+                       tol: float = DEFAULT_CHANNEL_TOL):
+    """Principal-channel rotation from a precomputed (2, C, C) channel-Gram
+    real/imag pair (:func:`channel_gram` output, already host-side): the
+    back half of :func:`principal_channel_rotation`, for callers that must
+    run the Gram under jit (the TPU tunnel forbids eager complex math) and
+    the eigendecomposition on the host."""
+    s_pair = np.asarray(s_pair)
+    s = (s_pair[0] + 1j * s_pair[1]).astype(np.complex128)
+    evals, evecs = np.linalg.eigh(s)  # ascending
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+    total = float(evals.sum())
+    if channels is None:
+        if total <= 0:
+            channels = len(evals)
+        else:
+            cum = np.cumsum(evals)
+            channels = int(np.searchsorted(cum, (1.0 - tol) * total) + 1)
+        channels = max(1, min(len(evals), channels))
+    u = evecs[:, :channels]
+    captured = (float(evals[:channels].sum()) / total) if total > 0 else 1.0
+    return np.stack([u.real, u.imag]).astype(np.float32), captured
+
+
+def apply_channel_rotation(components, weights, rotation):
+    """Project the weighted component stack onto a channel isometry: returns
+    the (K, n, n) rotated stack y_j(k) = sum_i U*_ij sqrt(q_i) C_i(k) with
+    unit weights (the sqrt(q) are absorbed). ``rotation`` is (C, K) complex
+    or a (2, C, K) float32 real/imag pair. Jit-traceable."""
+    rot = jnp.asarray(rotation)
+    if rot.ndim == 3:
+        rot = (rot[0] + 1j * rot[1])
+    rot = rot.astype(jnp.complex64)
+    c, n, _ = components.shape
+    x = (components.astype(jnp.complex64)
+         * jnp.sqrt(jnp.asarray(weights, jnp.float32)
+                    ).astype(jnp.complex64)[:, None, None]).reshape(c, -1)
+    y = jnp.matmul(rot.conj().T, x, precision=_HI).reshape(-1, n, n)
+    return y, jnp.ones((rot.shape[1],), jnp.float32)
+
+
+def compress_components(components, weights, channels: int):
+    """Jit-traceable principal-channel compression to a STATIC channel
+    count: channel Gram -> device eigh -> top-``channels`` rotation. TPU's
+    eigh runs reduced-precision matmuls, so the rotation gets one Newton
+    unitarity polish U <- U (3I - U^H U)/2 (a non-isometric U would perturb
+    T rather than merely truncate it); the rotation is stop_gradient'ed so
+    differentiating a build w.r.t. aberrations treats the mixing as frozen
+    (exact for the kept subspace)."""
+    c, n, _ = components.shape
+    if channels >= c:
+        return (components.astype(jnp.complex64),
+                jnp.asarray(weights, jnp.float32))
+    x = (components.astype(jnp.complex64)
+         * jnp.sqrt(jnp.asarray(weights, jnp.float32)
+                    ).astype(jnp.complex64)[:, None, None]).reshape(c, -1)
+    s = jnp.matmul(x, x.conj().T, precision=_HI)
+    _, v = jnp.linalg.eigh(s)  # ascending
+    u = v[:, ::-1][:, :channels]
+    eye = jnp.eye(channels, dtype=u.dtype)
+    u = jnp.matmul(
+        u, 1.5 * eye - 0.5 * jnp.matmul(u.conj().T, u, precision=_HI),
+        precision=_HI)
+    u = jax.lax.stop_gradient(u)
+    y = jnp.matmul(u.conj().T, x, precision=_HI).reshape(channels, n, n)
+    return y, jnp.ones((channels,), jnp.float32)
 
 
 def randomized_socs_components(
@@ -755,6 +905,8 @@ def randomized_socs_components(
     krylov: bool = False,
     init_basis=None,
     return_basis: bool = False,
+    channels: int | str | None = None,
+    channel_rotation=None,
 ) -> SOCSKernels:
     """Summed-TCC SOCS kernels for ANY weighted stack of component pupils.
 
@@ -773,8 +925,29 @@ def randomized_socs_components(
 
     Same matrix-free frequency-side subspace iteration as the vector build
     (2 shared + 2C FFTs per block vector); kernels flow through every
-    scalar-SOCS consumer unchanged."""
+    scalar-SOCS consumer unchanged.
+
+    The matvec cost is linear in C, so the build first compresses the stack
+    to its principal channels when asked: ``channel_rotation`` applies a
+    precomputed isometry (:func:`principal_channel_rotation` — the
+    production path: host-side eigh, K picked by trace tolerance, passed
+    into the jitted build as a float pair); ``channels`` is a static count
+    for the pure-jit path (int, device eigh via
+    :func:`compress_components`) or ``"auto"`` (host-side selection at
+    DEFAULT_CHANNEL_TOL, outside jit only). Nearly-parallel component
+    stacks — narrow laser spectra, low-NA vector factors — collapse to
+    1-3 channels at 1e-6 trace error, cutting the matvec toward scalar
+    cost."""
     n = config.n
+    if channel_rotation is None and channels == "auto":
+        channel_rotation, _ = principal_channel_rotation(components, weights)
+        channels = None
+    if channel_rotation is not None:
+        components, weights = apply_channel_rotation(
+            components, weights, channel_rotation)
+    elif channels is not None:
+        components, weights = compress_components(
+            components, weights, int(channels))
     if probe_chunk == "auto":
         # The frequency-side matvec keeps more live block-sized temporaries
         # than the scalar Gram matvec (the batched (C, chunk, n, n)
@@ -852,6 +1025,8 @@ def randomized_socs_chromatic(
     krylov: bool = False,
     init_basis=None,
     return_basis: bool = False,
+    channels: int | str | None = None,
+    channel_rotation=None,
 ) -> SOCSKernels:
     """Polychromatic (finite laser-bandwidth) SOCS kernels — optionally
     polarized too — as ONE kernel set for every scalar-SOCS consumer.
@@ -869,6 +1044,29 @@ def randomized_socs_chromatic(
 
     No reference counterpart (the reference is monochromatic,
     ``pupil.py:6``); physics per Mack's focus-blur bandwidth model."""
+    components, weights = chromatic_component_stack(
+        aberrations, config, spectrum=spectrum, polarization=polarization,
+        apodize=apodize)
+    return randomized_socs_components(
+        components, weights, source_map, config, rank=rank,
+        oversample=oversample, power_iters=power_iters, seed=seed,
+        probe_chunk=probe_chunk, compensated=compensated, krylov=krylov,
+        init_basis=init_basis, return_basis=return_basis, channels=channels,
+        channel_rotation=channel_rotation)
+
+
+def chromatic_component_stack(aberrations, config: OpticsConfig, *,
+                              spectrum, polarization=None,
+                              apodize: bool = True):
+    """(C, n, n) component stack + (C,) weights of the polychromatic
+    (optionally polarized: the polarization x focus product set) summed-TCC
+    operator — the front half of :func:`randomized_socs_chromatic`, exposed
+    for channel analysis. Its channel Gram is independent of the common
+    aberration phase (S_fg = sum_k A^2 exp(i(delta_g - delta_f)) — only the
+    chromatic defocus DIFFERENCES survive), so one principal-channel
+    rotation serves every aberration at a given (config, spectrum,
+    polarization); narrow spectra make the stack nearly parallel and
+    compress to 2-3 channels."""
     from ..models.pupil import pupil_function
     from .focus import chromatic_aberrations
 
@@ -876,33 +1074,16 @@ def randomized_socs_chromatic(
     pupils = jax.vmap(
         lambda ab: pupil_function(ab, config))(stack_ab)  # (F, n, n)
     if polarization is None:
-        components, weights = pupils, q_f
-    else:
-        from .vector import component_factors, polarization_states
-
-        factor_list: list = []  # dedup as in randomized_socs_vector
-        for weight, jones in polarization_states(polarization):
-            factors = component_factors(config, jones, apodize=apodize)
-            for c in range(3):
-                if np.abs(factors[c]).max() <= 1e-12:
-                    continue
-                for entry in factor_list:
-                    if np.array_equal(entry[1], factors[c]):
-                        entry[0] += float(weight)
-                        break
-                else:
-                    factor_list.append([float(weight), factors[c]])
-        vfac = jnp.stack([jnp.asarray(f, jnp.complex64)
-                          for _, f in factor_list])  # (V, n, n)
-        q_v = jnp.asarray([q for q, _ in factor_list], jnp.float32)
-        n = config.n
-        components = (vfac[:, None] * pupils[None]).reshape(-1, n, n)
-        weights = (q_v[:, None] * q_f[None]).reshape(-1)
-    return randomized_socs_components(
-        components, weights, source_map, config, rank=rank,
-        oversample=oversample, power_iters=power_iters, seed=seed,
-        probe_chunk=probe_chunk, compensated=compensated, krylov=krylov,
-        init_basis=init_basis, return_basis=return_basis)
+        return pupils, q_f
+    factor_list = dedup_polarization_factors(config, polarization,
+                                             apodize=apodize)
+    vfac = jnp.stack([jnp.asarray(f, jnp.complex64)
+                      for _, f in factor_list])  # (V, n, n)
+    q_v = jnp.asarray([q for q, _ in factor_list], jnp.float32)
+    n = config.n
+    components = (vfac[:, None] * pupils[None]).reshape(-1, n, n)
+    weights = (q_v[:, None] * q_f[None]).reshape(-1)
+    return components, weights
 
 
 def vector_pupil_power(pupil, config: OpticsConfig, *,

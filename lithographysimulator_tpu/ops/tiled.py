@@ -277,7 +277,7 @@ def tiled_socs_image_field(
     ``chromatic`` (a :class:`..config.LaserSpectrum`) to the polychromatic
     build (:func:`..ops.hopkins.randomized_socs_chromatic`) — both compose.
     """
-    from ..simulate import _compiled_socs_build
+    from ..simulate import _socs_build_with_channels
 
     if blend not in ("linear", "nearest"):
         raise ValueError(f"unknown blend mode {blend!r}")
@@ -329,8 +329,8 @@ def tiled_socs_image_field(
                     groups.setdefault((iy, ix), []).append(
                         (ti, tj, wy * wx))
 
-    build = _compiled_socs_build(tile_config, rank, polarization, apodize,
-                                 chromatic)
+    build = _socs_build_with_channels(tile_config, rank, polarization,
+                                      apodize, chromatic)
     src_dev = jnp.asarray(np.asarray(source_map, np.float32))
     kernel_sets = {}
     for (i, j) in groups:

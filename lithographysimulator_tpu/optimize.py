@@ -245,7 +245,7 @@ def optimize_socs(
     :func:`optimize`; history entries are SOCS-model losses for mask steps
     and Abbe-model losses for source steps.
     """
-    from .simulate import _compiled_socs_build_basis
+    from .simulate import _socs_build_basis_with_channels
 
     cfg = problem.config
     params = init_params(problem, geometry_init, source_weights_init)
@@ -263,10 +263,10 @@ def optimize_socs(
         raise ValueError(
             "chromatic SMO requires optimize_source=False (mask-only)")
     warm_iters = min(power_iters, 1)
-    cold = _compiled_socs_build_basis(cfg, rank, None, True, power_iters,
-                                      chromatic=chromatic)
-    warm = _compiled_socs_build_basis(cfg, rank, None, True, warm_iters,
-                                      warm=True, chromatic=chromatic)
+    cold = _socs_build_basis_with_channels(cfg, rank, None, True,
+                                           power_iters, chromatic=chromatic)
+    warm = _socs_build_basis_with_channels(cfg, rank, None, True, warm_iters,
+                                           warm=True, chromatic=chromatic)
 
     if not problem.optimize_source:
         src_map = _source_map_from_points(shifts, weights, cfg.n)
@@ -505,7 +505,7 @@ def opc_correct_tiled(
     no OPC at all (README.md:21 roadmap)."""
     from .models.resist import ResistModel
     from .ops.tiled import default_halo, tile_layout
-    from .simulate import _compiled_socs_build
+    from .simulate import _socs_build_with_channels
 
     resist = resist or ResistModel(threshold=0.35, steepness=30.0)
     resist_key = (resist.threshold, resist.steepness, resist.diffusion_nm)
@@ -517,8 +517,8 @@ def opc_correct_tiled(
         halo = min(default_halo(tile_config), n // 4)
     tiles, step_px = tile_layout(big_n, n, halo)
 
-    socs = _compiled_socs_build(tile_config, rank, polarization, apodize,
-                                chromatic)(
+    socs = _socs_build_with_channels(tile_config, rank, polarization,
+                                     apodize, chromatic)(
         np.asarray(aberrations, np.float32),
         np.asarray(source_map, np.float32))[0]
     step, optimizer = _compiled_tile_opc_step(
@@ -645,7 +645,7 @@ def opc_correct_pw(
     Returns ``(corrected_mask, report)`` with per-corner final losses.
     """
     from .models.resist import ResistModel
-    from .simulate import _compiled_socs_build_basis
+    from .simulate import _socs_build_basis_with_channels
 
     resist = resist or ResistModel(threshold=0.35, steepness=30.0)
     resist_key = (resist.threshold, resist.steepness, resist.diffusion_nm)
@@ -657,11 +657,11 @@ def opc_correct_pw(
     src = np.asarray(source_map, np.float32)
 
     # one kernel set per focal plane, warm-chained
-    cold = _compiled_socs_build_basis(config, rank, polarization, True,
-                                      chromatic=chromatic)
-    warm = _compiled_socs_build_basis(config, rank, polarization, True,
-                                      power_iters=0, warm=True,
-                                      chromatic=chromatic)
+    cold = _socs_build_basis_with_channels(config, rank, polarization,
+                                           True, chromatic=chromatic)
+    warm = _socs_build_basis_with_channels(config, rank, polarization, True,
+                                           power_iters=0, warm=True,
+                                           chromatic=chromatic)
     kernel_sets = []
     basis = None
     for d in defocus_nm:

@@ -276,11 +276,11 @@ class JobRunner:
             job.progress = float(f)
 
         if job.kind == "tiled":
-            from .simulate import _compiled_socs_build
+            from .simulate import _socs_build_with_channels
 
-            socs = _compiled_socs_build(config, rank, polarization,
-                                        bool(body.get("apodize", True)),
-                                        chromatic)(
+            socs = _socs_build_with_channels(config, rank, polarization,
+                                             bool(body.get("apodize", True)),
+                                             chromatic)(
                 np.asarray(body.get("aberrations") or [0.0], np.float32),
                 source)[0]
             from .ops.tiled import tiled_socs_image

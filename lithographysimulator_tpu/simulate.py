@@ -111,10 +111,51 @@ def _compiled_socs_apply(config: OpticsConfig, chunk: int, normalize: bool,
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _channel_rotation_cached(config: OpticsConfig, polarization=None,
+                             apodize: bool = True, chromatic=None):
+    """Principal-channel rotation for the (config, polarization, spectrum)
+    summed-TCC component stack, or None when compression would not shrink
+    it — computed ONCE per optics setup: the channel Gram is independent of
+    the (phase-only) aberration vector (see
+    :func:`..ops.hopkins.vector_component_stack` /
+    :func:`..ops.hopkins.chromatic_component_stack`), so the rotation at
+    zero aberrations serves every build, focus plane and field point. The
+    Gram runs under jit (no eager complex math on the tunnel); the
+    eigendecomposition runs on the host in float64. Narrow laser spectra
+    compress 5+ focus samples to 2-3 channels (a ~2x kernel-build matvec
+    saving); vector stacks compress only where channels are redundant or
+    sub-tolerance (hyper-NA keeps all — accuracy is never silently
+    traded)."""
+    if polarization is None and chromatic is None:
+        return None
+    from .ops.hopkins import (DEFAULT_CHANNEL_TOL, channel_gram,
+                              chromatic_component_stack, rotation_from_gram,
+                              vector_component_stack)
+
+    @jax.jit
+    def gram(aberrations):
+        if chromatic is not None:
+            comps, q = chromatic_component_stack(
+                aberrations, config, spectrum=chromatic,
+                polarization=polarization, apodize=apodize)
+        else:
+            comps, q = vector_component_stack(
+                pupil_function(aberrations, config), config,
+                polarization=polarization, apodize=apodize)
+        return channel_gram(comps, q)
+
+    s_pair = np.asarray(gram(jnp.zeros((5,), jnp.float32)))
+    rot, _captured = rotation_from_gram(s_pair, tol=DEFAULT_CHANNEL_TOL)
+    if rot.shape[2] >= s_pair.shape[1]:
+        return None
+    return rot
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_socs_build(config: OpticsConfig, rank: int,
                          polarization=None, apodize: bool = True,
-                         chromatic=None):
+                         chromatic=None, channel_k: int | None = None):
     """Jitted SOCS build. Everything complex-valued must run under jit on
     the TPU tunnel (complex constants/arrays cannot cross the host<->device
     boundary eagerly — see CLAUDE.md); r0 (sum|P|^2, or the vector
@@ -133,18 +174,20 @@ def _compiled_socs_build(config: OpticsConfig, rank: int,
                               randomized_socs_vector, vector_pupil_power)
 
     @functools.partial(jax.jit)
-    def build(aberrations, source_map):
+    def build(aberrations, source_map, channel_rotation=None):
         pupil = pupil_function(aberrations, config)
         if chromatic is not None:
             socs = randomized_socs_chromatic(
                 aberrations, source_map, config, spectrum=chromatic,
-                rank=rank, polarization=polarization, apodize=apodize)
+                rank=rank, polarization=polarization, apodize=apodize,
+                channel_rotation=channel_rotation)
         elif polarization is None:
             socs = randomized_socs(pupil, source_map, config, rank=rank)
         else:
             socs = randomized_socs_vector(
                 pupil, source_map, config, rank=rank,
-                polarization=polarization, apodize=apodize)
+                polarization=polarization, apodize=apodize,
+                channel_rotation=channel_rotation)
         if polarization is None:
             r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
@@ -159,7 +202,7 @@ def _compiled_socs_build(config: OpticsConfig, rank: int,
 def _compiled_socs_build_basis(config: OpticsConfig, rank: int,
                                polarization=None, apodize: bool = True,
                                power_iters: int = 2, warm: bool = False,
-                               chromatic=None):
+                               chromatic=None, channel_k: int | None = None):
     """Jitted SOCS build that also returns the Ritz basis for warm restarts
     (``warm=True`` additionally TAKES a basis argument). Used by the
     focus-sweep metrology loop and the auto-rank doubling loop, where
@@ -169,21 +212,23 @@ def _compiled_socs_build_basis(config: OpticsConfig, rank: int,
     from .ops.hopkins import (randomized_socs_chromatic,
                               randomized_socs_vector, vector_pupil_power)
 
-    def _build(aberrations, source_map, init_basis=None):
+    def _build(aberrations, source_map, init_basis=None,
+               channel_rotation=None):
         pupil = pupil_function(aberrations, config)
         kwargs = dict(rank=rank, power_iters=power_iters,
                       init_basis=init_basis, return_basis=True)
         if chromatic is not None:
             socs, basis = randomized_socs_chromatic(
                 aberrations, source_map, config, spectrum=chromatic,
-                polarization=polarization, apodize=apodize, **kwargs)
+                polarization=polarization, apodize=apodize,
+                channel_rotation=channel_rotation, **kwargs)
         elif polarization is None:
             socs, basis = randomized_socs(pupil, source_map, config,
                                           lean=False, **kwargs)
         else:
             socs, basis = randomized_socs_vector(
                 pupil, source_map, config, polarization=polarization,
-                apodize=apodize, **kwargs)
+                apodize=apodize, channel_rotation=channel_rotation, **kwargs)
         if polarization is None:
             r0 = jnp.sum(jnp.abs(pupil) ** 2)
         else:
@@ -193,8 +238,47 @@ def _compiled_socs_build_basis(config: OpticsConfig, rank: int,
 
     if warm:
         return jax.jit(_build)
-    return jax.jit(lambda aberrations, source_map: _build(aberrations,
-                                                          source_map))
+    return jax.jit(
+        lambda aberrations, source_map, channel_rotation=None: _build(
+            aberrations, source_map, channel_rotation=channel_rotation))
+
+
+def _socs_build_with_channels(config: OpticsConfig, rank: int,
+                              polarization=None, apodize: bool = True,
+                              chromatic=None):
+    """:func:`_compiled_socs_build` with its cached principal-channel
+    rotation bound in: returns a callable
+    ``(aberrations, source_map) -> (socs, pupil, r0)``. The one entry point
+    the production consumers (tiled full-chip, metrology, OPC, serving)
+    should use — they get channel compression for free."""
+    rot = _channel_rotation_cached(config, polarization, apodize, chromatic)
+    k = None if rot is None else int(rot.shape[2])
+    build = _compiled_socs_build(config, rank, polarization, apodize,
+                                 chromatic, k)
+    if rot is None:
+        return build
+    return lambda aberrations, source_map: build(aberrations, source_map,
+                                                 rot)
+
+
+def _socs_build_basis_with_channels(config: OpticsConfig, rank: int,
+                                    polarization=None, apodize: bool = True,
+                                    power_iters: int = 2, warm: bool = False,
+                                    chromatic=None):
+    """:func:`_compiled_socs_build_basis` with the cached channel rotation
+    bound in — cold form ``(aberrations, source_map)``, warm form
+    ``(aberrations, source_map, init_basis)``."""
+    rot = _channel_rotation_cached(config, polarization, apodize, chromatic)
+    k = None if rot is None else int(rot.shape[2])
+    build = _compiled_socs_build_basis(config, rank, polarization, apodize,
+                                       power_iters, warm, chromatic, k)
+    if rot is None:
+        return build
+    if warm:
+        return lambda aberrations, source_map, init_basis: build(
+            aberrations, source_map, init_basis, rot)
+    return lambda aberrations, source_map: build(aberrations, source_map,
+                                                 rot)
 
 
 # Host-side cache of SOCS builds keyed on the concrete optics inputs: the
@@ -227,6 +311,12 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
             return (float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
                     if trace > 0 else 1.0)
 
+        # Aberration-independent principal-channel rotation (None when the
+        # stack does not compress): shared across every rank doubling.
+        rot = _channel_rotation_cached(config, polarization, apodize,
+                                       chromatic)
+        channel_k = None if rot is None else int(rot.shape[2])
+
         if rank == "auto":
             # auto_rank_socs's doubling loop, with each build jitted: grow
             # the rank until the kept eigenvalues capture the energy target
@@ -249,16 +339,16 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                 if basis is not None:
                     socs, basis, pupil, r0 = _compiled_socs_build_basis(
                         config, r, polarization, apodize, power_iters=1,
-                        warm=True, chromatic=chromatic)(aberrations, src_dev,
-                                                        basis)
+                        warm=True, chromatic=chromatic,
+                        channel_k=channel_k)(aberrations, src_dev, basis, rot)
                 elif keep_basis:
                     socs, basis, pupil, r0 = _compiled_socs_build_basis(
-                        config, r, polarization, apodize,
-                        chromatic=chromatic)(aberrations, src_dev)
+                        config, r, polarization, apodize, chromatic=chromatic,
+                        channel_k=channel_k)(aberrations, src_dev, rot)
                 else:
                     socs, pupil, r0 = _compiled_socs_build(
-                        config, r, polarization, apodize,
-                        chromatic)(aberrations, src_dev)
+                        config, r, polarization, apodize, chromatic,
+                        channel_k)(aberrations, src_dev, rot)
                 energy = energy_of(socs, r0)
                 if energy >= _AUTO_ENERGY_TARGET or r >= max_rank:
                     break
@@ -267,8 +357,8 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                     basis = None
         else:
             socs, pupil, r0 = _compiled_socs_build(
-                config, int(rank), polarization, apodize,
-                chromatic)(aberrations, src_dev)
+                config, int(rank), polarization, apodize, chromatic,
+                channel_k)(aberrations, src_dev, rot)
             energy = energy_of(socs, r0)
         hit = (socs, pupil, energy)
         if len(_SOCS_BUILD_CACHE) >= _SOCS_BUILD_CACHE_MAX:
