@@ -228,6 +228,32 @@ def test_chromatic_stack_compresses_hard():
                  np.asarray(socs_image(spec, plain, cfg))) < 5e-4
 
 
+def test_product_stack_compression():
+    """Polarization x spectrum product stacks compress multiplicatively-ish:
+    the 5-sample x V-component product collapses to roughly
+    (spectral channels) x (vector channels), and the compressed build
+    matches the uncompressed one."""
+    cfg, spec, _, src = _setup(na=0.7)
+    laser = LaserSpectrum(bandwidth_pm=0.6, focus_nm_per_pm=-250.0,
+                          samples=5)
+    from lithographysimulator_tpu.ops.hopkins import chromatic_component_stack
+
+    comps, q = chromatic_component_stack(ABERR, cfg, spectrum=laser,
+                                         polarization="unpolarized")
+    c = comps.shape[0]
+    assert c >= 25  # V >= 5 vector components x 5 focus samples
+    rot, captured = principal_channel_rotation(comps, q)
+    assert captured >= 1 - 1e-6
+    assert rot.shape[2] <= 15  # ~K_v * K_chrom, far below C (measured 13)
+    plain = randomized_socs_chromatic(ABERR, src, cfg, spectrum=laser,
+                                      polarization="unpolarized", **BUILD)
+    comp = randomized_socs_chromatic(ABERR, src, cfg, spectrum=laser,
+                                     polarization="unpolarized",
+                                     channel_rotation=rot, **BUILD)
+    assert _nrms(np.asarray(socs_image(spec, comp, cfg)),
+                 np.asarray(socs_image(spec, plain, cfg))) < 5e-4
+
+
 def test_simulate_layer_rotation_cache():
     """The simulate-layer cache compresses chromatic stacks (the rotation is
     aberration-independent, computed once per optics setup), declines
