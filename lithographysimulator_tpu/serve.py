@@ -27,7 +27,14 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   keeps flowing while a job is in flight (jax serializes device work).
 * ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error|cancelled,
   "progress": 0..1, ...result when done}``. The router pins job polls to
-  the backend that accepted the job.
+  the backend that accepted the job. Result arrays over ~4 MB are NOT
+  inlined: the status carries an artifact descriptor
+  (``{"artifact": name, "shape": ..., "nbytes": ..., "stream_path": ...}``).
+* ``/jobs/<id>/artifact/<name>`` — GET; the named result array as chunked
+  raw float32 (``application/octet-stream``, shape/dtype in X-Shape /
+  X-Dtype headers) — a full-chip 8192^2 image streams without a base64 or
+  JSON copy on worker, router (relayed chunk-by-chunk) or client
+  (:func:`fetch_artifact`).
 * ``/jobs/<id>/cancel`` — POST; drop a queued job immediately, stop a
   running one at its next progress tick (in-flight device dispatches are
   never interrupted — killing one wedges the TPU tunnel).
@@ -90,6 +97,36 @@ def _decode_array(obj) -> np.ndarray:
     return np.asarray(obj, np.float32)
 
 
+# Result arrays at or below this size are inlined into the job-status JSON
+# as base64; larger ones become streamable artifacts (raw float32 over
+# ``GET /jobs/<id>/artifact/<name>``, written in chunks — no base64 copy, no
+# multi-hundred-MB JSON string, and status polls of a done job stay light).
+_INLINE_ARRAY_LIMIT = 4 * 1024 * 1024
+_STREAM_CHUNK = 8 * 1024 * 1024
+
+
+def fetch_artifact(base_url: str, stream_path: str, *,
+                   timeout: float = 300.0) -> np.ndarray:
+    """Client helper: stream a job-result artifact back as an ndarray.
+
+    ``stream_path`` is the ``stream_path`` field of an artifact descriptor in
+    a done job's status payload (``/jobs/<id>/artifact/<name>``); shape and
+    dtype ride the X-Shape / X-Dtype response headers."""
+    import urllib.request
+
+    with urllib.request.urlopen(base_url.rstrip("/") + stream_path,
+                                timeout=timeout) as resp:
+        shape = tuple(int(s) for s in resp.headers["X-Shape"].split(",") if s)
+        dtype = resp.headers.get("X-Dtype", "float32")
+        chunks = []
+        while True:
+            chunk = resp.read(_STREAM_CHUNK)
+            if not chunk:
+                break
+            chunks.append(chunk)
+    return np.frombuffer(b"".join(chunks), dtype=dtype).reshape(shape).copy()
+
+
 class _Pending:
     """One enqueued /simulate request: its optical signature, mask, and the
     slot its result (or error) lands in."""
@@ -112,7 +149,7 @@ class _Job:
     """One submitted full-chip job and its live state."""
 
     __slots__ = ("id", "kind", "body", "status", "progress", "result",
-                 "error", "created", "cancelled")
+                 "error", "created", "cancelled", "artifacts")
 
     def __init__(self, job_id: str, kind: str, body: dict):
         self.id = job_id
@@ -124,6 +161,9 @@ class _Job:
         self.error: str | None = None
         self.created = time.time()
         self.cancelled = False
+        # name -> float32 ndarray for results too large to inline as base64;
+        # served raw+chunked via GET /jobs/<id>/artifact/<name>
+        self.artifacts: dict[str, np.ndarray] = {}
 
 
 class JobRunner:
@@ -137,6 +177,10 @@ class JobRunner:
 
     MAX_BIG_N = 8192
     MAX_JOBS_KEPT = 64
+    # total bytes of streamable artifacts held across DONE jobs; beyond
+    # this, the oldest done jobs' artifacts are dropped (their stream paths
+    # then return 410 Gone) — results must be fetched promptly
+    MAX_ARTIFACT_BYTES = 2 << 30
 
     def __init__(self):
         self._jobs: dict[str, _Job] = {}
@@ -191,6 +235,22 @@ class JobRunner:
             out["error"] = job.error
         return 200, out
 
+    def artifact(self, job_id: str, name: str):
+        """(status, ndarray-or-error-dict) for a done job's named artifact."""
+        job = self._jobs.get(job_id)
+        if job is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        if job.status != "done":
+            return 409, {"error": f"job {job_id} is {job.status}, not done"}
+        arr = job.artifacts.get(name)
+        if arr is None:
+            desc = (job.result or {}).get(name)
+            if isinstance(desc, dict) and desc.get("artifact"):
+                return 410, {"error": f"artifact {name!r} of {job_id} was "
+                                      "evicted (fetch results promptly)"}
+            return 404, {"error": f"no artifact {name!r} on job {job_id}"}
+        return 200, arr
+
     def cancel(self, job_id: str) -> tuple[int, dict]:
         """Cancel a queued or running job. A queued job is dropped from the
         queue immediately; a running one stops at its next progress tick
@@ -221,7 +281,7 @@ class JobRunner:
                 continue
             job.status = "running"
             try:
-                job.result = self._run(job)
+                job.result = self._finalize_result(job, self._run(job))
                 job.progress = 1.0
                 job.status = "done"
             except JobCancelled:
@@ -229,6 +289,44 @@ class JobRunner:
             except Exception as exc:  # noqa: BLE001 - surfaced via status
                 job.error = f"{type(exc).__name__}: {exc}"
                 job.status = "error"
+            self._evict_artifacts()
+
+    def _finalize_result(self, job: _Job, raw: dict) -> dict:
+        """Split a job's raw result: small arrays inline as base64 (wire
+        format unchanged for modest jobs), large ones become streamable
+        artifacts referenced by descriptor — a 8192^2 float32 image is
+        256 MB raw, which as inline base64 would balloon every status poll
+        of the done job to a ~350 MB JSON string."""
+        out = {}
+        for k, v in raw.items():
+            # jax arrays included: anything array-like with dimensions
+            if not (hasattr(v, "shape") and hasattr(v, "dtype")
+                    and getattr(v, "ndim", 0) > 0):
+                out[k] = v
+                continue
+            v = np.ascontiguousarray(np.asarray(v, np.float32))
+            if v.nbytes <= _INLINE_ARRAY_LIMIT:
+                out[k] = _encode_array(v)
+            else:
+                job.artifacts[k] = v
+                out[k] = {"artifact": k, "shape": list(v.shape),
+                          "dtype": "float32", "nbytes": int(v.nbytes),
+                          "stream_path": f"/jobs/{job.id}/artifact/{k}"}
+        return out
+
+    def _evict_artifacts(self):
+        """Keep total artifact bytes across done jobs under the cap,
+        dropping the OLDEST done jobs' artifacts first."""
+        with self._cv:
+            done = [j for j in self._jobs.values()
+                    if j.status == "done" and j.artifacts]
+            total = sum(a.nbytes for j in done
+                        for a in j.artifacts.values())
+            for job in sorted(done, key=lambda j: j.created):
+                if total <= self.MAX_ARTIFACT_BYTES:
+                    break
+                total -= sum(a.nbytes for a in job.artifacts.values())
+                job.artifacts = {}
 
     @staticmethod
     def _parse_common(body: dict):
@@ -289,7 +387,7 @@ class JobRunner:
                 np.asarray(mask, np.float32), socs, config, halo=halo,
                 tiles_per_dispatch=int(body.get("tiles_per_dispatch", 8)),
                 progress_cb=progress)
-            return {"image": _encode_array(image),
+            return {"image": image,
                     "big_n": int(mask.shape[0]), "rank": int(socs.rank)}
         if job.kind == "fem":
             from .metrology import tiled_fem
@@ -319,7 +417,7 @@ class JobRunner:
                 "cdu": cdu,
             }
             if cd_map is not None:
-                out["cd_map_nm"] = _encode_array(np.nan_to_num(cd_map))
+                out["cd_map_nm"] = np.nan_to_num(cd_map)
             if result.get("epe") is not None:
                 out["epe"] = {k: v for k, v in result["epe"].items()
                               if not k.startswith("epe_")}
@@ -335,7 +433,7 @@ class JobRunner:
             learning_rate=float(body.get("lr", 0.15)),
             polarization=polarization, chromatic=chromatic,
             progress_cb=progress)
-        return {"mask": _encode_array(corrected),
+        return {"mask": np.asarray(corrected),
                 "big_n": int(mask.shape[0])}
 
 
@@ -596,6 +694,18 @@ class LithoService:
                 self._jobs = JobRunner()
             return self._jobs
 
+    def stream(self, path: str):
+        """Streaming dispatch: ``GET /jobs/<id>/artifact/<name>`` returns
+        ``(200, ndarray)`` — the HTTP layer writes it as chunked raw
+        float32 (Content-Length known, X-Shape/X-Dtype headers), never
+        building a base64/JSON copy. ``None`` for any other path (falls
+        through to the JSON dispatch)."""
+        if not (path.startswith("/jobs/") and "/artifact/" in path):
+            return None
+        rest = path[len("/jobs/"):]
+        job_id, _, name = rest.partition("/artifact/")
+        return self.jobs().artifact(job_id, name)
+
     def dispatch(self, path: str, body: dict | None) -> tuple[int, dict]:
         try:
             if path == "/health":
@@ -702,6 +812,45 @@ class Router:
         except Exception as exc:  # noqa: BLE001 - mid-response failure
             return 502, {"error": f"backend response aborted: {exc}"}
 
+    def stream(self, path: str):
+        """Relay an artifact stream from the job's pinned backend: returns
+        ``(status, (headers, chunk_iterator))`` on success, ``(status,
+        error_dict)`` on failure, ``None`` for non-artifact paths. The body
+        is relayed chunk-by-chunk — the router never buffers the artifact."""
+        if not (path.startswith("/jobs/") and "/artifact/" in path):
+            return None
+        job_id = path[len("/jobs/"):].split("/")[0]
+        i = self._job_backend.get(job_id)
+        if i is None:
+            return 404, {"error": f"unknown job {job_id!r}"}
+        try:
+            resp = urllib.request.urlopen(self.backends[i] + path,
+                                          timeout=self.timeout_s)
+        except urllib.error.HTTPError as exc:
+            try:
+                payload = json.loads(exc.read())
+            except Exception:  # noqa: BLE001
+                payload = {"error": str(exc)}
+            return exc.code, payload
+        except OSError as exc:
+            return 503, {"error": f"job backend unreachable: {exc}"}
+        headers = {k: resp.headers[k]
+                   for k in ("Content-Type", "Content-Length",
+                             "X-Shape", "X-Dtype")
+                   if resp.headers.get(k)}
+
+        def chunks(resp=resp):
+            with resp:
+                while True:
+                    blob = resp.read(_STREAM_CHUNK)
+                    if not blob:
+                        break
+                    yield blob
+
+        with self._lock:
+            self.forwarded[i] += 1
+        return resp.status, (headers, chunks())
+
     def dispatch(self, path: str, raw_body: bytes | None) -> tuple[int, dict]:
         if path == "/health":
             per_backend = []
@@ -776,9 +925,13 @@ class Router:
         return 503, {"error": f"all backends unavailable: {last_err}"}
 
 
-def _make_http_server(host: str, port: int, dispatch_json, dispatch_raw=None):
+def _make_http_server(host: str, port: int, dispatch_json, dispatch_raw=None,
+                      dispatch_stream=None):
     """Shared HTTP plumbing: dispatch_json(path, body_dict) for parsed-JSON
-    handlers, dispatch_raw(path, raw_bytes) to forward bodies untouched."""
+    handlers, dispatch_raw(path, raw_bytes) to forward bodies untouched,
+    dispatch_stream(path) for chunked binary artifact GETs (returns None to
+    fall through, (status, ndarray) to stream a local array, (status,
+    (headers, chunk_iter)) to relay, or (status, dict) for a JSON error)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, status: int, payload: dict):
@@ -789,7 +942,37 @@ def _make_http_server(host: str, port: int, dispatch_json, dispatch_raw=None):
             self.end_headers()
             self.wfile.write(blob)
 
+        def _stream_array(self, arr: np.ndarray):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(arr.nbytes))
+            self.send_header("X-Shape", ",".join(map(str, arr.shape)))
+            self.send_header("X-Dtype", str(arr.dtype))
+            self.end_headers()
+            mv = memoryview(arr).cast("B")
+            for off in range(0, len(mv), _STREAM_CHUNK):
+                self.wfile.write(mv[off:off + _STREAM_CHUNK])
+
+        def _relay_stream(self, status: int, headers: dict, chunks):
+            self.send_response(status)
+            for k, v in headers.items():
+                self.send_header(k, v)
+            self.end_headers()
+            for blob in chunks:
+                self.wfile.write(blob)
+
         def do_GET(self):  # noqa: N802 (stdlib API)
+            if dispatch_stream is not None:
+                res = dispatch_stream(self.path)
+                if res is not None:
+                    status, payload = res
+                    if isinstance(payload, np.ndarray):
+                        self._stream_array(payload)
+                    elif isinstance(payload, tuple):
+                        self._relay_stream(status, *payload)
+                    else:
+                        self._reply(status, payload)
+                    return
             status, payload = (dispatch_raw or dispatch_json)(self.path, None)
             self._reply(status, payload)
 
@@ -820,7 +1003,8 @@ def make_server(host: str = "127.0.0.1", port: int = 8100, *,
                 max_batch: int = 8) -> ThreadingHTTPServer:
     service = LithoService(batching=batching, batch_window_s=batch_window_s,
                            max_batch=max_batch)
-    server = _make_http_server(host, port, service.dispatch)
+    server = _make_http_server(host, port, service.dispatch,
+                               dispatch_stream=service.stream)
     server.service = service  # type: ignore[attr-defined]
     return server
 
@@ -828,7 +1012,8 @@ def make_server(host: str = "127.0.0.1", port: int = 8100, *,
 def make_router(backends: list[str], host: str = "127.0.0.1",
                 port: int = 8000) -> ThreadingHTTPServer:
     router = Router(backends)
-    server = _make_http_server(host, port, None, dispatch_raw=router.dispatch)
+    server = _make_http_server(host, port, None, dispatch_raw=router.dispatch,
+                               dispatch_stream=router.stream)
     server.router = router  # type: ignore[attr-defined]
     return server
 

@@ -504,3 +504,70 @@ def test_job_opc_kind(server):
     assert corrected.shape == (96, 96)
     assert np.isfinite(corrected).all()
     assert 0.0 <= corrected.min() and corrected.max() <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming artifacts (round 3): large job results as chunked raw float32
+# ---------------------------------------------------------------------------
+
+
+def test_job_artifact_streaming(server, monkeypatch):
+    """Result arrays above the inline limit become artifact descriptors in
+    the status payload and stream back as raw float32 with shape/dtype
+    headers; error paths stay JSON."""
+    import lithographysimulator_tpu.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_INLINE_ARRAY_LIMIT", 1024)
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    desc = final["image"]
+    assert "data_b64" not in desc and desc["artifact"] == "image"
+    assert desc["shape"] == [96, 96]
+    assert desc["nbytes"] == 96 * 96 * 4
+    arr = serve_mod.fetch_artifact(server, desc["stream_path"])
+    assert arr.shape == (96, 96) and arr.dtype == np.float32
+    assert np.isfinite(arr).all() and arr.max() > 0
+    # status polls of the done job stay light (no base64 re-send)
+    status, again = _get(server, f"/jobs/{payload['job_id']}")
+    assert status == 200 and "data_b64" not in again["image"]
+    # unknown job / unknown artifact stay JSON errors
+    status, err = _get(server, "/jobs/job-999999-0/artifact/image")
+    assert status == 404 and "error" in err
+    status, err = _get(server, f"/jobs/{payload['job_id']}/artifact/nope")
+    assert status == 404 and "error" in err
+
+
+def test_router_relays_artifact_stream(fleet, monkeypatch):
+    """The router relays artifact streams chunk-by-chunk from the pinned
+    backend (no buffering, headers preserved)."""
+    import lithographysimulator_tpu.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_INLINE_ARRAY_LIMIT", 1024)
+    url, _ = fleet
+    status, payload = _post(url, "/jobs", _job_body("tiled"))
+    assert status == 200
+    final, _ = _poll_job(url, payload["job_id"])
+    assert final["status"] == "done", final
+    desc = final["image"]
+    assert desc.get("artifact") == "image"
+    arr = serve_mod.fetch_artifact(url, desc["stream_path"])
+    assert arr.shape == (96, 96) and arr.max() > 0
+    status, err = _get(url, "/jobs/zzz/artifact/image")
+    assert status == 404 and "error" in err
+
+
+def test_artifact_eviction_returns_410(server, monkeypatch):
+    """Artifacts beyond the byte cap are evicted oldest-done-first; their
+    stream paths answer 410 Gone (results must be fetched promptly)."""
+    import lithographysimulator_tpu.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_INLINE_ARRAY_LIMIT", 1024)
+    monkeypatch.setattr(serve_mod.JobRunner, "MAX_ARTIFACT_BYTES", 1)
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    status, err = _get(server, final["image"]["stream_path"])
+    assert status == 410 and "evicted" in err["error"]
