@@ -33,6 +33,7 @@ def _build_config(args):
         wavelength=args.wavelength,
         na=args.na,
         immersion_index=args.immersion_index,
+        channel_tol=args.channel_tol,
     )
 
 
@@ -96,6 +97,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--immersion-index", type=float, default=1.0,
                    help="image-side medium index (1.437 = water at 193 nm; "
                         "enables hyper-NA vector imaging)")
+    p.add_argument("--channel-tol", type=float, default=1e-6,
+                   help="principal-channel compression trace tolerance for "
+                        "polarized/chromatic kernel builds (raise to trade "
+                        "accuracy for build speed; exact error bound)")
     p.add_argument("--mask", default="demo", choices=["demo", "lines", "contacts"])
     p.add_argument("--mask-file", default=None,
                    help=".npy array or .gds layout for the mask (overrides --mask)")
@@ -393,7 +398,8 @@ def cmd_fem(args) -> int:
         big_cfg = OpticsConfig(
             pixel_number=big_n, pixel_size=args.pixel_size,
             wavelength=args.wavelength, na=args.na,
-            immersion_index=args.immersion_index)
+            immersion_index=args.immersion_index,
+            channel_tol=args.channel_tol)
         mask_big = np.abs(np.asarray(_build_mask(args, big_cfg).geometry,
                                      np.float32))
     source = _build_source(args, tile_config)
@@ -470,7 +476,8 @@ def cmd_opc(args) -> int:
     big_cfg = OpticsConfig(
         pixel_number=big_n, pixel_size=args.pixel_size,
         wavelength=args.wavelength, na=args.na,
-        immersion_index=args.immersion_index)
+        immersion_index=args.immersion_index,
+        channel_tol=args.channel_tol)
     target = np.abs(np.asarray(_build_mask(args, big_cfg).geometry, np.float32))
     source = _build_source(args, tile_config)
     resist = ResistModel(threshold=args.threshold, steepness=30.0)

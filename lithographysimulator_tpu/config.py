@@ -72,6 +72,15 @@ class OpticsConfig:
     #: field. The scalar engine is index-independent (parity with the
     #: scalar reference).
     immersion_index: float = 1.0
+    #: trace tolerance for principal-channel compression of
+    #: weighted-component SOCS kernel builds (polarization / chromatic):
+    #: channels carrying less than this fraction of the summed-TCC trace
+    #: are dropped before subspace iteration (error bound exact — see
+    #: ops.hopkins.principal_channel_rotation). The 1e-6 default only ever
+    #: removes numerically negligible or exactly redundant channels; raise
+    #: it (e.g. 3e-3) to trade accuracy for build speed on vector stacks,
+    #: or set 0.0 to drop exact redundancies only.
+    channel_tol: float = 1e-6
 
     def __post_init__(self):
         if self.pixel_number < 2 or self.pixel_number % 2 != 0:
@@ -87,6 +96,9 @@ class OpticsConfig:
         if self.immersion_index < 1.0:
             raise ValueError(
                 f"immersion_index must be >= 1, got {self.immersion_index}")
+        if not (0.0 <= self.channel_tol < 1.0):
+            raise ValueError(
+                f"channel_tol must be in [0, 1), got {self.channel_tol}")
 
     # --- derived grid constants (reference mask.py:32-35) -----------------
     @property

@@ -340,6 +340,7 @@ class JobRunner:
             wavelength=float(body.get("wavelength", 193.0)),
             na=float(body.get("na", 0.7)),
             immersion_index=float(body.get("immersion_index", 1.0)),
+            channel_tol=float(body.get("channel_tol", 1e-6)),
         )
         src_spec = body.get("source", {})
         source_sig = (
@@ -509,6 +510,7 @@ class LithoService:
             wavelength=float(body.get("wavelength", 193.0)),
             na=float(body.get("na", 0.7)),
             immersion_index=float(body.get("immersion_index", 1.0)),
+            channel_tol=float(body.get("channel_tol", 1e-6)),
         )
         mask = _decode_array(body["mask"])
         if mask.shape != (config.n, config.n):
@@ -764,7 +766,7 @@ class Router:
         self._job_backend: dict[str, int] = {}
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
-                         "immersion_index", "solver", "chunk", "normalize",
+                         "immersion_index", "channel_tol", "solver", "chunk", "normalize",
                          "socs_rank", "aberrations", "source", "polarization",
                          "chromatic")
 

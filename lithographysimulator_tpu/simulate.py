@@ -129,9 +129,8 @@ def _channel_rotation_cached(config: OpticsConfig, polarization=None,
     traded)."""
     if polarization is None and chromatic is None:
         return None
-    from .ops.hopkins import (DEFAULT_CHANNEL_TOL, channel_gram,
-                              chromatic_component_stack, rotation_from_gram,
-                              vector_component_stack)
+    from .ops.hopkins import (channel_gram, chromatic_component_stack,
+                              rotation_from_gram, vector_component_stack)
 
     @jax.jit
     def gram(aberrations):
@@ -146,7 +145,7 @@ def _channel_rotation_cached(config: OpticsConfig, polarization=None,
         return channel_gram(comps, q)
 
     s_pair = np.asarray(gram(jnp.zeros((5,), jnp.float32)))
-    rot, _captured = rotation_from_gram(s_pair, tol=DEFAULT_CHANNEL_TOL)
+    rot, _captured = rotation_from_gram(s_pair, tol=config.channel_tol)
     if rot.shape[2] >= s_pair.shape[1]:
         return None
     return rot
@@ -329,6 +328,9 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
             n_comp = 1 if polarization is None else 3
             if chromatic is not None:
                 n_comp *= chromatic.samples
+            if channel_k is not None:
+                # compressed operator: rank(T) <= channels x live points
+                n_comp = channel_k
             max_rank = max(1, min(_AUTO_RANK_MAX,
                                   n_comp * int((src_np > 0).sum())))
             r = min(_AUTO_RANK_START, max_rank)

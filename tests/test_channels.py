@@ -271,6 +271,22 @@ def test_simulate_layer_rotation_cache():
     assert _channel_rotation_cached(cfg, None, True, laser) is rot
 
 
+def test_config_channel_tol_knob():
+    """OpticsConfig.channel_tol reaches the simulate-layer rotation cache:
+    a loose tolerance compresses the NA-0.6 vector stack harder than the
+    default; invalid tolerances are rejected at construction."""
+    from lithographysimulator_tpu.simulate import _channel_rotation_cached
+
+    tight = OpticsConfig(pixel_number=32, na=0.6)
+    loose = OpticsConfig(pixel_number=32, na=0.6, channel_tol=3e-3)
+    rot_t = _channel_rotation_cached(tight, "unpolarized", True, None)
+    rot_l = _channel_rotation_cached(loose, "unpolarized", True, None)
+    assert rot_l is not None and rot_t is not None
+    assert rot_l.shape[2] < rot_t.shape[2]
+    with pytest.raises(ValueError):
+        OpticsConfig(pixel_number=32, channel_tol=1.5)
+
+
 def test_apply_rotation_identity_roundtrip():
     """A (C, C) identity rotation only absorbs sqrt(q) into the stack."""
     cfg, _, pup, _ = _setup()
