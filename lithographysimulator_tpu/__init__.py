@@ -27,6 +27,8 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             edge_placement_errors, feature_table,
                             pattern_fidelity)
 from .models.source import LightSource
+from .models.stochastic import (StochasticResist, exposure_trials,
+                                stochastic_ensemble)
 from .ops.compensated import matmul_compensated
 from .ops.abbe import (
     SourcePoints,
@@ -79,8 +81,11 @@ __all__ = [
     "accumulate_intensity",
     "fit_boundary_layer",
     "contact_holes",
+    "StochasticResist",
     "cd_uniformity",
     "critical_dimension",
+    "exposure_trials",
+    "stochastic_ensemble",
     "edge_placement_errors",
     "feature_table",
     "default_halo",

@@ -519,6 +519,58 @@ def cmd_opc(args) -> int:
     return 0
 
 
+def cmd_stochastic(args) -> int:
+    """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
+    trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
+    band. The trials run as one jitted vmapped program per chunk."""
+    from .models.stochastic import StochasticResist, stochastic_ensemble
+    from .simulate import simulate
+
+    config = _build_config(args)
+    mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    polarization = None if args.polarization == "scalar" else args.polarization
+    result = simulate(mask, source, args.aberrations, solver=args.solver,
+                      normalize=True, polarization=polarization,
+                      chromatic=_build_chromatic(args))
+    model = StochasticResist(
+        dose_photons_per_nm2=args.dose_photons,
+        quantum_efficiency=args.quantum_efficiency,
+        pag_per_nm2=args.pag, diffusion_nm=args.diffusion,
+        threshold=args.threshold, noise=args.noise)
+    t0 = time.perf_counter()
+    out = stochastic_ensemble(np.asarray(result.image), config, model,
+                              trials=args.trials, seed=args.seed)
+    elapsed = time.perf_counter() - t0
+    band = out.pop("print_probability")
+    out["wall_s"] = round(elapsed, 3)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+    if args.out:
+        np.save(args.out, band)
+        print(f"wrote {args.out}")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(9, 4.2))
+        axes[0].imshow(np.asarray(result.image), cmap="inferno")
+        axes[0].set_title("aerial image")
+        im = axes[1].imshow(band, cmap="RdBu_r", vmin=0, vmax=1)
+        axes[1].set_title(
+            f"print probability ({args.trials} trials)\n"
+            f"LER {out['ler_nm']:.2f} nm  LWR {out['lwr_nm']:.2f} nm")
+        fig.colorbar(im, ax=axes[1], fraction=0.046)
+        for ax in axes:
+            ax.set_xticks([]), ax.set_yticks([])
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=130)
+        print(f"wrote {args.plot}")
+    return 0
+
+
 def cmd_resist3d(args) -> int:
     """3-D resist development: through-film focal stack -> latent image
     (absorption + substrate standing waves + PEB diffusion) -> eikonal front
@@ -762,6 +814,33 @@ def main(argv=None) -> int:
     p_r3d.add_argument("--out", default=None, help="3-D profile .npz path")
     p_r3d.add_argument("--plot", default=None, help="cross-section .png path")
     p_r3d.set_defaults(func=cmd_resist3d)
+
+    p_sto = sub.add_parser(
+        "stochastic", help="Monte-Carlo stochastic printing (LER/defects)")
+    _add_common(p_sto)
+    _add_chromatic(p_sto)
+    p_sto.add_argument("--solver", default="gau23",
+                       choices=["gau23", "direct", "socs"])
+    p_sto.add_argument("--polarization", default="scalar",
+                       choices=["scalar", "x", "y", "unpolarized"])
+    p_sto.add_argument("--trials", type=int, default=64)
+    p_sto.add_argument("--seed", type=int, default=0)
+    p_sto.add_argument("--dose-photons", type=float, default=20.0,
+                       help="absorbed photons per nm^2 at relative "
+                            "intensity 1 (~20 = 30 mJ/cm^2 EUV)")
+    p_sto.add_argument("--quantum-efficiency", type=float, default=1.0)
+    p_sto.add_argument("--pag", type=float, default=0.0,
+                       help="photo-acid generators per nm^2 (depletion "
+                            "saturation; 0 = linear)")
+    p_sto.add_argument("--diffusion", type=float, default=5.0,
+                       help="acid diffusion length (nm, 1-sigma)")
+    p_sto.add_argument("--threshold", type=float, default=0.3)
+    p_sto.add_argument("--noise", default="poisson",
+                       choices=["poisson", "gaussian"])
+    p_sto.add_argument("--out", default=None,
+                       help="print-probability map .npy path")
+    p_sto.add_argument("--plot", default=None, help="figure .png path")
+    p_sto.set_defaults(func=cmd_stochastic)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

@@ -1,0 +1,256 @@
+"""Stochastic resist: photon shot noise, acid statistics, LER/LWR/LCDU and
+stochastic defect rates from Monte-Carlo printed-contour ensembles.
+
+Modern (EUV-era) lithography is photon-starved: the same aerial image prints
+differently every exposure because photon absorption and photo-acid
+generation are counting processes. This module adds the standard simplified
+stochastic chain on top of the deterministic resist models
+(:mod:`.resist`):
+
+    relative image I(x)
+      -> absorbed photons  N(x) ~ Poisson(dose * A_px * I(x))
+      -> generated acids   a(x) = QE * N(x), optionally PAG-depletion
+         saturated a -> PAG * (1 - exp(-a / PAG))
+      -> acid diffusion    Gaussian blur (sigma = diffusion_nm)
+      -> develop           threshold -> binary contour
+
+vmapped over trials with split PRNG keys — one jitted program per ensemble,
+TPU-friendly (static shapes, FFT blur, no data-dependent control flow). The
+metrics (line-edge roughness, linewidth roughness, local CD uniformity,
+bridge/break defect rates) reuse the vectorized subpixel edge extraction of
+:func:`.resist.feature_table`.
+
+No reference counterpart: resist modeling is the reference's own unchecked
+roadmap item (reference ``README.md:19``) and it has no stochastic modeling
+at all. Physics per the standard photon/acid counting models (Gallatin,
+"Resist blur and line edge roughness"; Mack's stochastic resist columns):
+LER ~ 1/sqrt(dose) at fixed blur, saturating at the image log-slope limit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OpticsConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class StochasticResist:
+    """Counting-statistics resist model.
+
+    dose_photons_per_nm2: absorbed-photon areal density at relative
+        intensity 1.0. Scale anchors: 30 mJ/cm^2 at EUV (92 eV) is ~20
+        photons/nm^2; the same dose at ArF (6.4 eV) is ~290 photons/nm^2 —
+        which is why stochastics dominate EUV and are a refinement at DUV.
+    quantum_efficiency: acids generated per absorbed photon.
+    pag_per_nm2: photo-acid generator areal density for depletion
+        saturation (0 disables: acid strictly proportional to photons).
+    diffusion_nm: Gaussian acid-diffusion length (1-sigma, nm).
+    threshold: develop threshold on the normalized deprotection field (the
+        zero-noise limit of this model is exactly
+        :meth:`.resist.ResistModel.develop_binary` at the same threshold
+        and blur when pag_per_nm2 = 0).
+    noise: 'poisson' (exact counting statistics) or 'gaussian'
+        (mean + sqrt(mean) * normal — indistinguishable above ~50
+        photons/pixel and cheaper to sample).
+    """
+
+    dose_photons_per_nm2: float = 20.0
+    quantum_efficiency: float = 1.0
+    pag_per_nm2: float = 0.0
+    diffusion_nm: float = 5.0
+    threshold: float = 0.3
+    noise: str = "poisson"
+
+    def __post_init__(self):
+        if self.dose_photons_per_nm2 <= 0:
+            raise ValueError("dose_photons_per_nm2 must be > 0")
+        if not (0 < self.quantum_efficiency <= 1.0):
+            raise ValueError("quantum_efficiency must be in (0, 1]")
+        if self.noise not in ("poisson", "gaussian"):
+            raise ValueError(f"noise must be poisson/gaussian, got {self.noise!r}")
+
+    # -- single-trial chain (jit/vmap-friendly) -----------------------------
+
+    def _diffusion_transfer(self, n: int, config: OpticsConfig) -> np.ndarray:
+        freqs = np.fft.fftfreq(n, d=config.pixel_size)  # cycles/nm
+        return np.exp(-2.0 * (np.pi * self.diffusion_nm) ** 2
+                      * (freqs[None, :] ** 2 + freqs[:, None] ** 2))
+
+    def deprotection(self, key, image: jnp.ndarray,
+                     config: OpticsConfig) -> jnp.ndarray:
+        """One stochastic (diffusion-blurred) deprotection FIELD for one
+        PRNG key — the continuous field, so threshold crossings stay
+        subpixel for the roughness metrics; the printed contour is
+        ``field > threshold``.
+
+        ``image`` is a raw aerial image (normalized internally by its max,
+        matching the deterministic models' convention)."""
+        rel = image / jnp.maximum(jnp.max(image), 1e-30)
+        area = config.pixel_size ** 2
+        mean_photons = self.dose_photons_per_nm2 * area * rel
+        if self.noise == "poisson":
+            n_ph = jax.random.poisson(key, mean_photons).astype(jnp.float32)
+        else:
+            n_ph = mean_photons + jnp.sqrt(mean_photons) * jax.random.normal(
+                key, mean_photons.shape, jnp.float32)
+            n_ph = jnp.maximum(n_ph, 0.0)
+        acid = self.quantum_efficiency * n_ph
+        norm = self.dose_photons_per_nm2 * area * self.quantum_efficiency
+        if self.pag_per_nm2 > 0:
+            pag = self.pag_per_nm2 * area
+            acid = pag * (1.0 - jnp.exp(-acid / pag))
+            norm = pag * (1.0 - np.exp(-norm / pag))
+        depro = acid / norm
+        if self.diffusion_nm > 0:
+            transfer = jnp.asarray(
+                self._diffusion_transfer(image.shape[-1], config),
+                jnp.complex64)
+            depro = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(depro) * transfer))
+        return depro
+
+    def contour(self, key, image: jnp.ndarray,
+                config: OpticsConfig) -> jnp.ndarray:
+        """One stochastic printed contour {0,1} for one PRNG key."""
+        return (self.deprotection(key, image, config)
+                > self.threshold).astype(jnp.float32)
+
+    def deterministic_field(self, image: jnp.ndarray,
+                            config: OpticsConfig) -> jnp.ndarray:
+        """Zero-noise (infinite-dose) deprotection field."""
+        rel = image / jnp.maximum(jnp.max(image), 1e-30)
+        if self.diffusion_nm > 0:
+            transfer = jnp.asarray(
+                self._diffusion_transfer(image.shape[-1], config),
+                jnp.complex64)
+            rel = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(rel) * transfer))
+        return rel
+
+    def deterministic_contour(self, image: jnp.ndarray,
+                              config: OpticsConfig) -> jnp.ndarray:
+        """Zero-noise limit of :meth:`contour` — the reference contour that
+        defect rates compare against."""
+        return (self.deterministic_field(image, config)
+                > self.threshold).astype(jnp.float32)
+
+
+def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
+                    *, trials: int = 64, seed: int = 0,
+                    trial_chunk: int = 16, binary: bool = True) -> jnp.ndarray:
+    """(trials, n, n) stochastic exposures, one jitted program: binary
+    printed contours (default) or the continuous deprotection fields
+    (``binary=False`` — what the subpixel roughness metrics consume).
+
+    vmap inside, ``lax.map`` over chunks of trials to bound live memory
+    (64 trials at 1024^2 f32 is 268 MB live if vmapped flat)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), trials)
+    one = model.contour if binary else model.deprotection
+
+    @jax.jit
+    def run(image, keys):
+        def chunk_fn(kc):
+            return jax.vmap(lambda k: one(k, image, config))(kc)
+
+        m = keys.shape[0]
+        c = min(trial_chunk, m)
+        if m % c:
+            return chunk_fn(keys)
+        out = jax.lax.map(chunk_fn, keys.reshape(m // c, c, 2))
+        return out.reshape(m, *image.shape)
+
+    return run(jnp.asarray(image), keys)
+
+
+def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
+                axis: int = 1, threshold: float = 0.5) -> dict:
+    """Per-trial subpixel edge statistics via feature_table: LER (3-sigma of
+    each edge's position along the feature), LWR (3-sigma of local widths),
+    and per-trial mean CD (for LCDU across trials). Run on the CONTINUOUS
+    deprotection fields — threshold crossings interpolate to subpixel there,
+    while binary contours quantize edges to the pixel grid and hide
+    sub-pixel roughness entirely."""
+    from .resist import feature_table
+
+    px = config.pixel_size
+    lers, lwrs, mean_cds = [], [], []
+    for contour in fields:
+        feats = feature_table(contour, config, axis=axis,
+                              threshold=threshold)
+        if len(feats["row"]) == 0:
+            lers.append(np.nan), lwrs.append(np.nan), mean_cds.append(0.0)
+            continue
+        rise = feats["rise_px"] * px
+        fall = feats["fall_px"] * px
+        width = feats["width_nm"]
+        # Track each physical feature across cut lines by its rounded
+        # center (roughness never moves an edge by a whole pitch).
+        pitch = max(float(np.median(width)) * 2.0, px)
+        fid = np.round(feats["center_nm"] / pitch).astype(np.int64)
+        ler_vals, lwr_vals = [], []
+        for f in np.unique(fid):
+            sel = fid == f
+            if sel.sum() < max(4, contour.shape[0] // 8):
+                continue  # fragment, not a tracked feature
+            ler_vals.append(3.0 * np.std(rise[sel]))
+            ler_vals.append(3.0 * np.std(fall[sel]))
+            lwr_vals.append(3.0 * np.std(width[sel]))
+        lers.append(np.mean(ler_vals) if ler_vals else np.nan)
+        lwrs.append(np.mean(lwr_vals) if lwr_vals else np.nan)
+        mean_cds.append(float(np.mean(width)))
+    return {
+        "ler_nm": float(np.nanmean(lers)),
+        "lwr_nm": float(np.nanmean(lwrs)),
+        "lcdu_nm": 3.0 * float(np.nanstd(mean_cds)),
+        "mean_cd_nm": float(np.nanmean(mean_cds)),
+    }
+
+
+def _defect_rates(contours: np.ndarray, reference: np.ndarray) -> dict:
+    """Bridge/break rates vs the deterministic contour, per cut line: a cut
+    with MORE above-threshold runs than the reference has a broken feature
+    (extra edge pair), FEWER means features merged (bridged)."""
+    def runs_per_row(c):
+        d = np.diff(np.pad(c > 0.5, ((0, 0), (1, 1))).astype(np.int8), axis=1)
+        return (d == 1).sum(axis=1)
+
+    ref_runs = runs_per_row(reference)
+    trial_runs = np.stack([runs_per_row(c) for c in contours])
+    live = ref_runs > 0
+    if not live.any():
+        return {"break_rate": 0.0, "bridge_rate": 0.0}
+    broken = (trial_runs[:, live] > ref_runs[None, live]).mean()
+    bridged = (trial_runs[:, live] < ref_runs[None, live]).mean()
+    return {"break_rate": float(broken), "bridge_rate": float(bridged)}
+
+
+def stochastic_ensemble(image, config: OpticsConfig,
+                        model: StochasticResist | None = None, *,
+                        trials: int = 64, seed: int = 0,
+                        axis: int = 1) -> dict:
+    """Monte-Carlo stochastic printing summary for one aerial image.
+
+    Returns LER/LWR (nm, 3-sigma), LCDU across trials (nm, 3-sigma),
+    bridge/break defect rates vs the deterministic contour, the mean
+    contour (printing probability per pixel, the 'stochastic band'), and
+    the trial count."""
+    model = model or StochasticResist()
+    fields = np.asarray(exposure_trials(image, config, model, trials=trials,
+                                        seed=seed, binary=False))
+    contours = (fields > model.threshold).astype(np.float32)
+    # under jit: the FFT blur is complex math, which the TPU tunnel only
+    # supports inside compiled programs (CLAUDE.md)
+    det_field = np.asarray(jax.jit(
+        lambda im: model.deterministic_field(im, config))(jnp.asarray(image)))
+    reference = (det_field > model.threshold).astype(np.float32)
+    out = _edge_stats(fields, config, axis=axis, threshold=model.threshold)
+    out.update(_defect_rates(contours, reference))
+    out["trials"] = trials
+    out["print_probability"] = contours.mean(axis=0)
+    out["deterministic_cd_nm"] = _edge_stats(
+        det_field[None], config, axis=axis,
+        threshold=model.threshold)["mean_cd_nm"]
+    return out
