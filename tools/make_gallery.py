@@ -16,6 +16,7 @@ jax.config.update("jax_platforms", "cpu")
 import matplotlib
 
 matplotlib.use("Agg")
+import jax.numpy as jnp
 import numpy as np
 from matplotlib import pyplot as plt
 
@@ -284,6 +285,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![polsocs](polarized_socs.png) | Polarized SOCS (round 3): one summed-TCC kernel set carries hyper-NA vector physics on the fast path — matches the exact vector Abbe engine |
 | ![cdu](cd_metrology.png) | Full-chip CD metrology (round 3): developed chip, per-region CD-uniformity map, subpixel CD distribution |
 | ![chromatic](chromatic.png) | Chromatic imaging (round 3): finite laser bandwidth (E95) blurs focus through the lens's longitudinal chromatic aberration — dense-line contrast erodes with spectral width |
+| ![stochastic](stochastic.png) | Stochastic resist (round 3): photon/acid counting trials — photon-starved dose roughens edges (LER ~ 1/sqrt(dose)) and breaks features; print-probability bands over 32 trials |
 """)
     print("wrote", gallery)
 
@@ -381,6 +383,41 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "chromatic.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "chromatic.png")
+
+    # 14. Stochastic resist: dose-dependent LER and the print-probability band
+    from lithographysimulator_tpu.models.resist import ResistModel
+    from lithographysimulator_tpu.models.stochastic import (
+        StochasticResist, stochastic_ensemble)
+
+    cfg_st = lt.OpticsConfig(pixel_number=128, pixel_size=5.0)
+    geom = np.abs(np.asarray(lt.lines_and_spaces(
+        cfg_st, line_width_px=16, pitch_px=32).geometry, np.float32))
+    soft = np.asarray(ResistModel(diffusion_nm=30.0).blur(
+        jnp.asarray(geom), cfg_st))
+    fig, axes = plt.subplots(1, 4, dpi=170, figsize=(13.0, 3.4))
+    axes[0].imshow(soft, cmap="inferno")
+    axes[0].set_title("aerial image", fontsize=9)
+    doses = (3.0, 12.0, 60.0)
+    lers = []
+    for ax, dose in zip(axes[1:], doses):
+        out = stochastic_ensemble(
+            soft, cfg_st,
+            StochasticResist(dose_photons_per_nm2=dose, diffusion_nm=5.0,
+                             threshold=0.4),
+            trials=32, seed=0)
+        lers.append(out["ler_nm"])
+        ax.imshow(out["print_probability"], cmap="RdBu_r", vmin=0, vmax=1)
+        ax.set_title(f"{dose:g} ph/nm$^2$: LER {out['ler_nm']:.1f} nm, "
+                     f"break {out['break_rate']:.1%}", fontsize=8)
+    for ax in axes:
+        ax.axis("off")
+    fig.suptitle("stochastic printing: photon-starved dose roughens and "
+                 "breaks features (print probability over 32 trials)",
+                 fontsize=10)
+    fig.tight_layout()
+    fig.savefig(DOCS / "stochastic.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "stochastic.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
