@@ -25,7 +25,7 @@ from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table,
-                            pattern_fidelity)
+                            nils_table, pattern_fidelity)
 from .models.source import LightSource
 from .models.stochastic import (StochasticResist, exposure_trials,
                                 stochastic_ensemble)
@@ -84,6 +84,7 @@ __all__ = [
     "StochasticResist",
     "cd_uniformity",
     "critical_dimension",
+    "nils_table",
     "exposure_trials",
     "stochastic_ensemble",
     "edge_placement_errors",

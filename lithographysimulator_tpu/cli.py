@@ -440,6 +440,8 @@ def cmd_fem(args) -> int:
     if epe is not None:
         report["epe"] = {k: v for k, v in epe.items()
                          if not k.startswith("epe_")}
+    if result.get("nils") is not None:
+        report["nils"] = result["nils"]
     print(json.dumps(report))
     if args.cdu_map and cdu is not None:
         cd_map = np.asarray(cdu["cd_map_nm"])

@@ -18,7 +18,7 @@ import numpy as np
 from .config import OpticsConfig
 from .models.resist import (ResistModel, cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table, meef,
-                            process_window)
+                            nils_table, process_window)
 from .ops.focus import focus_stack_aberrations
 from .ops.tiled import tiled_socs_image
 
@@ -248,6 +248,7 @@ def tiled_fem(
     cds = np.empty((len(stack), len(doses)))
     cdu = None
     epe = None
+    nils = None
     for i, image in enumerate(stack):
         norm = image / scale
         for j, dose in enumerate(doses):
@@ -260,6 +261,9 @@ def tiled_fem(
             if i == i_mid and j == j_nom:
                 cdu = cd_uniformity(profile, tile_config, axis=cd_axis,
                                     row_step=cd_row_step)
+                nils = nils_table(norm * dose, tile_config,
+                                  threshold=resist.threshold, axis=cd_axis,
+                                  row_step=cd_row_step, normalize=False)
                 target = (target_geometry if target_geometry is not None
                           else mask_big)
                 if target is not None:
@@ -277,6 +281,9 @@ def tiled_fem(
         "target_cd_nm": target_cd_nm,
         "cdu": cdu,
         "epe": epe,
+        "nils": None if nils is None else {
+            k: nils[k] for k in ("count", "mean_nils", "min_nils",
+                                 "mean_ils_per_nm")},
         **summary,
     }
 

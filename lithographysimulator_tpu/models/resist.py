@@ -193,6 +193,73 @@ def cd_uniformity(profile, config: OpticsConfig, *, threshold: float = 0.5,
     return out
 
 
+def nils_table(image, config: OpticsConfig, *, threshold: float = 0.3,
+               axis: int = 1, row_step: int | None = None,
+               normalize: bool = True) -> dict:
+    """Normalized Image Log-Slope at every feature edge — THE standard
+    aerial-image quality metric (NILS = CD * |d ln I / dx| at the resist
+    threshold crossing; NILS >~ 2 prints robustly, low NILS means dose
+    errors translate amplified into CD errors; exposure latitude ~ NILS).
+
+    Extracts subpixel threshold crossings with :func:`feature_table`, takes
+    the intensity gradient along the cut (central differences), and
+    evaluates ILS = |grad I| / I at each crossing, linearly interpolated at
+    the subpixel edge position. Returns per-edge ILS (1/nm), per-feature
+    NILS (using that feature's own CD), and summary stats.
+
+    The metric the reference's README.md:18 'validate the model' item
+    would need; no reference implementation exists."""
+    arr = np.asarray(image, np.float64)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a 2-D image, got shape {arr.shape}")
+    if normalize:
+        arr = arr / max(arr.max(), 1e-30)
+    if axis == 0:
+        arr = arr.T
+    n = arr.shape[0]
+    if row_step is None:
+        row_step = max(1, n // 512)
+    feats = feature_table(arr, config, axis=1, threshold=threshold,
+                          row_step=row_step)
+    if feats["row"].size == 0:
+        return {"count": 0, "mean_nils": 0.0, "min_nils": 0.0,
+                "mean_ils_per_nm": 0.0, "threshold": threshold, "axis": axis}
+    px = config.pixel_size
+    grad = np.gradient(arr, px, axis=1)  # dI/dx in 1/nm units
+
+    # drop array-boundary-truncated runs: their clipped 'edge' is the frame,
+    # not a threshold crossing, and its near-zero gradient poisons the mean
+    interior = (feats["rise_px"] > 0) & (feats["fall_px"] < arr.shape[1] - 1)
+    feats = {k: (v[interior] if isinstance(v, np.ndarray) else v)
+             for k, v in feats.items()}
+    if feats["row"].size == 0:
+        return {"count": 0, "mean_nils": 0.0, "min_nils": 0.0,
+                "mean_ils_per_nm": 0.0, "threshold": threshold, "axis": axis}
+
+    def ils_at(rows, pos_px):
+        i0 = np.clip(np.floor(pos_px).astype(int), 0, arr.shape[1] - 2)
+        frac = np.clip(pos_px - i0, 0.0, 1.0)
+        g = (1 - frac) * grad[rows, i0] + frac * grad[rows, i0 + 1]
+        # at the crossing, I = threshold by construction
+        return np.abs(g) / max(threshold, 1e-30)
+
+    ils_rise = ils_at(feats["row"], feats["rise_px"])
+    ils_fall = ils_at(feats["row"], feats["fall_px"])
+    ils = np.concatenate([ils_rise, ils_fall])
+    nils = 0.5 * (ils_rise + ils_fall) * feats["width_nm"]
+    return {
+        "count": int(nils.size),
+        "mean_nils": float(nils.mean()),
+        "min_nils": float(nils.min()),
+        "mean_ils_per_nm": float(ils.mean()),
+        "nils": nils,
+        "ils_per_nm": ils,
+        "width_nm": feats["width_nm"],
+        "threshold": threshold,
+        "axis": axis,
+    }
+
+
 def edge_placement_errors(profile, target_geometry, config: OpticsConfig, *,
                           threshold: float = 0.5, axis: int = 1,
                           row_step: int = 1,

@@ -145,3 +145,58 @@ def test_tiled_fem_reports_cdu_and_epe():
         big, tile_cfg, src, defocus_nm=[0.0], doses=[1.0],
         resist=ResistModel(threshold=0.3), rank=32, halo=16, row=64)
     assert legacy["cd_nm"].shape == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# NILS (normalized image log-slope)
+# ---------------------------------------------------------------------------
+
+
+def test_nils_analytic_sinusoid():
+    """Sinusoidal aerial image: ILS and CD at a threshold crossing have
+    closed forms — the numeric table must match to a few percent."""
+    from lithographysimulator_tpu.models.resist import nils_table
+
+    cfg = OpticsConfig(pixel_number=256, pixel_size=2.0)
+    p_nm = 128.0
+    x = (np.arange(256) - 128) * cfg.pixel_size
+    img = np.tile(0.5 * (1 + np.cos(2 * np.pi * x / p_nm)), (256, 1))
+    t = 0.3
+    out = nils_table(img, cfg, threshold=t, normalize=False, row_step=16)
+    ils_ref = (np.pi / p_nm) * np.sqrt(1 - (2 * t - 1) ** 2) / t
+    cd_ref = (p_nm / np.pi) * np.arccos(2 * t - 1)
+    nils_ref = cd_ref * ils_ref
+    assert out["count"] > 0
+    assert abs(out["mean_ils_per_nm"] - ils_ref) / ils_ref < 0.05
+    assert abs(out["mean_nils"] - nils_ref) / nils_ref < 0.05
+    # axis=0 on the transposed image sees the same edges
+    out_t = nils_table(img.T, cfg, threshold=t, normalize=False, axis=0,
+                       row_step=16)
+    np.testing.assert_allclose(out_t["mean_nils"], out["mean_nils"],
+                               rtol=1e-6)
+
+
+def test_nils_tracks_contrast():
+    """Lower-contrast fringes at the same pitch have lower NILS (the whole
+    point of the metric: dose sensitivity at the edge)."""
+    from lithographysimulator_tpu.models.resist import nils_table
+
+    cfg = OpticsConfig(pixel_number=256, pixel_size=2.0)
+    x = (np.arange(256) - 128) * cfg.pixel_size
+    carrier = np.cos(2 * np.pi * x / 128.0)
+    sharp = np.tile(0.5 * (1 + carrier), (256, 1))
+    soft = np.tile(0.5 + 0.25 * carrier, (256, 1))
+    t = 0.45
+    n_sharp = nils_table(sharp, cfg, threshold=t, normalize=False,
+                         row_step=16)["mean_nils"]
+    n_soft = nils_table(soft, cfg, threshold=t, normalize=False,
+                        row_step=16)["mean_nils"]
+    assert n_sharp > 1.4 * n_soft
+
+
+def test_nils_empty_image():
+    from lithographysimulator_tpu.models.resist import nils_table
+
+    cfg = OpticsConfig(pixel_number=64)
+    out = nils_table(np.zeros((64, 64)), cfg, threshold=0.3)
+    assert out["count"] == 0 and out["mean_nils"] == 0.0

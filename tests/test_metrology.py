@@ -56,6 +56,12 @@ def test_tiled_fem_process_window(big_mask, source):
     assert result["in_spec_fraction"] > 0
     assert result["depth_of_focus_nm"] >= 0
     assert result["exposure_latitude"] >= 0
+    # nominal-cell image quality: NILS on the aerial image at the resist
+    # threshold (dense 200 nm-pitch lines at NA 0.7 should be printable)
+    nils = result["nils"]
+    assert nils is not None and nils["count"] > 0
+    assert 0.5 < nils["mean_nils"] < 30.0
+    assert nils["min_nils"] <= nils["mean_nils"]
 
 
 def test_tiled_matches_single_field_interior(big_mask, source):
