@@ -20,7 +20,8 @@ from .models.mask import (
     from_array,
     lines_and_spaces,
 )
-from .metrology import tiled_fem, tiled_focus_images, tiled_meef
+from .metrology import (tiled_fem, tiled_focus_images,
+                        tiled_meef, tiled_stochastic)
 from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
@@ -97,6 +98,7 @@ __all__ = [
     "tiled_fem",
     "tiled_focus_images",
     "tiled_meef",
+    "tiled_stochastic",
     "chromatic_aberrations",
     "focus_stack_aberrations",
     "from_array",

@@ -288,6 +288,62 @@ def tiled_fem(
     }
 
 
+def tiled_stochastic(
+    mask_big,
+    tile_config: OpticsConfig,
+    source_map,
+    *,
+    model=None,
+    trials: int = 32,
+    seed: int = 0,
+    base_aberrations=None,
+    rank: int = 64,
+    halo: int | None = None,
+    tiles_per_dispatch: int = 8,
+    window_fn=None,
+    big_n: int | None = None,
+    polarization=None,
+    apodize: bool = True,
+    chromatic=None,
+    axis: int = 1,
+    trial_chunk: int = 8,
+    progress_cb=None,
+) -> dict:
+    """Full-chip stochastic printing: one tiled aerial image, then the
+    Monte-Carlo photon/acid ensemble over the WHOLE stitched raster.
+
+    Stochastic failure is a tail statistic — a defect rate of 1e-3 per cut
+    line only shows up with chip-scale edge counts, which is exactly what
+    the tiled image provides (the per-field ensemble sees a few features;
+    this sees thousands). Returns the
+    :func:`..models.stochastic.stochastic_ensemble` summary (LER / LWR /
+    LCDU, bridge/break rates, print-probability band) plus ``big_n``.
+
+    The optical path carries every production option (polarization /
+    chromatic kernel sets, window streaming); the noise trials run on the
+    full image in ``trial_chunk``-sized device batches (the noise chain is
+    elementwise + one FFT blur, so chip-sized batches are cheap relative to
+    imaging). No reference counterpart."""
+    from .models.stochastic import StochasticResist, stochastic_ensemble
+
+    model = model or StochasticResist()
+    image = tiled_focus_images(
+        mask_big, tile_config, source_map, [0.0],
+        base_aberrations=base_aberrations, rank=rank, halo=halo,
+        tiles_per_dispatch=tiles_per_dispatch, window_fn=window_fn,
+        big_n=big_n, polarization=polarization, apodize=apodize,
+        chromatic=chromatic,
+        progress_cb=(None if progress_cb is None
+                     else lambda f: progress_cb(0.6 * f)))[0]
+    out = stochastic_ensemble(np.asarray(image), tile_config, model,
+                              trials=trials, seed=seed, axis=axis,
+                              trial_chunk=trial_chunk)
+    if progress_cb is not None:
+        progress_cb(1.0)
+    out["big_n"] = int(np.asarray(image).shape[0])
+    return out
+
+
 def tiled_meef(
     mask_big,
     tile_config: OpticsConfig,

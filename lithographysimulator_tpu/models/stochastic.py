@@ -166,7 +166,8 @@ def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
 
 
 def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
-                axis: int = 1, threshold: float = 0.5) -> dict:
+                axis: int = 1, threshold: float = 0.5,
+                row_step: int = 1) -> dict:
     """Per-trial subpixel edge statistics via feature_table: LER (3-sigma of
     each edge's position along the feature), LWR (3-sigma of local widths),
     and per-trial mean CD (for LCDU across trials). Run on the CONTINUOUS
@@ -179,7 +180,7 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
     lers, lwrs, mean_cds = [], [], []
     for contour in fields:
         feats = feature_table(contour, config, axis=axis,
-                              threshold=threshold)
+                              threshold=threshold, row_step=row_step)
         if len(feats["row"]) == 0:
             lers.append(np.nan), lwrs.append(np.nan), mean_cds.append(0.0)
             continue
@@ -193,7 +194,7 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
         ler_vals, lwr_vals = [], []
         for f in np.unique(fid):
             sel = fid == f
-            if sel.sum() < max(4, contour.shape[0] // 8):
+            if sel.sum() < max(4, contour.shape[0] // row_step // 8):
                 continue  # fragment, not a tracked feature
             ler_vals.append(3.0 * np.std(rise[sel]))
             ler_vals.append(3.0 * np.std(fall[sel]))
@@ -230,7 +231,8 @@ def _defect_rates(contours: np.ndarray, reference: np.ndarray) -> dict:
 def stochastic_ensemble(image, config: OpticsConfig,
                         model: StochasticResist | None = None, *,
                         trials: int = 64, seed: int = 0,
-                        axis: int = 1) -> dict:
+                        axis: int = 1, row_step: int | None = None,
+                        trial_chunk: int = 16) -> dict:
     """Monte-Carlo stochastic printing summary for one aerial image.
 
     Returns LER/LWR (nm, 3-sigma), LCDU across trials (nm, 3-sigma),
@@ -238,19 +240,24 @@ def stochastic_ensemble(image, config: OpticsConfig,
     contour (printing probability per pixel, the 'stochastic band'), and
     the trial count."""
     model = model or StochasticResist()
+    n = np.asarray(image).shape[0]
+    if row_step is None:
+        row_step = max(1, n // 512)  # cap full-chip cut lines at ~512
     fields = np.asarray(exposure_trials(image, config, model, trials=trials,
-                                        seed=seed, binary=False))
+                                        seed=seed, binary=False,
+                                        trial_chunk=trial_chunk))
     contours = (fields > model.threshold).astype(np.float32)
     # under jit: the FFT blur is complex math, which the TPU tunnel only
     # supports inside compiled programs (CLAUDE.md)
     det_field = np.asarray(jax.jit(
         lambda im: model.deterministic_field(im, config))(jnp.asarray(image)))
     reference = (det_field > model.threshold).astype(np.float32)
-    out = _edge_stats(fields, config, axis=axis, threshold=model.threshold)
+    out = _edge_stats(fields, config, axis=axis, threshold=model.threshold,
+                      row_step=row_step)
     out.update(_defect_rates(contours, reference))
     out["trials"] = trials
     out["print_probability"] = contours.mean(axis=0)
     out["deterministic_cd_nm"] = _edge_stats(
-        det_field[None], config, axis=axis,
-        threshold=model.threshold)["mean_cd_nm"]
+        det_field[None], config, axis=axis, threshold=model.threshold,
+        row_step=row_step)["mean_cd_nm"]
     return out

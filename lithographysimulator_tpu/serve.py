@@ -22,7 +22,7 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``aberrations``, ``solver``, ``normalize``, ``polarization``. Returns the
   aerial image (base64 float32) + the run report.
 * ``/jobs`` — POST; submit a LONG-RUNNING full-chip job:
-  ``{"kind": "tiled"|"fem"|"opc", ...}`` -> ``{"job_id": ...}``. Jobs run on
+  ``{"kind": "tiled"|"fem"|"opc"|"stochastic", ...}`` -> ``{"job_id": ...}``. Jobs run on
   a dedicated executor thread with live progress; ``/simulate`` traffic
   keeps flowing while a job is in flight (jax serializes device work).
 * ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error|cancelled,
@@ -195,9 +195,9 @@ class JobRunner:
 
     def submit(self, body: dict) -> dict:
         kind = body.get("kind")
-        if kind not in ("tiled", "fem", "opc"):
+        if kind not in ("tiled", "fem", "opc", "stochastic"):
             raise ValueError(f"unknown job kind {kind!r} "
-                             "(expected tiled/fem/opc)")
+                             "(expected tiled/fem/opc/stochastic)")
         # validate the mask early so submission errors are synchronous 400s
         mask = _decode_array(body["mask"])
         if mask.ndim != 2 or mask.shape[0] != mask.shape[1]:
@@ -423,6 +423,27 @@ class JobRunner:
                 out["epe"] = {k: v for k, v in result["epe"].items()
                               if not k.startswith("epe_")}
             return out
+        if job.kind == "stochastic":
+            from .metrology import tiled_stochastic
+            from .models.stochastic import StochasticResist
+
+            result = tiled_stochastic(
+                np.asarray(mask, np.float32), config, source,
+                model=StochasticResist(
+                    dose_photons_per_nm2=float(
+                        body.get("dose_photons", 20.0)),
+                    quantum_efficiency=float(
+                        body.get("quantum_efficiency", 1.0)),
+                    pag_per_nm2=float(body.get("pag", 0.0)),
+                    diffusion_nm=float(body.get("diffusion", 5.0)),
+                    threshold=float(body.get("threshold", 0.3)),
+                    noise=str(body.get("noise", "poisson"))),
+                trials=int(body.get("trials", 32)),
+                seed=int(body.get("seed", 0)),
+                rank=rank, halo=halo, polarization=polarization,
+                chromatic=chromatic, progress_cb=progress)
+            return result
+
         # job.kind == "opc"
         from .optimize import opc_correct_tiled
 

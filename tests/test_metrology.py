@@ -196,3 +196,37 @@ def test_field_dependent_fem(big_mask, source):
         rank=32, halo=16, field_aberrations=slit, row=2)
     assert result["cd_nm"].shape == (3, 3)
     assert "depth_of_focus_nm" in result and "exposure_latitude" in result
+
+
+def test_tiled_stochastic_full_chip(big_mask, source):
+    """Full-chip stochastic ensemble over the tiled image: sane LER, more
+    edge statistics than a single field, and a chip-sized probability
+    band."""
+    from lithographysimulator_tpu.metrology import tiled_stochastic
+    from lithographysimulator_tpu.models.stochastic import StochasticResist
+
+    out = tiled_stochastic(
+        big_mask, TILE_CFG, source,
+        model=StochasticResist(dose_photons_per_nm2=0.05, diffusion_nm=25.0,
+                               threshold=0.35),
+        trials=8, seed=0, rank=48, halo=16, trial_chunk=4)
+    assert out["big_n"] == BIG_N
+    assert out["print_probability"].shape == (BIG_N, BIG_N)
+    assert out["trials"] == 8
+    assert out["ler_nm"] > 0
+    assert out["mean_cd_nm"] > 0
+
+
+def test_tiled_stochastic_progress(big_mask, source):
+    from lithographysimulator_tpu.metrology import tiled_stochastic
+    from lithographysimulator_tpu.models.stochastic import StochasticResist
+
+    seen = []
+    tiled_stochastic(
+        big_mask, TILE_CFG, source,
+        model=StochasticResist(dose_photons_per_nm2=1.0, diffusion_nm=25.0,
+                               threshold=0.35, noise="gaussian"),
+        trials=4, seed=1, rank=32, halo=16, trial_chunk=4,
+        progress_cb=seen.append)
+    assert seen and seen[-1] == 1.0
+    assert all(b >= a for a, b in zip(seen, seen[1:]))

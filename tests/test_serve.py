@@ -571,3 +571,20 @@ def test_artifact_eviction_returns_410(server, monkeypatch):
     assert final["status"] == "done", final
     status, err = _get(server, final["image"]["stream_path"])
     assert status == 410 and "evicted" in err["error"]
+
+
+def test_job_stochastic_full_chip(server):
+    """Stochastic full-chip job: ensemble summary inline, big
+    print-probability band streamable."""
+    body = _job_body("stochastic", big_n=96, trials=6,
+                     dose_photons=0.2, diffusion=25.0, threshold=0.35,
+                     noise="gaussian", seed=3)
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200, payload
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert final["trials"] == 6 and final["big_n"] == 96
+    assert final["ler_nm"] >= 0 and "break_rate" in final
+    band = _decode_array(final["print_probability"])
+    assert band.shape == (96, 96)
+    assert 0.0 <= band.min() and band.max() <= 1.0
