@@ -27,6 +27,7 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table,
                             nils_table, pattern_fidelity)
+from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.source import LightSource
 from .models.stochastic import (StochasticResist, exposure_trials,
                                 stochastic_ensemble)
@@ -86,6 +87,9 @@ __all__ = [
     "cd_uniformity",
     "critical_dimension",
     "nils_table",
+    "MaskRules",
+    "mrc_check",
+    "mrc_clean",
     "exposure_trials",
     "stochastic_ensemble",
     "edge_placement_errors",

@@ -508,13 +508,30 @@ def cmd_opc(args) -> int:
         sweeps=args.sweeps, polarization=polarization,
         chromatic=_build_chromatic(args))
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    report = {
         "big_n": big_n, "tile_n": tile_config.n, "steps": args.steps,
         "sweeps": args.sweeps,
         "fidelity_before": fidelity(target),
         "fidelity_after": fidelity(corrected),
         "wall_clock_s": round(elapsed, 3),
-    }))
+    }
+    if args.mrc_min_width or args.mrc_min_space or args.mrc_min_area:
+        from .models.mrc import MaskRules, mrc_check, mrc_clean
+
+        rules = MaskRules(min_width_nm=args.mrc_min_width,
+                          min_space_nm=args.mrc_min_space,
+                          min_area_nm2=args.mrc_min_area)
+        check = mrc_check(corrected, tile_config, rules)
+        report["mrc"] = {k: v for k, v in check.items()
+                         if not isinstance(v, np.ndarray)}
+        if args.mrc_repair and not check["clean"]:
+            corrected = mrc_clean(corrected, tile_config, rules)
+            recheck = mrc_check(corrected, tile_config, rules)
+            report["mrc_after_repair"] = {
+                k: v for k, v in recheck.items()
+                if not isinstance(v, np.ndarray)}
+            report["fidelity_after_repair"] = fidelity(corrected)
+    print(json.dumps(report))
     if args.out:
         np.save(args.out, corrected)
         print(f"wrote {args.out}")
@@ -782,6 +799,15 @@ def main(argv=None) -> int:
                        choices=["scalar", "x", "y", "unpolarized"],
                        help="vector (Jones-pupil) forward model for the "
                             "correction and the fidelity report")
+    p_opc.add_argument("--mrc-min-width", type=float, default=0.0,
+                       help="mask-rule check: min feature width (nm)")
+    p_opc.add_argument("--mrc-min-space", type=float, default=0.0,
+                       help="mask-rule check: min space/gap (nm)")
+    p_opc.add_argument("--mrc-min-area", type=float, default=0.0,
+                       help="mask-rule check: min feature area (nm^2)")
+    p_opc.add_argument("--mrc-repair", action="store_true",
+                       help="morphologically repair MRC violations and "
+                            "re-report fidelity")
     p_opc.add_argument("--out", default=None, help="corrected mask .npy path")
     _add_chromatic(p_opc)
     p_opc.set_defaults(func=cmd_opc)

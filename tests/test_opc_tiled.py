@@ -59,3 +59,46 @@ def test_opc_correct_tiled_second_sweep_consistent(layout, source):
     f1 = _print_fidelity(one, layout, source, resist)
     f2 = _print_fidelity(two, layout, source, resist)
     assert f2["iou"] >= f1["iou"] - 0.01
+
+
+def test_opc_output_mrc_check_and_repair(layout, source):
+    """MRC on an OPC output: the checker runs on the corrected mask, and a
+    repair pass makes it rule-clean without destroying print fidelity."""
+    from lithographysimulator_tpu.models.mrc import (MaskRules, mrc_check,
+                                                     mrc_clean)
+
+    resist = ResistModel(threshold=0.3, steepness=30.0)
+    corrected = opc_correct_tiled(layout, TILE_CFG, source, resist=resist,
+                                  halo=16, steps=12, rank=48,
+                                  learning_rate=0.2)
+    rules = MaskRules(min_width_nm=3 * TILE_CFG.pixel_size,
+                      min_space_nm=2 * TILE_CFG.pixel_size,
+                      min_area_nm2=8 * TILE_CFG.pixel_size ** 2)
+    check = mrc_check(corrected, TILE_CFG, rules)
+    assert check["component_count"] >= 9  # the rectangles survived OPC
+    repaired = mrc_clean(corrected, TILE_CFG, rules)
+    assert mrc_check(repaired, TILE_CFG, rules)["clean"]
+    # repair must not collapse the print: fidelity stays close to the
+    # corrected mask's
+    resist_fid = _print_fidelity(repaired, layout, source, resist)
+    assert resist_fid["iou"] > 0.5
+
+
+def test_cli_opc_mrc_report(capsys):
+    import json
+
+    from lithographysimulator_tpu.cli import main
+
+    rc = main([
+        "opc", "--pixel-number", "64", "--big-n", "128", "--mask", "contacts",
+        "--source", "annular", "--sigma-in", "0.3", "--sigma-out", "0.6",
+        "--steps", "6", "--rank", "32", "--halo", "16",
+        "--mrc-min-width", "50", "--mrc-min-area", "5000", "--mrc-repair",
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mrc" in payload
+    mrc = payload["mrc"]
+    assert "width_violation_px" in mrc and "clean" in mrc
+    if not mrc["clean"]:
+        assert payload["mrc_after_repair"]["clean"] in (True, False)
