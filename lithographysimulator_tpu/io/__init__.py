@@ -1,3 +1,4 @@
+from .contours import contours_to_gds, rasterize_loops, trace_contours
 from .gdsii import GDSCell, GDSLibrary, GDSPolygon, read_gds, write_gds
 from .layout import (mask_from_gds, mask_from_layout, mask_from_oasis,
                      mask_from_polygons)
