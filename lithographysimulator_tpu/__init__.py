@@ -28,6 +28,7 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             edge_placement_errors, feature_table,
                             nils_table, pattern_fidelity)
 from .models.mrc import MaskRules, mrc_check, mrc_clean
+from .models.multipatterning import decompose_lele, lele_print
 from .models.source import LightSource
 from .models.stochastic import (StochasticResist, exposure_trials,
                                 stochastic_ensemble)
@@ -90,6 +91,8 @@ __all__ = [
     "MaskRules",
     "mrc_check",
     "mrc_clean",
+    "decompose_lele",
+    "lele_print",
     "exposure_trials",
     "stochastic_ensemble",
     "edge_placement_errors",
