@@ -26,7 +26,8 @@ from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table,
-                            nils_table, pattern_fidelity)
+                            hotspots, nils_table,
+                            pattern_fidelity)
 from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.multipatterning import decompose_lele, lele_print
 from .models.source import LightSource
@@ -88,6 +89,7 @@ __all__ = [
     "cd_uniformity",
     "critical_dimension",
     "nils_table",
+    "hotspots",
     "MaskRules",
     "mrc_check",
     "mrc_clean",

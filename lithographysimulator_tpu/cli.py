@@ -538,6 +538,41 @@ def cmd_opc(args) -> int:
     return 0
 
 
+def cmd_lele(args) -> int:
+    """Double patterning: decompose the layout into two LELE masks, print
+    both + the single exposure, report feature recovery."""
+    from .models.multipatterning import lele_print
+    from .models.resist import ResistModel, feature_table
+
+    config = _build_config(args)
+    mask = np.abs(np.asarray(_build_mask(args, config).geometry, np.float32))
+    source = _build_source(args, config)
+    polarization = None if args.polarization == "scalar" else args.polarization
+    t0 = time.perf_counter()
+    out = lele_print(
+        mask, config, np.asarray(source), min_pitch_nm=args.min_pitch,
+        resist=ResistModel(threshold=args.threshold), rank=args.rank,
+        halo=args.halo, polarization=polarization,
+        chromatic=_build_chromatic(args))
+    elapsed = time.perf_counter() - t0
+    feats = lambda m: int(feature_table(m, config, axis=1)["row"].size)
+    print(json.dumps({
+        "features": out["features"],
+        "conflict_edges": out["conflict_edges"],
+        "violations": out["violations"],
+        "cuts_target": feats(mask),
+        "cuts_lele": feats(out["profile"]),
+        "cuts_single": feats(out["profile_single"]),
+        "wall_clock_s": round(elapsed, 3),
+    }))
+    if args.out:
+        np.savez(args.out, mask_a=out["mask_a"], mask_b=out["mask_b"],
+                 profile=out["profile"],
+                 profile_single=out["profile_single"])
+        print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_stochastic(args) -> int:
     """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
     trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
@@ -842,6 +877,21 @@ def main(argv=None) -> int:
     p_r3d.add_argument("--out", default=None, help="3-D profile .npz path")
     p_r3d.add_argument("--plot", default=None, help="cross-section .png path")
     p_r3d.set_defaults(func=cmd_resist3d)
+
+    p_lele = sub.add_parser(
+        "lele", help="double patterning: decompose + composite print")
+    _add_common(p_lele)
+    _add_chromatic(p_lele)
+    p_lele.add_argument("--min-pitch", type=float, default=200.0,
+                        help="minimum same-mask pitch (nm) for decomposition")
+    p_lele.add_argument("--threshold", type=float, default=0.35)
+    p_lele.add_argument("--rank", type=int, default=48)
+    p_lele.add_argument("--halo", type=int, default=None)
+    p_lele.add_argument("--polarization", default="scalar",
+                        choices=["scalar", "x", "y", "unpolarized"])
+    p_lele.add_argument("--out", default=None,
+                        help=".npz path for masks + profiles")
+    p_lele.set_defaults(func=cmd_lele)
 
     p_sto = sub.add_parser(
         "stochastic", help="Monte-Carlo stochastic printing (LER/defects)")

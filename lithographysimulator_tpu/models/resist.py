@@ -255,8 +255,44 @@ def nils_table(image, config: OpticsConfig, *, threshold: float = 0.3,
         "nils": nils,
         "ils_per_nm": ils,
         "width_nm": feats["width_nm"],
+        "row": feats["row"],
+        "center_nm": feats["center_nm"],
         "threshold": threshold,
         "axis": axis,
+    }
+
+
+def hotspots(image, config: OpticsConfig, *, threshold: float = 0.3,
+             nils_limit: float = 1.5, axis: int = 1,
+             row_step: int | None = None, top: int = 50) -> dict:
+    """Lithography hotspot detection: features whose NILS falls below a
+    printability floor — the locations that will fail first under dose or
+    focus drift (low NILS <=> amplified CD sensitivity). The inspection
+    pass a fab runs before committing a mask; rides on :func:`nils_table`.
+
+    Returns the hotspot count, the fraction of features below the limit,
+    and ``locations``: up to ``top`` (y_nm, x_nm, nils) rows sorted
+    weakest-first (coordinates in the image frame regardless of ``axis``).
+    No reference counterpart."""
+    tab = nils_table(image, config, threshold=threshold, axis=axis,
+                     row_step=row_step)
+    if tab["count"] == 0:
+        return {"count": 0, "fraction_below": 0.0,
+                "locations": np.zeros((0, 3)), "nils_limit": nils_limit}
+    nils = tab["nils"]
+    below = nils < nils_limit
+    order = np.argsort(nils[below])[:top]
+    px = config.pixel_size
+    along = tab["center_nm"][below][order]          # along the cut
+    across = tab["row"][below][order] * px          # cut line position
+    ys, xs = (across, along) if axis == 1 else (along, across)
+    locations = np.stack([ys, xs, nils[below][order]], axis=1)
+    return {
+        "count": int(below.sum()),
+        "fraction_below": float(below.mean()),
+        "locations": locations,
+        "nils_limit": nils_limit,
+        "min_nils": tab["min_nils"],
     }
 
 

@@ -200,3 +200,37 @@ def test_nils_empty_image():
     cfg = OpticsConfig(pixel_number=64)
     out = nils_table(np.zeros((64, 64)), cfg, threshold=0.3)
     assert out["count"] == 0 and out["mean_nils"] == 0.0
+
+
+def test_hotspots_find_the_weak_feature():
+    """One low-contrast feature among strong ones: the hotspot detector
+    ranks its edges weakest and localizes them."""
+    from lithographysimulator_tpu.models.resist import hotspots
+
+    cfg = OpticsConfig(pixel_number=128, pixel_size=4.0)
+    x = (np.arange(128) - 64) * cfg.pixel_size
+    strong = 0.5 * (1 + np.cos(2 * np.pi * x / 128.0))
+    img = np.tile(strong, (128, 1))
+    # weak stripe: rows 40..60 get a flattened (low-slope) version
+    img[40:60] = 0.45 + 0.25 * np.cos(2 * np.pi * x / 128.0)[None, :]
+    out = hotspots(img, cfg, threshold=0.4, nils_limit=3.0, row_step=4)
+    assert out["count"] > 0
+    assert 0 < out["fraction_below"] < 1.0
+    ys = out["locations"][:, 0]
+    assert ((ys >= 40 * 4.0) & (ys <= 60 * 4.0)).all()
+    # weakest-first ordering
+    nils_col = out["locations"][:, 2]
+    assert (np.diff(nils_col) >= -1e-9).all()
+    assert (nils_col < 3.0).all()
+
+
+def test_hotspots_clean_image_empty():
+    from lithographysimulator_tpu.models.resist import hotspots
+
+    cfg = OpticsConfig(pixel_number=64, pixel_size=4.0)
+    x = (np.arange(64) - 32) * cfg.pixel_size
+    img = np.tile(0.5 * (1 + np.cos(2 * np.pi * x / 64.0)), (64, 1))
+    out = hotspots(img, cfg, threshold=0.4, nils_limit=0.5)
+    assert out["count"] == 0 or out["fraction_below"] < 0.05
+    out_none = hotspots(np.zeros((64, 64)), cfg)
+    assert out_none["count"] == 0 and out_none["locations"].shape == (0, 3)

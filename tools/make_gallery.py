@@ -286,6 +286,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![cdu](cd_metrology.png) | Full-chip CD metrology (round 3): developed chip, per-region CD-uniformity map, subpixel CD distribution |
 | ![chromatic](chromatic.png) | Chromatic imaging (round 3): finite laser bandwidth (E95) blurs focus through the lens's longitudinal chromatic aberration — dense-line contrast erodes with spectral width |
 | ![stochastic](stochastic.png) | Stochastic resist (round 3): photon/acid counting trials — photon-starved dose roughens edges (LER ~ 1/sqrt(dose)) and breaks features; print-probability bands over 32 trials |
+| ![dp](double_patterning.png) | Double patterning (round 3): 150 nm-pitch grating collapses in a single exposure, prints at full feature count after LELE conflict-graph decomposition |
 """)
     print("wrote", gallery)
 
@@ -418,6 +419,24 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "stochastic.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "stochastic.png")
+
+    # 15. Double patterning: the dense grating only prints decomposed
+    from lithographysimulator_tpu.models.multipatterning import lele_print
+
+    cfg_dp = lt.OpticsConfig(pixel_number=64)
+    m_dp = np.zeros((64, 64), np.float32)
+    for x in range(4, 60, 6):
+        m_dp[8:-8, x:x + 3] = 1.0  # 150 nm pitch
+    src_dp = np.asarray(lt.LightSource(cfg_dp, sigma_out=0.3).classical())
+    dp = lele_print(m_dp, cfg_dp, src_dp, min_pitch_nm=200.0,
+                    resist=lt.ResistModel(threshold=0.45), rank=48, halo=16)
+    save_panels("double_patterning", [
+        ("target: 150 nm pitch", m_dp),
+        ("mask A (300 nm pitch)", dp["mask_a"]),
+        ("mask B", dp["mask_b"]),
+        ("single exposure: collapsed", dp["profile_single"]),
+        ("LELE union: resolved", dp["profile"]),
+    ], ncols=5)
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
