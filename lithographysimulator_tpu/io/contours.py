@@ -54,26 +54,27 @@ def trace_contours(profile, *, threshold: float = 0.5,
     #   top    (empty above):  (j+1, i+1) -> (j, i+1)
     #   left   (empty left):   (j, i+1)   -> (j, i)
     ii, jj = np.nonzero(filled)
-    edges = []  # (x0, y0, x1, y1) in pixel-corner integer coordinates
     below = ~pad[:-2, 1:-1][filled]
     above = ~pad[2:, 1:-1][filled]
     left = ~pad[1:-1, :-2][filled]
     right = ~pad[1:-1, 2:][filled]
-    for mask_dir, seg in (
-        (below, lambda i, j: (j, i, j + 1, i)),
-        (right, lambda i, j: (j + 1, i, j + 1, i + 1)),
-        (above, lambda i, j: (j + 1, i + 1, j, i + 1)),
-        (left, lambda i, j: (j, i + 1, j, i)),
+    # (x0, y0, x1, y1) per boundary edge, fully vectorized
+    segs = []
+    for mask_dir, (ax0, ay0, ax1, ay1) in (
+        (below, (0, 0, 1, 0)),
+        (right, (1, 0, 1, 1)),
+        (above, (1, 1, 0, 1)),
+        (left, (0, 1, 0, 0)),
     ):
-        sel = np.nonzero(mask_dir)[0]
-        for k in sel:
-            edges.append(seg(int(ii[k]), int(jj[k])))
-    if not edges:
+        i, j = ii[mask_dir], jj[mask_dir]
+        segs.append(np.stack([j + ax0, i + ay0, j + ax1, i + ay1], axis=1))
+    edges = np.concatenate(segs) if segs else np.zeros((0, 4), np.int64)
+    if edges.shape[0] == 0:
         return []
 
     # start-point -> outgoing edges (at most 2: the checkerboard corner)
     out_edges: dict = {}
-    for x0, y0, x1, y1 in edges:
+    for x0, y0, x1, y1 in map(tuple, edges.tolist()):
         out_edges.setdefault((x0, y0), []).append((x1, y1))
 
     def pick_next(prev_dx, prev_dy, options):

@@ -8,7 +8,8 @@ pattern is the union of the two transfers.
 
 Decomposition is the classic conflict-graph 2-coloring: features are
 connected components of the layout (:func:`.mrc.label_components`), an edge
-joins any two features closer than ``min_pitch_nm`` (detected by
+joins any two features whose edge-to-edge (Chebyshev) distance is below
+``min_pitch_nm`` — the minimum SAME-MASK spacing (detected by
 bounding-box-local dilation — O(total area * k), no pairwise distance
 matrix), and BFS 2-colors each connected conflict subgraph. Odd cycles
 (three mutual neighbors etc.) are inherent LELE conflicts — reported, not
@@ -45,15 +46,29 @@ def decompose_lele(mask, config_or_pixel, *, min_pitch_nm: float) -> dict:
         z = np.zeros_like(arr, np.float32)
         return {"mask_a": z, "mask_b": z.copy(), "colors": {},
                 "features": 0, "conflict_edges": 0, "violations": 0}
-    # conflict edge <=> dilating one feature by ceil(min_pitch/px) overlaps
-    # another; dilate per component inside its padded bounding box
+    # conflict edge <=> edge-to-edge (Chebyshev) distance below
+    # ceil(min_pitch/px): dilate each component inside its padded bounding
+    # box and read the other labels underneath. Bounding boxes come from
+    # ONE pass over the nonzero pixels (minimum.at / maximum.at), not a
+    # labels == lab scan per component.
     k = max(1, int(np.ceil(min_pitch_nm / px)))
+    ys_all, xs_all = np.nonzero(labels)
+    labs_all = labels[ys_all, xs_all]
+    ymin = np.full(count + 1, arr.shape[0])
+    ymax = np.zeros(count + 1, np.int64)
+    xmin = np.full(count + 1, arr.shape[1])
+    xmax = np.zeros(count + 1, np.int64)
+    np.minimum.at(ymin, labs_all, ys_all)
+    np.maximum.at(ymax, labs_all, ys_all)
+    np.minimum.at(xmin, labs_all, xs_all)
+    np.maximum.at(xmax, labs_all, xs_all)
     adj: dict[int, set[int]] = {i: set() for i in range(1, count + 1)}
     for lab in range(1, count + 1):
-        ys, xs = np.nonzero(labels == lab)
         pad = k + 1
-        y0, y1 = max(0, ys.min() - pad), min(arr.shape[0], ys.max() + pad + 1)
-        x0, x1 = max(0, xs.min() - pad), min(arr.shape[1], xs.max() + pad + 1)
+        y0 = max(0, int(ymin[lab]) - pad)
+        y1 = min(arr.shape[0], int(ymax[lab]) + pad + 1)
+        x0 = max(0, int(xmin[lab]) - pad)
+        x1 = min(arr.shape[1], int(xmax[lab]) + pad + 1)
         window = labels[y0:y1, x0:x1]
         grown = _dilate((window == lab).astype(np.int8), 2 * k + 1)
         near = np.unique(window[(grown == 1) & (window != 0)

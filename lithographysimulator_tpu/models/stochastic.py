@@ -210,10 +210,15 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
     }
 
 
-def _defect_rates(contours: np.ndarray, reference: np.ndarray) -> dict:
+def _defect_rates(contours: np.ndarray, reference: np.ndarray,
+                  axis: int = 1) -> dict:
     """Bridge/break rates vs the deterministic contour, per cut line: a cut
     with MORE above-threshold runs than the reference has a broken feature
     (extra edge pair), FEWER means features merged (bridged)."""
+    if axis == 0:
+        contours = contours.transpose(0, 2, 1)
+        reference = reference.T
+
     def runs_per_row(c):
         d = np.diff(np.pad(c > 0.5, ((0, 0), (1, 1))).astype(np.int8), axis=1)
         return (d == 1).sum(axis=1)
@@ -254,7 +259,7 @@ def stochastic_ensemble(image, config: OpticsConfig,
     reference = (det_field > model.threshold).astype(np.float32)
     out = _edge_stats(fields, config, axis=axis, threshold=model.threshold,
                       row_step=row_step)
-    out.update(_defect_rates(contours, reference))
+    out.update(_defect_rates(contours, reference, axis=axis))
     out["trials"] = trials
     out["print_probability"] = contours.mean(axis=0)
     out["deterministic_cd_nm"] = _edge_stats(

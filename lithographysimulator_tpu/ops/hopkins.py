@@ -872,6 +872,8 @@ def compress_components(components, weights, channels: int):
     differentiating a build w.r.t. aberrations treats the mixing as frozen
     (exact for the kept subspace)."""
     c, n, _ = components.shape
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
     if channels >= c:
         return (components.astype(jnp.complex64),
                 jnp.asarray(weights, jnp.float32))
