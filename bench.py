@@ -275,6 +275,24 @@ def main() -> None:
     jax.block_until_ready(chromatic_socs_cold(*argsv, rot_c))
     t_chromatic_cold = time.perf_counter() - t0
 
+    # --- round 3: stochastic resist trials, 1024^2 ----------------------
+    # 16 Poisson photon/acid counting trials (sample + saturate + FFT blur
+    # + threshold) on the SOCS aerial image — the Monte-Carlo ensemble
+    # throughput that LER/defect statistics are built from.
+    from lithographysimulator_tpu.models.stochastic import (
+        StochasticResist, exposure_trials)
+
+    sto_model = StochasticResist(dose_photons_per_nm2=20.0, diffusion_nm=8.0,
+                                 threshold=0.3, pag_per_nm2=5.0)
+    _progress("compiling 1024^2 stochastic trials")
+    sto_image = image / jnp.max(image)
+    jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
+                                          trials=16, seed=0, trial_chunk=8))
+    t0 = time.perf_counter()
+    jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
+                                          trials=16, seed=1, trial_chunk=8))
+    sto_trials_per_s = 16 / (time.perf_counter() - t0)
+
     # --- round 3: lean single-block-peak build, 2048^2 rank 256 ---------
     # The memory-constrained config (standard build would OOM HBM); round-3
     # chunk re-tune cut it ~14 s -> ~6 s (row_chunk 32 / img_row_chunk 128).
@@ -317,6 +335,7 @@ def main() -> None:
         "vector_socs_channels": vchan,
         "chromatic_socs_cold_s": round(t_chromatic_cold, 3),
         "chromatic_socs_channels": cchan,
+        "stochastic_trials_per_s": round(sto_trials_per_s, 1),
         "socs_cold_2048_s": round(t_socs_2048, 3),
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
         "socs_lean_2048_rank256_s": round(t_lean_2048, 3),

@@ -30,6 +30,7 @@ LER ~ 1/sqrt(dose) at fixed blur, saturating at the image log-slope limit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -138,16 +139,13 @@ class StochasticResist:
                 > self.threshold).astype(jnp.float32)
 
 
-def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
-                    *, trials: int = 64, seed: int = 0,
-                    trial_chunk: int = 16, binary: bool = True) -> jnp.ndarray:
-    """(trials, n, n) stochastic exposures, one jitted program: binary
-    printed contours (default) or the continuous deprotection fields
-    (``binary=False`` — what the subpixel roughness metrics consume).
-
-    vmap inside, ``lax.map`` over chunks of trials to bound live memory
-    (64 trials at 1024^2 f32 is 268 MB live if vmapped flat)."""
-    keys = jax.random.split(jax.random.PRNGKey(seed), trials)
+@functools.lru_cache(maxsize=32)
+def _compiled_trials(model: StochasticResist, config: OpticsConfig,
+                     binary: bool, trial_chunk: int):
+    """Cached jitted trial program per (model, config, form): repeated
+    ensembles (dose sweeps, benchmarks, serving) must not re-trace — a
+    fresh jit closure per call would recompile every time, minutes each
+    through the TPU tunnel."""
     one = model.contour if binary else model.deprotection
 
     @jax.jit
@@ -162,6 +160,20 @@ def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
         out = jax.lax.map(chunk_fn, keys.reshape(m // c, c, 2))
         return out.reshape(m, *image.shape)
 
+    return run
+
+
+def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
+                    *, trials: int = 64, seed: int = 0,
+                    trial_chunk: int = 16, binary: bool = True) -> jnp.ndarray:
+    """(trials, n, n) stochastic exposures, one jitted program: binary
+    printed contours (default) or the continuous deprotection fields
+    (``binary=False`` — what the subpixel roughness metrics consume).
+
+    vmap inside, ``lax.map`` over chunks of trials to bound live memory
+    (64 trials at 1024^2 f32 is 268 MB live if vmapped flat)."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), trials)
+    run = _compiled_trials(model, config, binary, trial_chunk)
     return run(jnp.asarray(image), keys)
 
 
