@@ -419,6 +419,7 @@ def cmd_fem(args) -> int:
         window_fn=window_fn, big_n=big_n if window_fn is not None else None,
         polarization=polarization, chromatic=_build_chromatic(args),
         warm_start=not args.no_warm_start,
+        hotspot_nils=args.hotspot_nils,
     )
     elapsed = time.perf_counter() - t0
     report = {
@@ -442,6 +443,10 @@ def cmd_fem(args) -> int:
                          if not k.startswith("epe_")}
     if result.get("nils") is not None:
         report["nils"] = result["nils"]
+    if result.get("hotspots") is not None:
+        spots = dict(result["hotspots"])
+        spots["locations"] = spots["locations"][:10]  # top-10 in the JSON
+        report["hotspots"] = spots
     print(json.dumps(report))
     if args.cdu_map and cdu is not None:
         cd_map = np.asarray(cdu["cd_map_nm"])
@@ -809,6 +814,9 @@ def main(argv=None) -> int:
     p_fem.add_argument("--no-warm-start", action="store_true",
                        help="disable the warm-started per-plane kernel "
                             "builds (each plane then builds cold)")
+    p_fem.add_argument("--hotspot-nils", type=float, default=None,
+                       help="report feature locations with NILS below this "
+                            "printability floor (e.g. 1.5)")
     p_fem.add_argument("--cdu-map", default=None,
                        help="write the nominal-condition CD-uniformity map "
                             "(.npy, or any image extension for a rendered "

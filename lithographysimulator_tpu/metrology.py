@@ -18,7 +18,7 @@ import numpy as np
 from .config import OpticsConfig
 from .models.resist import (ResistModel, cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table, meef,
-                            nils_table, process_window)
+                            hotspots, nils_table, process_window)
 from .ops.focus import focus_stack_aberrations
 from .ops.tiled import tiled_socs_image
 
@@ -188,6 +188,7 @@ def tiled_fem(
     cd_row_step: int | None = None,
     target_geometry=None,
     progress_cb=None,
+    hotspot_nils: float | None = None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
@@ -249,6 +250,7 @@ def tiled_fem(
     cdu = None
     epe = None
     nils = None
+    spots = None
     for i, image in enumerate(stack):
         norm = image / scale
         for j, dose in enumerate(doses):
@@ -264,6 +266,15 @@ def tiled_fem(
                 nils = nils_table(norm * dose, tile_config,
                                   threshold=resist.threshold, axis=cd_axis,
                                   row_step=cd_row_step, normalize=False)
+                if hotspot_nils is not None:
+                    spots = hotspots(norm * dose, tile_config,
+                                     threshold=resist.threshold,
+                                     nils_limit=hotspot_nils, axis=cd_axis,
+                                     row_step=cd_row_step)
+                    spots["locations"] = np.round(
+                        spots["locations"], 2).tolist()
+                else:
+                    spots = None
                 target = (target_geometry if target_geometry is not None
                           else mask_big)
                 if target is not None:
@@ -284,6 +295,7 @@ def tiled_fem(
         "nils": None if nils is None else {
             k: nils[k] for k in ("count", "mean_nils", "min_nils",
                                  "mean_ils_per_nm")},
+        "hotspots": spots,
         **summary,
     }
 

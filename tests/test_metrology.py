@@ -230,3 +230,16 @@ def test_tiled_stochastic_progress(big_mask, source):
         progress_cb=seen.append)
     assert seen and seen[-1] == 1.0
     assert all(b >= a for a, b in zip(seen, seen[1:]))
+
+
+def test_tiled_fem_hotspot_report(big_mask, source):
+    result = tiled_fem(
+        big_mask, TILE_CFG, source,
+        defocus_nm=[0.0], doses=[1.0],
+        resist=ResistModel(threshold=0.25),
+        rank=48, halo=16, hotspot_nils=100.0)  # huge floor: everything flags
+    spots = result["hotspots"]
+    assert spots is not None and spots["count"] > 0
+    assert 0 < spots["fraction_below"] <= 1.0
+    assert len(spots["locations"]) > 0
+    assert len(spots["locations"][0]) == 3
