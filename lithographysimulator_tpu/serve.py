@@ -404,7 +404,11 @@ class JobRunner:
                     threshold=float(body.get("threshold", 0.3))),
                 tolerance=float(body.get("tolerance", 0.10)),
                 rank=rank, halo=halo, polarization=polarization,
-                chromatic=chromatic, progress_cb=progress)
+                chromatic=chromatic,
+                hotspot_nils=(float(body["hotspot_nils"])
+                              if body.get("hotspot_nils") is not None
+                              else None),
+                progress_cb=progress)
             cdu = dict(result["cdu"] or {})
             cd_map = cdu.pop("cd_map_nm", None)
             out = {
@@ -417,6 +421,12 @@ class JobRunner:
                 "in_spec_fraction": result["in_spec_fraction"],
                 "cdu": cdu,
             }
+            if result.get("nils") is not None:
+                out["nils"] = result["nils"]
+            if result.get("hotspots") is not None:
+                spots = dict(result["hotspots"])
+                spots["locations"] = spots["locations"][:10]
+                out["hotspots"] = spots
             if cd_map is not None:
                 out["cd_map_nm"] = np.nan_to_num(cd_map)
             if result.get("epe") is not None:

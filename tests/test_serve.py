@@ -588,3 +588,15 @@ def test_job_stochastic_full_chip(server):
     band = _decode_array(final["print_probability"])
     assert band.shape == (96, 96)
     assert 0.0 <= band.min() and band.max() <= 1.0
+
+
+def test_job_fem_reports_nils_and_hotspots(server):
+    body = _job_body("fem", defocus_nm=[0.0], doses=[1.0], threshold=0.25,
+                     hotspot_nils=100.0)
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert final["nils"]["mean_nils"] > 0
+    assert final["hotspots"]["count"] > 0
+    assert len(final["hotspots"]["locations"]) <= 10
