@@ -840,7 +840,7 @@ def rotation_from_gram(s_pair: np.ndarray, *, channels: int | None = None,
         else:
             cum = np.cumsum(evals)
             channels = int(np.searchsorted(cum, (1.0 - tol) * total) + 1)
-        channels = max(1, min(len(evals), channels))
+    channels = max(1, min(len(evals), int(channels)))
     u = evecs[:, :channels]
     captured = (float(evals[:channels].sum()) / total) if total > 0 else 1.0
     return np.stack([u.real, u.imag]).astype(np.float32), captured
