@@ -21,7 +21,7 @@ from .models.mask import (
     lines_and_spaces,
 )
 from .metrology import (tiled_fem, tiled_focus_images,
-                        tiled_meef, tiled_stochastic)
+                        tiled_meef, tiled_meef_map, tiled_stochastic)
 from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
@@ -107,6 +107,7 @@ __all__ = [
     "tiled_fem",
     "tiled_focus_images",
     "tiled_meef",
+    "tiled_meef_map",
     "tiled_stochastic",
     "chromatic_aberrations",
     "focus_stack_aberrations",

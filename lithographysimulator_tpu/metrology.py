@@ -390,3 +390,41 @@ def tiled_meef(
             engine=engine, tiles_per_dispatch=tiles_per_dispatch)
 
     return meef(mask_big, image_fn, tile_config, resist, bias_px=bias_px)
+
+
+def tiled_meef_map(
+    mask_big,
+    tile_config: OpticsConfig,
+    source_map,
+    *,
+    resist: ResistModel | None = None,
+    bias_px: int = 1,
+    rank: int = 128,
+    halo: int | None = None,
+    engine: str = "auto",
+    tiles_per_dispatch: int = 8,
+    map_blocks: int | None = 16,
+    polarization=None,
+    apodize: bool = True,
+    chromatic=None,
+) -> dict:
+    """Per-feature full-chip MEEF + per-region map
+    (:func:`..models.resist.meef_table` through the tiled imager — kernels
+    built once, reused for both biased prints). The map shows where mask
+    errors amplify most (iso-dense split, corner-heavy regions) instead of
+    averaging the chip to one number like :func:`tiled_meef`."""
+    from .models.resist import meef_table
+    from .simulate import _socs_build_with_channels
+
+    resist = resist or ResistModel()
+    socs = _socs_build_with_channels(tile_config, rank, polarization,
+                                     apodize, chromatic)(
+        np.zeros((5,), np.float32), np.asarray(source_map, np.float32))[0]
+
+    def image_fn(geometry):
+        return tiled_socs_image(
+            np.asarray(geometry, np.float32), socs, tile_config, halo=halo,
+            engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+
+    return meef_table(mask_big, image_fn, tile_config, resist,
+                      bias_px=bias_px, map_blocks=map_blocks)

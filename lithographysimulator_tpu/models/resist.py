@@ -785,6 +785,108 @@ def meef(
     return float((cds[1] - cds[0]) / mask_delta_nm)
 
 
+def _bias_mask(geom: np.ndarray, px: int) -> np.ndarray:
+    """Horizontal +-px edge bias (the mask perturbation MEEF differentiates
+    against), zero-filled at the field boundary — shared by :func:`meef`
+    and :func:`meef_table`."""
+    def shift0(g, s):
+        out = np.zeros_like(g)
+        if s > 0:
+            out[:, s:] = g[:, :-s]
+        elif s < 0:
+            out[:, :s] = g[:, -s:]
+        else:
+            out[:] = g
+        return out
+
+    out = geom.copy()
+    for _ in range(abs(px)):
+        if px > 0:
+            out = np.maximum(out, np.maximum(shift0(out, 1), shift0(out, -1)))
+        elif px < 0:
+            out = np.minimum(out, np.minimum(shift0(out, 1), shift0(out, -1)))
+    return out
+
+
+def meef_table(mask_geometry, image_fn, config: OpticsConfig,
+               model: "ResistModel", *, bias_px: int = 1, axis: int = 1,
+               row_step: int | None = None, map_blocks: int | None = 16,
+               max_match_nm: float | None = None) -> dict:
+    """Per-feature MEEF across the whole chip + a per-region MEEF map.
+
+    :func:`meef` reduces the chip to one feature's row cut; this measures
+    d(printed CD)/d(mask CD) for EVERY printed feature: the +-bias_px
+    prints are feature-extracted (:func:`feature_table`), features matched
+    between the two prints by (cut line, nearest center), and each pair's
+    finite difference aggregated into mean / sigma / max statistics plus a
+    ``(map_blocks, map_blocks)`` per-region map (NaN where no feature) —
+    the MEEF analog of :func:`cd_uniformity`'s CDU map. Iso-dense split
+    and corner-heavy regions show up as map structure instead of being
+    averaged away."""
+    geom = np.asarray(mask_geometry)
+    n = geom.shape[0]
+    if row_step is None:
+        row_step = max(1, n // 512)
+    px_nm = config.pixel_size
+    if max_match_nm is None:
+        max_match_nm = (2 * bias_px + 2) * px_nm
+    tables = {}
+    for px in (-bias_px, bias_px):
+        profile = np.asarray(model.develop_binary(
+            image_fn(_bias_mask(geom, px)), config))
+        tables[px] = feature_table(profile, config, axis=axis,
+                                   row_step=row_step)
+    minus, plus = tables[-bias_px], tables[bias_px]
+    mask_delta_nm = 4 * bias_px * px_nm
+    rows_m, rows_p = minus["row"], plus["row"]
+    vals, v_rows, v_centers = [], [], []
+    for r in np.unique(rows_m):
+        sel_m = rows_m == r
+        sel_p = rows_p == r
+        if not sel_p.any():
+            continue
+        cm, wm = minus["center_nm"][sel_m], minus["width_nm"][sel_m]
+        cp, wp = plus["center_nm"][sel_p], plus["width_nm"][sel_p]
+        order = np.argsort(cp)
+        cp, wp = cp[order], wp[order]
+        idx = np.clip(np.searchsorted(cp, cm), 0, len(cp) - 1)
+        idx_lo = np.maximum(idx - 1, 0)
+        pick = np.where(np.abs(cp[idx] - cm) <= np.abs(cp[idx_lo] - cm),
+                        idx, idx_lo)
+        good = np.abs(cp[pick] - cm) <= max_match_nm
+        vals.append((wp[pick][good] - wm[good]) / mask_delta_nm)
+        v_rows.append(np.full(int(good.sum()), r))
+        v_centers.append(cm[good])
+    if not vals or sum(v.size for v in vals) == 0:
+        return {"count": 0, "mean_meef": 0.0, "sigma_meef": 0.0,
+                "max_meef": 0.0, "axis": axis}
+    vals = np.concatenate(vals)
+    v_rows = np.concatenate(v_rows)
+    v_centers = np.concatenate(v_centers)
+    out = {
+        "count": int(vals.size),
+        "mean_meef": float(vals.mean()),
+        "sigma_meef": float(vals.std()),
+        "max_meef": float(vals.max()),
+        "axis": axis,
+    }
+    if map_blocks:
+        rows = v_rows.astype(float)
+        cols = v_centers / px_nm
+        if axis == 0:
+            rows, cols = cols, rows
+        bi = np.clip((rows * map_blocks) // n, 0, map_blocks - 1).astype(int)
+        bj = np.clip((cols * map_blocks) // n, 0, map_blocks - 1).astype(int)
+        acc = np.zeros((map_blocks, map_blocks))
+        cnt = np.zeros((map_blocks, map_blocks))
+        np.add.at(acc, (bi, bj), vals)
+        np.add.at(cnt, (bi, bj), 1.0)
+        with np.errstate(invalid="ignore"):
+            out["meef_map"] = np.where(cnt > 0, acc / np.maximum(cnt, 1),
+                                       np.nan)
+    return out
+
+
 def process_window(
     focus_exposure_cds,
     defocus_nm,

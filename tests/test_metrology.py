@@ -243,3 +243,27 @@ def test_tiled_fem_hotspot_report(big_mask, source):
     assert 0 < spots["fraction_below"] <= 1.0
     assert len(spots["locations"]) > 0
     assert len(spots["locations"][0]) == 3
+
+
+def test_tiled_meef_map(big_mask, source):
+    """Per-feature MEEF map: consistent with the scalar tiled_meef at the
+    same optics, full coverage of the line array, and a finite map."""
+    from lithographysimulator_tpu.metrology import tiled_meef_map
+
+    resist = ResistModel(threshold=0.25)
+    scalar = tiled_meef(big_mask, TILE_CFG, source, resist=resist,
+                        rank=48, halo=16)
+    table = tiled_meef_map(big_mask, TILE_CFG, source, resist=resist,
+                           rank=48, halo=16, map_blocks=4)
+    assert table["count"] > 50  # every feature on every sampled cut line
+    # scalar MEEF (one row cut of one feature) sits inside the per-feature
+    # distribution
+    lo = table["mean_meef"] - 4 * table["sigma_meef"] - 0.3
+    hi = table["mean_meef"] + 4 * table["sigma_meef"] + 0.3
+    assert lo <= scalar <= hi
+    m = table["meef_map"]
+    assert m.shape == (4, 4)
+    assert np.isfinite(m[~np.isnan(m)]).all()
+    # the uniform line array amplifies roughly uniformly
+    finite = m[~np.isnan(m)]
+    assert finite.size >= 8
