@@ -287,6 +287,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![chromatic](chromatic.png) | Chromatic imaging (round 3): finite laser bandwidth (E95) blurs focus through the lens's longitudinal chromatic aberration — dense-line contrast erodes with spectral width |
 | ![stochastic](stochastic.png) | Stochastic resist (round 3): photon/acid counting trials — photon-starved dose roughens edges (LER ~ 1/sqrt(dose)) and breaks features; print-probability bands over 32 trials |
 | ![dp](double_patterning.png) | Double patterning (round 3): 150 nm-pitch grating collapses in a single exposure, prints at full feature count after LELE conflict-graph decomposition |
+| ![inspection](inspection.png) | Inspection (round 3): NILS hotspot detection localizes the weak isolated contact; MRC flags sub-width slivers and tiny islands on a mask |
 """)
     print("wrote", gallery)
 
@@ -437,6 +438,52 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
         ("single exposure: collapsed", dp["profile_single"]),
         ("LELE union: resolved", dp["profile"]),
     ], ncols=5)
+
+    # 16. Inspection: NILS hotspots + MRC violations
+    from lithographysimulator_tpu.models.mrc import MaskRules, mrc_check
+    from lithographysimulator_tpu.models.resist import hotspots
+
+    cfg_in = lt.OpticsConfig(pixel_number=128, pixel_size=12.5)
+    m_in = np.zeros((128, 128), np.float32)
+    for x in range(8, 120, 12):
+        m_in[8:72, x:x + 5] = 1.0          # dense upper grating
+    m_in[88:94, 20:26] = 1.0               # small isolated contact: weak
+    m_in[88:118, 60:66] = 1.0              # isolated line
+    src_in = np.asarray(lt.LightSource(cfg_in, sigma_out=0.6).annular())
+    img_in = np.asarray(lt.simulate(
+        lt.from_array(m_in, cfg_in), src_in, solver="socs",
+        socs_rank=64).image)
+    spots = hotspots(img_in, cfg_in, threshold=0.3, nils_limit=2.2,
+                     row_step=1, top=400)
+    mrc_mask = m_in.copy()
+    mrc_mask[100:102, 90:112] = 1.0        # 25 nm sliver
+    mrc_mask[30:32, 122:124] = 1.0         # tiny island
+    check = mrc_check(mrc_mask, cfg_in,
+                      MaskRules(min_width_nm=50.0, min_area_nm2=3000.0))
+    fig, axes = plt.subplots(1, 3, dpi=170, figsize=(10.2, 3.6))
+    axes[0].imshow(img_in, cmap="inferno")
+    axes[0].set_title("aerial image", fontsize=9)
+    axes[1].imshow(img_in, cmap="gray")
+    if len(spots["locations"]):
+        loc = np.asarray(spots["locations"])
+        axes[1].scatter(loc[:, 1] / cfg_in.pixel_size,
+                        loc[:, 0] / cfg_in.pixel_size, s=6, c="red",
+                        alpha=0.6)
+    axes[1].set_title(
+        f"hotspots: NILS < {spots['nils_limit']:g} "
+        f"({spots['count']} edges)", fontsize=9)
+    viol = (check.get("width_violations", 0).astype(int)
+            + 2 * check.get("area_violations", np.zeros_like(m_in)).astype(int))
+    axes[2].imshow(mrc_mask + 2.0 * (viol > 0), cmap="magma", vmax=3)
+    axes[2].set_title(
+        f"MRC: {check['width_violation_px']}px sub-width, "
+        f"{check['area_violation_components']} small islands", fontsize=9)
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(DOCS / "inspection.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "inspection.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
