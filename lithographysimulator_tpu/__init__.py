@@ -30,6 +30,7 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             pattern_fidelity)
 from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.multipatterning import decompose_lele, lele_print
+from .models.sraf import sraf_band, sraf_insert, sraf_print_check
 from .models.source import LightSource
 from .models.stochastic import (StochasticResist, exposure_trials,
                                 stochastic_ensemble)
@@ -95,6 +96,9 @@ __all__ = [
     "mrc_clean",
     "decompose_lele",
     "lele_print",
+    "sraf_band",
+    "sraf_insert",
+    "sraf_print_check",
     "exposure_trials",
     "stochastic_ensemble",
     "edge_placement_errors",
