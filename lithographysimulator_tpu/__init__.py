@@ -50,6 +50,7 @@ from .ops.hopkins import (SOCSKernels, principal_channel_rotation,
                           randomized_socs_chromatic, randomized_socs_components,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
+from .ops.perturb import ImagePerturbation, apply_perturbation
 from .ops.mask3d import (BoundaryLayer, apply_boundary_layers,
                          fit_boundary_layer)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
@@ -78,6 +79,8 @@ __all__ = [
     "SourcePoints",
     "WavelengthScaling",
     "BoundaryLayer",
+    "ImagePerturbation",
+    "apply_perturbation",
     "abbe_image",
     "abbe_image_points",
     "alternating_psm",

@@ -143,6 +143,30 @@ def _build_mask3d(args):
     return BoundaryLayer(width_nm=width, beta_h=bh, beta_v=bv)
 
 
+def _add_perturb(p):
+    p.add_argument("--msd-x", type=float, default=0.0,
+                   help="scanner stage-blur MSD along x (nm, 1-sigma)")
+    p.add_argument("--msd-y", type=float, default=0.0,
+                   help="scanner stage-blur MSD along y (nm, 1-sigma)")
+    p.add_argument("--flare-tis", type=float, default=0.0,
+                   help="flare: total integrated scatter in [0, 1)")
+    p.add_argument("--flare-kernel", type=float, default=0.0,
+                   help="flare spread sigma in nm (0 = uniform background)")
+
+
+def _build_perturb(args):
+    """ImagePerturbation from CLI flags, or None when all off."""
+    vals = (getattr(args, "msd_x", 0.0), getattr(args, "msd_y", 0.0),
+            getattr(args, "flare_tis", 0.0),
+            getattr(args, "flare_kernel", 0.0))
+    if not any(vals):
+        return None
+    from .ops.perturb import ImagePerturbation
+
+    return ImagePerturbation(msd_x_nm=vals[0], msd_y_nm=vals[1],
+                             flare_tis=vals[2], flare_kernel_nm=vals[3])
+
+
 def _add_chromatic(p):
     p.add_argument("--bandwidth-pm", type=float, default=0.0,
                    help="E95 laser bandwidth in pm (0 = monochromatic)")
@@ -177,7 +201,8 @@ def cmd_simulate(args) -> int:
     result = simulate(mask, source, args.aberrations, solver=args.solver,
                       chunk=args.chunk, normalize=args.normalize,
                       polarization=polarization, mask3d=_build_mask3d(args),
-                      chromatic=_build_chromatic(args))
+                      chromatic=_build_chromatic(args),
+                      perturb=_build_perturb(args))
     print(json.dumps(result.report, default=repr))
     if args.out:
         save_image(args.out, result.image, result.report)
@@ -743,6 +768,7 @@ def main(argv=None) -> int:
 
     p_sim = sub.add_parser("simulate", help="compute an aerial image")
     _add_common(p_sim)
+    _add_perturb(p_sim)
     p_sim.add_argument("--solver", default="gau23",
                        choices=["gau23", "direct", "socs"])
     p_sim.add_argument("--chunk", type=int, default=4)

@@ -13,6 +13,7 @@ this is the "beyond parity" production-deployment layer.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from .config import OpticsConfig
@@ -45,6 +46,7 @@ def tiled_focus_images(
     chromatic=None,
     warm_start: bool = True,
     warm_power_iters: int = 0,
+    perturb=None,
     progress_cb=None,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
@@ -106,13 +108,19 @@ def tiled_focus_images(
                 c[4] += _d
                 return c
 
-            out.append(np.asarray(tiled_socs_image_field(
+            img = tiled_socs_image_field(
                 mask_big, tile_config, source_map, fn,
                 field_points=field_points, blend=field_blend, rank=rank,
                 halo=halo, engine=engine,
                 tiles_per_dispatch=tiles_per_dispatch,
                 polarization=polarization, apodize=apodize,
-                chromatic=chromatic)))
+                chromatic=chromatic)
+            if perturb is not None and perturb.active:
+                from .simulate import _compiled_perturb
+
+                img = _compiled_perturb(perturb, tile_config.pixel_size)(
+                    jnp.asarray(np.asarray(img)))
+            out.append(np.asarray(img))
         return np.stack(out)
     if base_aberrations is None:
         base_aberrations = np.zeros((5,), np.float32)
@@ -152,6 +160,11 @@ def tiled_focus_images(
             img = tiled_socs_image(
                 mask_big, socs, tile_config, halo=halo, engine=engine,
                 tiles_per_dispatch=tiles_per_dispatch)
+        if perturb is not None and perturb.active:
+            from .simulate import _compiled_perturb
+
+            img = _compiled_perturb(perturb, tile_config.pixel_size)(
+                jnp.asarray(np.asarray(img)))
         out.append(np.asarray(img))
         if progress_cb is not None:
             progress_cb((pi + 1) / len(stack_ab))
@@ -189,6 +202,7 @@ def tiled_fem(
     target_geometry=None,
     progress_cb=None,
     hotspot_nils: float | None = None,
+    perturb=None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
@@ -224,7 +238,7 @@ def tiled_fem(
         window_fn=window_fn, big_n=big_n,
         field_aberrations=field_aberrations, field_points=field_points,
         field_blend=field_blend, polarization=polarization, apodize=apodize,
-        chromatic=chromatic, warm_start=warm_start,
+        chromatic=chromatic, warm_start=warm_start, perturb=perturb,
         progress_cb=(None if progress_cb is None
                      else lambda f: progress_cb(0.8 * f)))
     scale = max(float(stack.max()), 1e-30)

@@ -563,10 +563,23 @@ class LithoService:
         )
         aberr = tuple(float(a) for a in (body.get("aberrations") or ()))
         chromatic = self._parse_chromatic(body.get("chromatic"))
+        perturb = self._parse_perturbation(body)
         signature = (config, source_sig, aberr, solver, chunk,
                      bool(body.get("normalize", False)), socs_rank,
-                     polarization, chromatic)
+                     polarization, chromatic, perturb)
         return signature, mask
+
+    @staticmethod
+    def _parse_perturbation(body: dict):
+        """Scanner non-ideality fields (msd_x_nm / msd_y_nm / flare_tis /
+        flare_kernel_nm) -> ImagePerturbation, or None when all absent."""
+        keys = ("msd_x_nm", "msd_y_nm", "flare_tis", "flare_kernel_nm")
+        if not any(body.get(k) for k in keys):
+            return None
+        from .ops.perturb import ImagePerturbation
+
+        return ImagePerturbation(**{k: float(body.get(k, 0.0))
+                                    for k in keys})
 
     @staticmethod
     def _parse_polarization(spec):
@@ -623,7 +636,7 @@ class LithoService:
         from .simulate import simulate_batch
 
         (config, source_sig, aberr, solver, chunk, normalize, socs_rank,
-         polarization, chromatic) = signature
+         polarization, chromatic, perturb) = signature
         source = _source_from_sig(config, source_sig)
         b = len(masks)
         padded_b = 1 << (b - 1).bit_length()  # next power of two
@@ -635,7 +648,7 @@ class LithoService:
             np.asarray(aberr, np.float32) if aberr else None,
             solver=solver, chunk=chunk, normalize=normalize,
             socs_rank=socs_rank, polarization=polarization,
-            chromatic=chromatic)
+            chromatic=chromatic, perturb=perturb)
         return np.asarray(images)[:b]
 
     def _drain_once(self, timeout: float | None = None) -> bool:
@@ -798,6 +811,7 @@ class Router:
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
                          "immersion_index", "channel_tol", "solver", "chunk", "normalize",
+                         "msd_x_nm", "msd_y_nm", "flare_tis",
                          "socs_rank", "aberrations", "source", "polarization",
                          "chromatic")
 

@@ -280,6 +280,16 @@ def _socs_build_basis_with_channels(config: OpticsConfig, rank: int,
                                                  rot)
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_perturb(perturb, pixel_size: float):
+    """Jitted aerial-image perturbation (stage blur / flare): a separate
+    cached post-step so the main pipelines need no re-keying; the FFT blur
+    is complex math and must run under jit on the TPU tunnel."""
+    from .ops.perturb import apply_perturbation
+
+    return jax.jit(lambda img: apply_perturbation(img, perturb, pixel_size))
+
+
 # Host-side cache of SOCS builds keyed on the concrete optics inputs: the
 # rank-doubling auto loop cannot run under jit, and a kernel build (seconds
 # at scale) must never be paid twice for the same (config, source,
@@ -446,6 +456,7 @@ def simulate_batch(
     apodize: bool = True,
     mask3d=None,
     chromatic=None,
+    perturb=None,
 ) -> jnp.ndarray:
     """(B, n, n) aerial images for a batch of masks under ONE shared optical
     configuration — a single compiled dispatch (vmap over the mask axis), so
@@ -482,6 +493,8 @@ def simulate_batch(
                                        mask3d, chromatic)
         images = run(geometries, aberrations, jnp.asarray(shifts),
                      jnp.asarray(weights))
+    if perturb is not None and perturb.active:
+        images = _compiled_perturb(perturb, config.pixel_size)(images)
     if block:
         images = jax.block_until_ready(images)
     return images
@@ -501,6 +514,7 @@ def simulate(
     apodize: bool = True,
     mask3d=None,
     chromatic=None,
+    perturb=None,
 ) -> SimulationResult:
     """Run the full pipeline. ``source_map`` is a concrete (n, n) weight map
     (e.g. from :class:`..models.source.LightSource`).
@@ -529,7 +543,12 @@ def simulate(
     spectrum-weighted incoherent sum over chromatic defocus planes — on the
     exact solvers as a ``lax.map`` focal blend, on ``solver='socs'`` as ONE
     polychromatic kernel set (:func:`..ops.hopkins.randomized_socs_chromatic`;
-    composable with ``polarization``)."""
+    composable with ``polarization``).
+
+    ``perturb`` (an :class:`..ops.perturb.ImagePerturbation`, default None)
+    applies scanner non-idealities to the aerial intensity: stage-blur MSD
+    and flare — incoherent effects, so they compose with every solver as a
+    jitted post-step."""
     config = mask.config
     t0 = time.perf_counter()
 
@@ -573,6 +592,8 @@ def simulate(
                                  chromatic)
         image, spectrum, pupil = run(mask.geometry, aberrations,
                                      jnp.asarray(shifts), jnp.asarray(weights))
+    if perturb is not None and perturb.active:
+        image = _compiled_perturb(perturb, config.pixel_size)(image)
     if block:
         image = jax.block_until_ready(image)
     elapsed = time.perf_counter() - t0
@@ -597,6 +618,10 @@ def simulate(
                    f"bv={mask3d.beta_v})" if mask3d is not None else "thin"),
         "wall_clock_s": elapsed,
     }
+    if perturb is not None and perturb.active:
+        report["perturbation"] = (
+            f"MSD=({perturb.msd_x_nm},{perturb.msd_y_nm})nm "
+            f"TIS={perturb.flare_tis}")
     if socs_rank_used is not None:
         report["socs_rank"] = socs_rank_used
     if socs_energy is not None:
