@@ -264,10 +264,11 @@ def test_serve_parses_jones_polarization():
         "polarization": [[1.0, 0.0], [0.0, 1.0]],  # circular-ish Jones
     }
     sig, _ = svc._parse(body)
-    assert sig[-2] == (1.0 + 0.0j, 1.0j)  # [-1] is the chromatic slot
+    # [-3]: polarization slot ([-2] chromatic, [-1] perturbation)
+    assert sig[-3] == (1.0 + 0.0j, 1.0j)
     body["polarization"] = "unpolarized"
     sig, _ = svc._parse(body)
-    assert sig[-2] == "unpolarized"
+    assert sig[-3] == "unpolarized"
     body["polarization"] = [0.0, 0.0]
     with pytest.raises(ValueError, match="zero Jones"):
         svc._parse(body)
