@@ -34,6 +34,7 @@ def _build_config(args):
         na=args.na,
         immersion_index=args.immersion_index,
         channel_tol=args.channel_tol,
+        obscuration=args.obscuration,
     )
 
 
@@ -97,6 +98,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--immersion-index", type=float, default=1.0,
                    help="image-side medium index (1.437 = water at 193 nm; "
                         "enables hyper-NA vector imaging)")
+    p.add_argument("--obscuration", type=float, default=0.0,
+                   help="central pupil obscuration as a fraction of NA "
+                        "(high-NA EUV optics, e.g. 0.2)")
     p.add_argument("--channel-tol", type=float, default=1e-6,
                    help="principal-channel compression trace tolerance for "
                         "polarized/chromatic kernel builds (raise to trade "

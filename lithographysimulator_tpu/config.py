@@ -81,6 +81,12 @@ class OpticsConfig:
     #: it (e.g. 3e-3) to trade accuracy for build speed on vector stacks,
     #: or set 0.0 to drop exact redundancies only.
     channel_tol: float = 1e-6
+    #: central pupil obscuration as a fraction of NA (0 = unobscured).
+    #: High-NA EUV projection optics have an obscured central pupil zone
+    #: (~0.2 of NA): frequencies with rho < obscuration carry no field.
+    #: Applied at the pupil function, so it flows through every solver,
+    #: the vector engine, SOCS builds, and metrology automatically.
+    obscuration: float = 0.0
 
     def __post_init__(self):
         if self.pixel_number < 2 or self.pixel_number % 2 != 0:
@@ -99,6 +105,9 @@ class OpticsConfig:
         if not (0.0 <= self.channel_tol < 1.0):
             raise ValueError(
                 f"channel_tol must be in [0, 1), got {self.channel_tol}")
+        if not (0.0 <= self.obscuration < 1.0):
+            raise ValueError(
+                f"obscuration must be in [0, 1), got {self.obscuration}")
 
     # --- derived grid constants (reference mask.py:32-35) -----------------
     @property

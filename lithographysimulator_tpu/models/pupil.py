@@ -68,5 +68,10 @@ def pupil_function(
     )
     phase = (2.0 * np.pi) * we
     phi = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(dtype)
-    disk = jnp.asarray(unit_disk_mask(Grid(config)), dtype=dtype)
-    return phi * disk
+    grid = Grid(config)
+    disk = unit_disk_mask(grid)
+    if config.obscuration > 0.0:
+        # high-NA EUV central obscuration: an annular pupil (the obscured
+        # zone carries no field); host-side numpy, jit-static like the disk
+        disk = disk & (grid.radius() >= config.obscuration)
+    return phi * jnp.asarray(disk, dtype=dtype)

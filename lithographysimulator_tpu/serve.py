@@ -341,6 +341,7 @@ class JobRunner:
             na=float(body.get("na", 0.7)),
             immersion_index=float(body.get("immersion_index", 1.0)),
             channel_tol=float(body.get("channel_tol", 1e-6)),
+            obscuration=float(body.get("obscuration", 0.0)),
         )
         src_spec = body.get("source", {})
         source_sig = (
@@ -542,6 +543,7 @@ class LithoService:
             na=float(body.get("na", 0.7)),
             immersion_index=float(body.get("immersion_index", 1.0)),
             channel_tol=float(body.get("channel_tol", 1e-6)),
+            obscuration=float(body.get("obscuration", 0.0)),
         )
         mask = _decode_array(body["mask"])
         if mask.shape != (config.n, config.n):
@@ -810,7 +812,8 @@ class Router:
         self._job_backend: dict[str, int] = {}
 
     _SIGNATURE_FIELDS = ("pixel_number", "pixel_size", "wavelength", "na",
-                         "immersion_index", "channel_tol", "solver", "chunk", "normalize",
+                         "immersion_index", "channel_tol", "obscuration",
+                         "solver", "chunk", "normalize",
                          "msd_x_nm", "msd_y_nm", "flare_tis",
                          "socs_rank", "aberrations", "source", "polarization",
                          "chromatic")
