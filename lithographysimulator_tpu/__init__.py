@@ -20,7 +20,8 @@ from .models.mask import (
     from_array,
     lines_and_spaces,
 )
-from .metrology import (tiled_fem, tiled_focus_images,
+from .metrology import (apply_dose_map, dose_correction_map,
+                        tiled_fem, tiled_focus_images,
                         tiled_meef, tiled_meef_map, tiled_stochastic)
 from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
@@ -114,6 +115,8 @@ __all__ = [
     "tiled_fem",
     "tiled_focus_images",
     "tiled_meef",
+    "apply_dose_map",
+    "dose_correction_map",
     "tiled_meef_map",
     "tiled_stochastic",
     "chromatic_aberrations",

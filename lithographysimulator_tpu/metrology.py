@@ -370,6 +370,70 @@ def tiled_stochastic(
     return out
 
 
+def dose_correction_map(fem_result: dict, *,
+                        target_cd_nm: float | None = None,
+                        max_correction: float = 0.15) -> dict:
+    """Per-region dose corrections that flatten CD uniformity.
+
+    Process control closes the loop the FEM opens: the FEM's dose axis
+    gives the chip-average CD-vs-dose sensitivity (nm per relative dose,
+    least-squares slope over the dose axis at mid focus), and the CDU map
+    gives each
+    region's CD error; the corrective relative dose per region is
+    ``1 - (CD_region - target) / sensitivity`` (clipped to
+    ``+-max_correction`` — scanners bound dose modulation). Regions with
+    no printed feature (NaN in the CDU map) get dose 1.0.
+
+    Returns ``{"dose_map", "sensitivity_nm_per_dose", "target_cd_nm",
+    "predicted_residual_nm"}``; apply the map by scaling the aerial image
+    per region before develop (see the flattening regression in
+    ``tests/test_metrology.py``)."""
+    cds = np.asarray(fem_result["cd_nm"], np.float64)
+    doses = np.asarray(fem_result["doses"], np.float64)
+    if cds.shape[1] < 2:
+        raise ValueError("dose_correction_map needs >= 2 dose columns")
+    cdu = fem_result.get("cdu")
+    if not cdu or cdu.get("cd_map_nm") is None:
+        raise ValueError("fem_result carries no CDU map")
+    i_mid = cds.shape[0] // 2
+    # least-squares slope over the WHOLE dose axis: binary-profile CDs are
+    # pixel-quantized, so a narrow central difference can alias to zero
+    # where a wider fit still captures the sensitivity
+    live = cds[i_mid] > 0
+    if live.sum() < 2:
+        raise ValueError("CD is dose-insensitive at the nominal point")
+    sens = float(np.polyfit(doses[live], cds[i_mid, live], 1)[0])
+    if abs(sens) < 1e-9:
+        raise ValueError("CD is dose-insensitive at the nominal point")
+    if target_cd_nm is None:
+        target_cd_nm = float(fem_result.get("target_cd_nm")
+                             or cdu["mean_cd_nm"])
+    cd_map = np.asarray(cdu["cd_map_nm"], np.float64)
+    with np.errstate(invalid="ignore"):
+        corr = -(cd_map - target_cd_nm) / sens
+    corr = np.clip(np.nan_to_num(corr, nan=0.0), -max_correction,
+                   max_correction)
+    residual = np.nan_to_num(cd_map - target_cd_nm + corr * sens, nan=0.0)
+    return {
+        "dose_map": (1.0 + corr).astype(np.float32),
+        "sensitivity_nm_per_dose": float(sens),
+        "target_cd_nm": float(target_cd_nm),
+        "predicted_residual_nm": float(np.abs(residual).max()),
+    }
+
+
+def apply_dose_map(image, dose_map) -> np.ndarray:
+    """Scale an aerial image by a coarse per-region dose map (nearest
+    upsampling to the image grid) — the exposure-side application of
+    :func:`dose_correction_map`."""
+    img = np.asarray(image)
+    dm = np.asarray(dose_map, np.float64)
+    reps_y = -(-img.shape[0] // dm.shape[0])
+    reps_x = -(-img.shape[1] // dm.shape[1])
+    up = np.kron(dm, np.ones((reps_y, reps_x)))[:img.shape[0], :img.shape[1]]
+    return (img * up).astype(img.dtype)
+
+
 def tiled_meef(
     mask_big,
     tile_config: OpticsConfig,

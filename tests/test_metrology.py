@@ -267,3 +267,47 @@ def test_tiled_meef_map(big_mask, source):
     # the uniform line array amplifies roughly uniformly
     finite = m[~np.isnan(m)]
     assert finite.size >= 8
+
+
+def test_dose_correction_flattens_cdu(big_mask, source):
+    """Process control loop: a slit-defocus field map induces CD
+    nonuniformity; the FEM-derived per-region dose map flattens it."""
+    from lithographysimulator_tpu.metrology import (apply_dose_map,
+                                                    dose_correction_map,
+                                                    tiled_focus_images)
+    from lithographysimulator_tpu.models.resist import cd_uniformity
+
+    def slit(fx, fy):  # defocus grows toward the +x field edge
+        return np.array([0, 0, 0, 0, 130.0 * (fx + 1.0)], np.float32)
+
+    resist = ResistModel(threshold=0.25)
+    fem = tiled_fem(
+        big_mask, TILE_CFG, source, defocus_nm=[0.0],
+        doses=[0.8, 0.9, 1.0, 1.1, 1.2], resist=resist, rank=48, halo=16,
+        cd_stat="mean", field_aberrations=slit)
+    before = fem["cdu"]
+    assert before["cdu_3sigma_nm"] > 5.0  # the induced nonuniformity
+
+    dc = dose_correction_map(fem)
+    assert abs(dc["sensitivity_nm_per_dose"]) > 1.0
+    assert dc["dose_map"].shape == before["cd_map_nm"].shape
+
+    image = tiled_focus_images(big_mask, TILE_CFG, source, [0.0],
+                               rank=48, halo=16, field_aberrations=slit)[0]
+    norm = image / image.max()
+    corrected = np.asarray(resist.develop_binary(
+        apply_dose_map(norm, dc["dose_map"]), TILE_CFG, normalize=False))
+    after = cd_uniformity(corrected, TILE_CFG,
+                          map_blocks=dc["dose_map"].shape[0])
+    assert after["cdu_3sigma_nm"] < 0.7 * before["cdu_3sigma_nm"]
+
+
+def test_dose_correction_validation():
+    from lithographysimulator_tpu.metrology import dose_correction_map
+
+    with pytest.raises(ValueError, match="dose columns"):
+        dose_correction_map({"cd_nm": np.ones((1, 1)), "doses": [1.0],
+                             "cdu": {"cd_map_nm": np.ones((2, 2))}})
+    with pytest.raises(ValueError, match="CDU map"):
+        dose_correction_map({"cd_nm": np.ones((1, 3)),
+                             "doses": [0.9, 1.0, 1.1], "cdu": None})
