@@ -600,3 +600,26 @@ def test_job_fem_reports_nils_and_hotspots(server):
     assert final["nils"]["mean_nils"] > 0
     assert final["hotspots"]["count"] > 0
     assert len(final["hotspots"]["locations"]) <= 10
+
+
+def test_simulate_accepts_perturbation_and_obscuration(server):
+    """New optics fields round-trip the serving layer: obscuration and
+    stage-blur/flare change the image; field-free requests are unchanged."""
+    mask = np.asarray(demo_bars(CFG).geometry)
+    base = _simulate_body(mask)
+    status, clean = _post(server, "/simulate", base)
+    assert status == 200
+    status, blurred = _post(server, "/simulate",
+                            dict(base, msd_x_nm=40.0, flare_tis=0.1))
+    assert status == 200
+    a = _decode_array(clean["image"])
+    b = _decode_array(blurred["image"])
+    assert not np.allclose(a, b)
+    assert b.max() < a.max()
+    status, obscured = _post(server, "/simulate",
+                             dict(base, obscuration=0.3))
+    assert status == 200
+    c = _decode_array(obscured["image"])
+    assert not np.allclose(a, c)
+    status, err = _post(server, "/simulate", dict(base, obscuration=1.5))
+    assert status == 400 and "obscuration" in err["error"]
