@@ -370,6 +370,73 @@ def tiled_stochastic(
     return out
 
 
+def orc_check(
+    mask_big,
+    target_big,
+    tile_config: OpticsConfig,
+    source_map,
+    *,
+    resist: ResistModel | None = None,
+    rank: int = 128,
+    halo: int | None = None,
+    tiles_per_dispatch: int = 8,
+    polarization=None,
+    chromatic=None,
+    perturb=None,
+    mrc_rules=None,
+    hotspot_nils: float | None = 1.5,
+    epe_spec_nm: float | None = None,
+    axis: int = 1,
+) -> dict:
+    """OPC verification (ORC): ONE full-chip deck over a candidate mask.
+
+    Images ``mask_big`` once through the tiled path (all production
+    options), develops it, and runs every verification the flow needs
+    before committing a mask: printed-pattern fidelity + per-edge EPE vs
+    ``target_big``, NILS + weakest-NILS hotspots on the aerial image, and
+    (with ``mrc_rules``, a :class:`..models.mrc.MaskRules`) manufacturing
+    rule checks on the MASK itself. ``pass_`` aggregates: no missing or
+    spurious features, max |EPE| within ``epe_spec_nm`` (when given), MRC
+    clean (when checked). The standard EDA sign-off bundled as one call —
+    no reference counterpart."""
+    from .models.mrc import mrc_check
+    from .models.resist import pattern_fidelity
+
+    resist = resist or ResistModel()
+    image = tiled_focus_images(
+        mask_big, tile_config, source_map, [0.0], rank=rank, halo=halo,
+        tiles_per_dispatch=tiles_per_dispatch, polarization=polarization,
+        chromatic=chromatic, perturb=perturb)[0]
+    norm = image / max(float(image.max()), 1e-30)
+    profile = np.asarray(resist.develop_binary(norm, tile_config,
+                                               normalize=False))
+    target = np.asarray(target_big, np.float32)
+    out: dict = {"fidelity": pattern_fidelity(profile, target, tile_config)}
+    epe = edge_placement_errors(profile, target, tile_config, axis=axis,
+                                row_step=max(1, profile.shape[0] // 512))
+    out["epe"] = {k: v for k, v in epe.items() if not k.startswith("epe_")}
+    nt = nils_table(norm, tile_config, threshold=resist.threshold, axis=axis)
+    out["nils"] = {k: nt[k] for k in ("count", "mean_nils", "min_nils",
+                                      "mean_ils_per_nm")}
+    if hotspot_nils is not None:
+        spots = hotspots(norm, tile_config, threshold=resist.threshold,
+                         nils_limit=hotspot_nils, axis=axis)
+        spots["locations"] = np.round(
+            np.asarray(spots["locations"]), 2).tolist()[:20]
+        out["hotspots"] = spots
+    if mrc_rules is not None:
+        check = mrc_check(mask_big, tile_config, mrc_rules)
+        out["mrc"] = {k: v for k, v in check.items()
+                      if not isinstance(v, np.ndarray)}
+    ok = (out["epe"]["missing"] == 0 and out["epe"]["spurious"] == 0)
+    if epe_spec_nm is not None:
+        ok = ok and out["epe"]["max_abs_epe_nm"] <= epe_spec_nm
+    if mrc_rules is not None:
+        ok = ok and out["mrc"]["clean"]
+    out["pass_"] = bool(ok)
+    return out
+
+
 def dose_correction_map(fem_result: dict, *,
                         target_cd_nm: float | None = None,
                         max_correction: float = 0.15) -> dict:

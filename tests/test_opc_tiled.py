@@ -102,3 +102,35 @@ def test_cli_opc_mrc_report(capsys):
     assert "width_violation_px" in mrc and "clean" in mrc
     if not mrc["clean"]:
         assert payload["mrc_after_repair"]["clean"] in (True, False)
+
+
+def test_orc_deck_signs_off_corrected_mask(layout, source):
+    """The one-call ORC deck: an OPC-corrected mask passes (all features
+    matched, EPE within spec, MRC clean), and the deck flags a broken mask
+    (missing feature)."""
+    from lithographysimulator_tpu.metrology import orc_check
+    from lithographysimulator_tpu.models.mrc import MaskRules
+
+    resist = ResistModel(threshold=0.3, steepness=30.0)
+    corrected = opc_correct_tiled(layout, TILE_CFG, source, resist=resist,
+                                  halo=16, steps=12, rank=48,
+                                  learning_rate=0.2)
+    rules = MaskRules(min_width_nm=2 * TILE_CFG.pixel_size,
+                      min_area_nm2=6 * TILE_CFG.pixel_size ** 2)
+    from lithographysimulator_tpu.models.mrc import mrc_clean
+
+    corrected = mrc_clean(corrected, TILE_CFG, rules)
+    deck = orc_check(corrected, layout, TILE_CFG, source, resist=resist,
+                     rank=48, halo=16, mrc_rules=rules, epe_spec_nm=90.0)
+    assert deck["pass_"], deck
+    assert deck["fidelity"]["iou"] > 0.5
+    assert deck["epe"]["missing"] == 0 and deck["epe"]["spurious"] == 0
+    assert deck["nils"]["count"] > 0
+    assert len(deck["hotspots"]["locations"]) <= 20
+
+    broken = corrected.copy()
+    broken[16:28, 16:36] = 0.0  # delete a feature
+    deck2 = orc_check(broken, layout, TILE_CFG, source, resist=resist,
+                      rank=48, halo=16, epe_spec_nm=90.0)
+    assert not deck2["pass_"]
+    assert deck2["epe"]["missing"] > 0
