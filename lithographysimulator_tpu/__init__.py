@@ -28,7 +28,7 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table,
                             hotspots, nils_table,
-                            pattern_fidelity)
+                            pattern_fidelity, swing_curve)
 from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.multipatterning import decompose_lele, lele_print
 from .models.sraf import sraf_band, sraf_insert, sraf_print_check
@@ -127,6 +127,7 @@ __all__ = [
     "mask_spectrum",
     "nearest_pow2",
     "pattern_fidelity",
+    "swing_curve",
     "osa_index_to_mn",
     "noll_index_to_mn",
     "fringe_index_to_mn",

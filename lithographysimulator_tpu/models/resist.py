@@ -738,6 +738,64 @@ class DepthResist:
         return (depth >= (1.0 - 1e-6) * self.mack.thickness_nm).astype(jnp.float32)
 
 
+def swing_curve(thicknesses_nm, resist: "DepthResist", *,
+                dose_hi: float = 64.0, iters: int = 24) -> dict:
+    """E0 (dose-to-clear) swing curve vs resist film thickness.
+
+    Thin-film interference makes the dose needed to clear the film
+    oscillate with thickness at period lambda / (2 n_resist) — the classic
+    swing curve (Mack ch. 4) fabs use to pick thicknesses at a swing
+    extremum. For each thickness the film's standing-wave depth profile is
+    rebuilt (``dataclasses.replace`` on the frozen model) and the
+    dose-to-clear found by bisection on the vertical develop
+    (:meth:`DepthResist.cleared_depth_nm` under uniform unit exposure).
+
+    Returns ``{"thickness_nm", "dose_to_clear", "swing_ratio",
+    "period_nm_theory"}``; ``swing_ratio`` = (max - min) / mean of the
+    detrended curve, ~0 for ``substrate_reflectivity`` = 0. No reference
+    counterpart."""
+    thicknesses = np.asarray(thicknesses_nm, np.float64)
+    doses = []
+    flat = jnp.ones((2, 2), jnp.float32)
+    for t_film in thicknesses:
+        r = dataclasses.replace(
+            resist, mack=dataclasses.replace(resist.mack,
+                                             thickness_nm=float(t_film)))
+
+        def cleared(dose):
+            return float(np.asarray(
+                r.cleared_depth_nm(flat, dose, normalize=False))[0, 0])
+
+        lo, hi = 0.0, dose_hi
+        if cleared(hi) < t_film - 1e-6:
+            doses.append(np.nan)  # not clearable within the dose bracket
+            continue
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            if cleared(mid) >= t_film:
+                hi = mid
+            else:
+                lo = mid
+        doses.append(0.5 * (lo + hi))
+    doses = np.asarray(doses)
+    good = np.isfinite(doses)
+    if good.sum() >= 3:
+        # detrend (absorption makes E0 grow with thickness) then measure
+        # the oscillation amplitude
+        coef = np.polyfit(thicknesses[good], doses[good], 1)
+        resid = doses[good] - np.polyval(coef, thicknesses[good])
+        mean = float(doses[good].mean())
+        swing = float((resid.max() - resid.min()) / mean) if mean > 0 else 0.0
+    else:
+        swing = 0.0
+    return {
+        "thickness_nm": thicknesses,
+        "dose_to_clear": doses,
+        "swing_ratio": swing,
+        "period_nm_theory": resist.wavelength_nm / (2.0 * resist.n_resist),
+    }
+
+
 def meef(
     mask_geometry,
     image_fn,

@@ -199,3 +199,32 @@ def test_isotropic_profile_returns_none():
     import numpy as np
 
     np.testing.assert_allclose(prof, 0.5)
+
+
+def test_swing_curve_oscillates_at_film_period():
+    """E0 swing curve: reflective substrate makes dose-to-clear oscillate
+    with thickness at ~lambda/(2 n_resist); R=0 kills the swing."""
+    import dataclasses
+
+    from lithographysimulator_tpu.models.resist import (DepthResist,
+                                                        MackResist,
+                                                        swing_curve)
+
+    base = DepthResist(mack=MackResist(thickness_nm=300.0, develop_s=30.0),
+                       nz=24, absorbance_per_um=1.0,
+                       substrate_reflectivity=0.4)
+    thicknesses = np.arange(260.0, 420.0, 4.0)
+    sw = swing_curve(thicknesses, base)
+    assert np.isfinite(sw["dose_to_clear"]).all()
+    assert sw["swing_ratio"] > 0.05
+    # dominant oscillation period ~ lambda / (2 n) = 56.8 nm at 193/1.7
+    d = sw["dose_to_clear"]
+    resid = d - np.polyval(np.polyfit(thicknesses, d, 1), thicknesses)
+    spec = np.abs(np.fft.rfft(resid))
+    freqs = np.fft.rfftfreq(len(resid), d=4.0)
+    peak = freqs[1 + np.argmax(spec[1:])]
+    assert 1.0 / peak == pytest.approx(sw["period_nm_theory"], rel=0.2)
+
+    flat = dataclasses.replace(base, substrate_reflectivity=0.0)
+    sw0 = swing_curve(thicknesses, flat)
+    assert sw0["swing_ratio"] < 0.2 * sw["swing_ratio"]
