@@ -139,6 +139,9 @@ class StochasticResist:
                 > self.threshold).astype(jnp.float32)
 
 
+_HOST_FIELD_BYTES = 1 << 30  # max bytes of trial fields held at once
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_trials(model: StochasticResist, config: OpticsConfig,
                      binary: bool, trial_chunk: int):
@@ -177,15 +180,32 @@ def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
     return run(jnp.asarray(image), keys)
 
 
-def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
-                axis: int = 1, threshold: float = 0.5,
-                row_step: int = 1) -> dict:
-    """Per-trial subpixel edge statistics via feature_table: LER (3-sigma of
-    each edge's position along the feature), LWR (3-sigma of local widths),
-    and per-trial mean CD (for LCDU across trials). Run on the CONTINUOUS
-    deprotection fields — threshold crossings interpolate to subpixel there,
-    while binary contours quantize edges to the pixel grid and hide
-    sub-pixel roughness entirely."""
+def _reference_centers(ref_field: np.ndarray, config: OpticsConfig, *,
+                       axis: int, threshold: float,
+                       row_step: int) -> np.ndarray | None:
+    """Sorted feature-center anchors from the NOISE-FREE deterministic
+    field: cluster its run centers at gaps > max(median width, 2 px).
+    Trial runs then track the nearest anchor — rounding trial centers by a
+    pitch estimate occasionally merges neighboring features when noise
+    pushes a run across a bin boundary, producing pitch-scale LER
+    outliers; anchoring to the deterministic features cannot."""
+    from .resist import feature_table
+
+    feats = feature_table(ref_field, config, axis=axis, threshold=threshold,
+                          row_step=row_step)
+    centers = np.sort(np.asarray(feats["center_nm"], np.float64))
+    if centers.size == 0:
+        return None
+    gap = max(float(np.median(feats["width_nm"])), 2.0 * config.pixel_size)
+    splits = np.nonzero(np.diff(centers) > gap)[0] + 1
+    return np.asarray([c.mean() for c in np.split(centers, splits)])
+
+
+def _edge_stats_trials(fields: np.ndarray, config: OpticsConfig, *,
+                       axis: int = 1, threshold: float = 0.5,
+                       row_step: int = 1, ref_centers=None):
+    """Per-trial (ler, lwr, mean_cd) lists — the streamable half of
+    :func:`_edge_stats`."""
     from .resist import feature_table
 
     px = config.pixel_size
@@ -199,10 +219,18 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
         rise = feats["rise_px"] * px
         fall = feats["fall_px"] * px
         width = feats["width_nm"]
-        # Track each physical feature across cut lines by its rounded
-        # center (roughness never moves an edge by a whole pitch).
-        pitch = max(float(np.median(width)) * 2.0, px)
-        fid = np.round(feats["center_nm"] / pitch).astype(np.int64)
+        if ref_centers is not None and ref_centers.size:
+            # anchor each run to the nearest deterministic feature
+            idx = np.clip(np.searchsorted(ref_centers, feats["center_nm"]),
+                          1, len(ref_centers) - 1) if len(ref_centers) > 1                 else np.zeros(len(feats["center_nm"]), np.int64)
+            lo = np.maximum(idx - 1, 0)
+            fid = np.where(
+                np.abs(ref_centers[idx] - feats["center_nm"])
+                <= np.abs(ref_centers[lo] - feats["center_nm"]), idx, lo)                 if len(ref_centers) > 1 else idx
+        else:
+            # fallback: rounded-center grouping by a pitch estimate
+            pitch = max(float(np.median(width)) * 2.0, px)
+            fid = np.round(feats["center_nm"] / pitch).astype(np.int64)
         ler_vals, lwr_vals = [], []
         for f in np.unique(fid):
             sel = fid == f
@@ -214,6 +242,10 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
         lers.append(np.mean(ler_vals) if ler_vals else np.nan)
         lwrs.append(np.mean(lwr_vals) if lwr_vals else np.nan)
         mean_cds.append(float(np.mean(width)))
+    return lers, lwrs, mean_cds
+
+
+def _aggregate_edge_stats(lers, lwrs, mean_cds) -> dict:
     return {
         "ler_nm": float(np.nanmean(lers)),
         "lwr_nm": float(np.nanmean(lwrs)),
@@ -222,11 +254,26 @@ def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
     }
 
 
-def _defect_rates(contours: np.ndarray, reference: np.ndarray,
-                  axis: int = 1) -> dict:
-    """Bridge/break rates vs the deterministic contour, per cut line: a cut
-    with MORE above-threshold runs than the reference has a broken feature
-    (extra edge pair), FEWER means features merged (bridged)."""
+def _edge_stats(fields: np.ndarray, config: OpticsConfig, *,
+                axis: int = 1, threshold: float = 0.5,
+                row_step: int = 1, ref_centers=None) -> dict:
+    """Per-trial subpixel edge statistics via feature_table: LER (3-sigma of
+    each edge's position along the feature), LWR (3-sigma of local widths),
+    and per-trial mean CD (for LCDU across trials). Run on the CONTINUOUS
+    deprotection fields — threshold crossings interpolate to subpixel there,
+    while binary contours quantize edges to the pixel grid and hide
+    sub-pixel roughness entirely."""
+    return _aggregate_edge_stats(*_edge_stats_trials(
+        fields, config, axis=axis, threshold=threshold, row_step=row_step,
+        ref_centers=ref_centers))
+
+
+def _defect_counts(contours: np.ndarray, reference: np.ndarray,
+                   axis: int = 1) -> tuple[int, int, int]:
+    """(broken, bridged, live) cut-line cell counts vs the deterministic
+    contour: a cut with MORE above-threshold runs than the reference has a
+    broken feature (extra edge pair), FEWER means features merged
+    (bridged). Streamable — callers accumulate across trial chunks."""
     if axis == 0:
         contours = contours.transpose(0, 2, 1)
         reference = reference.T
@@ -239,10 +286,18 @@ def _defect_rates(contours: np.ndarray, reference: np.ndarray,
     trial_runs = np.stack([runs_per_row(c) for c in contours])
     live = ref_runs > 0
     if not live.any():
-        return {"break_rate": 0.0, "bridge_rate": 0.0}
-    broken = (trial_runs[:, live] > ref_runs[None, live]).mean()
-    bridged = (trial_runs[:, live] < ref_runs[None, live]).mean()
-    return {"break_rate": float(broken), "bridge_rate": float(bridged)}
+        return 0, 0, 0
+    broken = int((trial_runs[:, live] > ref_runs[None, live]).sum())
+    bridged = int((trial_runs[:, live] < ref_runs[None, live]).sum())
+    return broken, bridged, int(live.sum()) * len(contours)
+
+
+def _defect_rates(contours: np.ndarray, reference: np.ndarray,
+                  axis: int = 1) -> dict:
+    """Bridge/break rates (see :func:`_defect_counts`)."""
+    b, g, lc = _defect_counts(contours, reference, axis=axis)
+    return {"break_rate": b / lc if lc else 0.0,
+            "bridge_rate": g / lc if lc else 0.0}
 
 
 def stochastic_ensemble(image, config: OpticsConfig,
@@ -260,20 +315,45 @@ def stochastic_ensemble(image, config: OpticsConfig,
     n = np.asarray(image).shape[0]
     if row_step is None:
         row_step = max(1, n // 512)  # cap full-chip cut lines at ~512
-    fields = np.asarray(exposure_trials(image, config, model, trials=trials,
-                                        seed=seed, binary=False,
-                                        trial_chunk=trial_chunk))
-    contours = (fields > model.threshold).astype(np.float32)
+    # Stream trials through the host in bounded chunks: a full-chip
+    # ensemble must never materialize (trials, n, n) at once (32 trials at
+    # 8192^2 f32 is 8 GB). Chunks use independent seeds — statistically
+    # equivalent to one split.
+    host_chunk = max(1, min(trials,
+                            _HOST_FIELD_BYTES // max(n * n * 4, 1)))
     # under jit: the FFT blur is complex math, which the TPU tunnel only
     # supports inside compiled programs (CLAUDE.md)
     det_field = np.asarray(jax.jit(
         lambda im: model.deterministic_field(im, config))(jnp.asarray(image)))
     reference = (det_field > model.threshold).astype(np.float32)
-    out = _edge_stats(fields, config, axis=axis, threshold=model.threshold,
-                      row_step=row_step)
-    out.update(_defect_rates(contours, reference, axis=axis))
+    ref_centers = _reference_centers(det_field, config, axis=axis,
+                                     threshold=model.threshold,
+                                     row_step=row_step)
+    lers, lwrs, mean_cds = [], [], []
+    prob_sum = np.zeros((n, n), np.float64)
+    broken = bridged = live_cells = 0
+    for ci, start in enumerate(range(0, trials, host_chunk)):
+        m_tr = min(host_chunk, trials - start)
+        fields = np.asarray(exposure_trials(
+            image, config, model, trials=m_tr, seed=seed + 7919 * ci,
+            binary=False, trial_chunk=min(trial_chunk, m_tr)))
+        le, lw, mc = _edge_stats_trials(fields, config, axis=axis,
+                                        threshold=model.threshold,
+                                        row_step=row_step,
+                                        ref_centers=ref_centers)
+        lers += le, ; lwrs += lw, ; mean_cds += mc,
+        contours = (fields > model.threshold).astype(np.float32)
+        prob_sum += contours.sum(axis=0)
+        b, g, lc = _defect_counts(contours, reference, axis=axis)
+        broken += b; bridged += g; live_cells += lc
+        del fields, contours
+    lers = np.concatenate(lers); lwrs = np.concatenate(lwrs)
+    mean_cds = np.concatenate(mean_cds)
+    out = _aggregate_edge_stats(lers, lwrs, mean_cds)
+    out["break_rate"] = broken / live_cells if live_cells else 0.0
+    out["bridge_rate"] = bridged / live_cells if live_cells else 0.0
     out["trials"] = trials
-    out["print_probability"] = contours.mean(axis=0)
+    out["print_probability"] = (prob_sum / trials).astype(np.float32)
     out["deterministic_cd_nm"] = _edge_stats(
         det_field[None], config, axis=axis, threshold=model.threshold,
         row_step=row_step)["mean_cd_nm"]

@@ -136,3 +136,22 @@ def test_validation():
         StochasticResist(quantum_efficiency=0.0)
     with pytest.raises(ValueError):
         StochasticResist(noise="bernoulli")
+
+
+def test_streamed_chunks_match_single_pass(monkeypatch):
+    """Forcing multi-chunk streaming (tiny host budget) keeps the ensemble
+    statistics equivalent to the single-pass run (independent chunk seeds:
+    same distribution, metrics within Monte-Carlo noise)."""
+    import lithographysimulator_tpu.models.stochastic as sto
+
+    model = StochasticResist(dose_photons_per_nm2=5.0, diffusion_nm=8.0,
+                             threshold=0.4)
+    single = stochastic_ensemble(IMG, CFG, model, trials=24, seed=11)
+    monkeypatch.setattr(sto, "_HOST_FIELD_BYTES", IMG.nbytes * 4)
+    streamed = stochastic_ensemble(IMG, CFG, model, trials=24, seed=11)
+    assert streamed["trials"] == 24
+    assert streamed["print_probability"].shape == IMG.shape
+    assert streamed["ler_nm"] == pytest.approx(single["ler_nm"], rel=0.4)
+    assert streamed["mean_cd_nm"] == pytest.approx(single["mean_cd_nm"],
+                                                   rel=0.05)
+    assert abs(streamed["break_rate"] - single["break_rate"]) < 0.2
