@@ -168,3 +168,29 @@ def test_socs_image_sharded_matches_local():
     local = np.asarray(socs_image(spec, socs, cfg, chunk=2))
     np.testing.assert_allclose(sharded, local, rtol=1e-5,
                                atol=1e-5 * local.max())
+
+
+def test_stochastic_band_sharded_matches_host():
+    """Trial-sharded print-probability band (4th collective pattern): one
+    global key split sharded over 8 devices equals the single-device
+    ensemble mean bit-for-bit (up to f32 sum order)."""
+    from lithographysimulator_tpu.models.stochastic import (StochasticResist,
+                                                            exposure_trials)
+    from lithographysimulator_tpu.parallel.mesh import source_mesh
+    from lithographysimulator_tpu.parallel.stochastic_sharded import (
+        print_probability_sharded)
+
+    cfg = OpticsConfig(pixel_number=32, pixel_size=5.0)
+    rng = np.random.default_rng(0)
+    image = np.abs(np.fft.ifft2(np.fft.fft2(rng.random((32, 32))) *
+                                np.exp(-0.05 * np.arange(32)[:, None])))
+    image = image / image.max()
+    model = StochasticResist(dose_photons_per_nm2=8.0, diffusion_nm=6.0,
+                             threshold=0.4)
+    mesh = source_mesh(8)
+    band = np.asarray(print_probability_sharded(
+        image, cfg, model, mesh, trials_per_device=4, seed=5))
+    host = np.asarray(exposure_trials(image, cfg, model, trials=32, seed=5,
+                                      trial_chunk=32)).mean(axis=0)
+    np.testing.assert_allclose(band, host, atol=1e-6)
+    assert 0.0 <= band.min() and band.max() <= 1.0
