@@ -7,6 +7,12 @@ pixel edges and writes them through the GDSII writer (:mod:`.gdsii`), so a
 printed contour (or a corrected OPC mask) can go straight back into a
 layout flow.
 
+The stitching walk runs in native C++ when the shared library is
+available (``native/rasterizer.cpp`` ``trace_loops`` — full-chip boundary
+sets run to millions of edges, where the python dict walk costs tens of
+seconds); the pure-python path below is the reference implementation and
+fallback, and a parity test pins the two on every geometry class.
+
 The tracing is EXACT with respect to the raster: every emitted loop runs on
 pixel-cell boundaries, so re-rasterizing the polygons with the native
 center-sampling rasterizer (:func:`.native.rasterize`) reproduces the
@@ -43,6 +49,14 @@ def trace_contours(profile, *, threshold: float = 0.5,
     arr = np.asarray(profile) > threshold
     if arr.ndim != 2:
         raise ValueError(f"expected 2-D raster, got {arr.shape}")
+    from .native import trace_loops_native
+
+    native = trace_loops_native(arr)
+    if native is not None:
+        ox, oy = origin
+        return [np.stack([ox + xy[:, 0].astype(np.float64) * pixel_size,
+                          oy + xy[:, 1].astype(np.float64) * pixel_size],
+                         axis=1) for xy in native]
     h, w = arr.shape
     pad = np.zeros((h + 2, w + 2), bool)
     pad[1:-1, 1:-1] = arr
@@ -89,7 +103,11 @@ def trace_contours(profile, *, threshold: float = 0.5,
 
     loops = []
     while out_edges:
-        start = next(iter(out_edges))
+        # never START at a checkerboard (degree-2) vertex: with no incoming
+        # direction the left-turn rule is ambiguous there and can stitch a
+        # figure-eight across components; a degree-1 vertex always exists
+        start = next((v for v, o in out_edges.items() if len(o) == 1),
+                     next(iter(out_edges)))
         cur = start
         prev_d = (0, 0)
         loop = [start]

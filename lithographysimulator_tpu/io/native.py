@@ -47,9 +47,15 @@ def _get_lib():
     except OSError:
         _native_unavailable = True
         return None
-    for name in ("rasterize_polygons", "rasterize_polygons_aa"):
+    for name in ("rasterize_polygons", "rasterize_polygons_aa",
+                 "trace_loops"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
+    lib.trace_loops.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong,
+    ]
     lib.rasterize_polygons.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -64,6 +70,44 @@ def _get_lib():
 
 def native_available() -> bool:
     return _get_lib() is not None
+
+
+def trace_loops_native(binary: np.ndarray):
+    """Native boundary-loop tracing, or None when the library is
+    unavailable: returns a list of (v, 2) int32 pixel-corner loops for a
+    {0,1} uint8 raster (see ``native/rasterizer.cpp`` trace_loops; the
+    pure-python equivalent lives in :mod:`.contours`)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(binary.astype(np.uint8))
+    h, w = arr.shape
+    inner = arr.astype(bool)
+    pad = np.zeros((h + 2, w + 2), bool)
+    pad[1:-1, 1:-1] = inner
+    n_edges = int((inner & ~pad[:-2, 1:-1]).sum()
+                  + (inner & ~pad[2:, 1:-1]).sum()
+                  + (inner & ~pad[1:-1, :-2]).sum()
+                  + (inner & ~pad[1:-1, 2:]).sum())
+    if n_edges == 0:
+        return []
+    out_xy = np.empty((n_edges, 2), np.int32)
+    loop_sizes = np.empty(n_edges // 4 + 1, np.int32)
+    rc = lib.trace_loops(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(h), np.int32(w),
+        out_xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.longlong(n_edges),
+        loop_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.longlong(loop_sizes.size))
+    if rc < 0:
+        return None  # capacity miscount: fall back to python
+    loops, off = [], 0
+    for k in range(rc):
+        m = int(loop_sizes[k])
+        loops.append(out_xy[off:off + m].copy())
+        off += m
+    return loops
 
 
 def _pack(polygons):

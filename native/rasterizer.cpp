@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -129,6 +130,107 @@ int rasterize_polygons_aa(const double* xy, const int32_t* poly_sizes,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Boundary-loop tracing (the native half of io/contours.trace_contours):
+// directed pixel-edge stitching with the interior kept on the LEFT (outer
+// loops CCW, holes CW), checkerboard corners resolved by sharpest left
+// turn, collinear runs collapsed. Mirrors the pure-python implementation;
+// the python layer owns coordinate scaling and GDS emission.
+//
+// out_xy receives (x, y) int32 pixel-corner pairs, loop_sizes the vertex
+// count per loop. Returns the number of loops, -1 if out_xy overflows,
+// -2 if loop_sizes overflows.
+int trace_loops(const unsigned char* grid, int h, int w, int32_t* out_xy,
+                long long out_cap, int32_t* loop_sizes, long long loops_cap) {
+  struct Out {
+    int n = 0;
+    int32_t tx[2];
+    int32_t ty[2];
+  };
+  std::unordered_map<long long, Out> outs;
+  outs.reserve((size_t)(h + w) * 4);
+  auto key = [w](int32_t x, int32_t y) {
+    return (long long)y * (w + 2) + x;
+  };
+  auto add_edge = [&](int32_t x0, int32_t y0, int32_t x1, int32_t y1) {
+    Out& o = outs[key(x0, y0)];
+    o.tx[o.n] = x1;
+    o.ty[o.n] = y1;
+    ++o.n;
+  };
+  auto filled = [&](int i, int j) {
+    return i >= 0 && i < h && j >= 0 && j < w && grid[(size_t)i * w + j];
+  };
+  for (int i = 0; i < h; ++i) {
+    for (int j = 0; j < w; ++j) {
+      if (!grid[(size_t)i * w + j]) continue;
+      if (!filled(i - 1, j)) add_edge(j, i, j + 1, i);          // below
+      if (!filled(i, j + 1)) add_edge(j + 1, i, j + 1, i + 1);  // right
+      if (!filled(i + 1, j)) add_edge(j + 1, i + 1, j, i + 1);  // above
+      if (!filled(i, j - 1)) add_edge(j, i + 1, j, i);          // left
+    }
+  }
+  long long n_loops = 0;
+  long long out_n = 0;
+  while (!outs.empty()) {
+    // never START at a checkerboard (degree-2) vertex: with no incoming
+    // direction the left-turn rule is ambiguous there and can stitch a
+    // figure-eight across components; a degree-1 vertex always exists
+    auto it = outs.begin();
+    for (auto cand = outs.begin(); cand != outs.end(); ++cand) {
+      if (cand->second.n == 1) { it = cand; break; }
+    }
+    int32_t sx = (int32_t)(it->first % (w + 2));
+    int32_t sy = (int32_t)(it->first / (w + 2));
+    int32_t cx = sx, cy = sy;
+    int32_t pdx = 0, pdy = 0;
+    // collect the raw loop, then collapse collinear runs
+    std::vector<int32_t> vx, vy;
+    for (;;) {
+      auto oit = outs.find(key(cx, cy));
+      Out& o = oit->second;
+      int pick = 0;
+      if (o.n == 2) {
+        // sharpest LEFT turn keeps the loop on its own component
+        long long best = -4;
+        for (int c = 0; c < 2; ++c) {
+          long long cross = (long long)pdx * (o.ty[c] - cy)
+                          - (long long)pdy * (o.tx[c] - cx);
+          if (cross > best) { best = cross; pick = c; }
+        }
+      }
+      int32_t nx = o.tx[pick], ny = o.ty[pick];
+      if (o.n == 2 && pick == 0) { o.tx[0] = o.tx[1]; o.ty[0] = o.ty[1]; }
+      if (--o.n == 0) outs.erase(oit);
+      pdx = nx - cx;
+      pdy = ny - cy;
+      cx = nx; cy = ny;
+      if (cx == sx && cy == sy) break;
+      vx.push_back(cx);
+      vy.push_back(cy);
+    }
+    vx.push_back(sx);
+    vy.push_back(sy);
+    // collapse: keep vertex k when dir(k-1 -> k) != dir(k -> k+1)
+    size_t m = vx.size();
+    int32_t n_kept = 0;
+    if (n_loops >= loops_cap) return -2;
+    for (size_t k = 0; k < m; ++k) {
+      size_t prev = (k + m - 1) % m, next = (k + 1) % m;
+      int32_t d0x = vx[k] - vx[prev], d0y = vy[k] - vy[prev];
+      int32_t d1x = vx[next] - vx[k], d1y = vy[next] - vy[k];
+      if (d0x == d1x && d0y == d1y) continue;
+      if (out_n + 1 > out_cap) return -1;
+      out_xy[2 * out_n] = vx[k];
+      out_xy[2 * out_n + 1] = vy[k];
+      ++out_n;
+      ++n_kept;
+    }
+    loop_sizes[n_loops++] = n_kept;
+  }
+  return (int)n_loops;
 }
 
 }  // extern "C"

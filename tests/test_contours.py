@@ -101,3 +101,40 @@ def test_gds_export_roundtrip(tmp_path):
     assert len(polys) == 2
     grid = rasterize_loops(polys, pixel_size=cfg.pixel_size, n=32)
     np.testing.assert_array_equal(grid > 0.5, m > 0.5)
+
+
+def test_native_tracer_matches_python_fallback(monkeypatch):
+    """The C++ stitching walk and the pure-python reference produce the
+    same loop SET (order and start vertex may differ): compare via the
+    XOR reconstruction and via sorted canonical loop forms."""
+    import lithographysimulator_tpu.io.contours as cmod
+    import lithographysimulator_tpu.io.native as nmod
+
+    if not nmod.native_available():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(9)
+    k = np.ones((5, 5)) / 25.0
+    for seed in range(3):
+        noise = np.random.default_rng(seed).random((48, 48))
+        sm = np.real(np.fft.ifft2(np.fft.fft2(noise) *
+                                  np.fft.fft2(k, s=noise.shape)))
+        m = (sm > np.median(sm)).astype(np.float64)
+
+        native = trace_contours(m, pixel_size=3.0)
+        monkeypatch.setattr(nmod, "trace_loops_native", lambda arr: None)
+        python = trace_contours(m, pixel_size=3.0)
+        monkeypatch.undo()
+
+        assert len(native) == len(python)
+
+        def canon(loop):
+            pts = [tuple(v) for v in np.asarray(loop, np.int64).tolist()]
+            best = min(range(len(pts)), key=lambda i: pts[i])
+            return tuple(pts[best:] + pts[:best])
+
+        scaled = lambda loops: sorted(canon(l / 3.0) for l in loops)
+        assert scaled(native) == scaled(python)
+        np.testing.assert_array_equal(
+            rasterize_loops(native, pixel_size=3.0, n=48),
+            rasterize_loops(python, pixel_size=3.0, n=48))
