@@ -22,7 +22,8 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``aberrations``, ``solver``, ``normalize``, ``polarization``. Returns the
   aerial image (base64 float32) + the run report.
 * ``/jobs`` — POST; submit a LONG-RUNNING full-chip job:
-  ``{"kind": "tiled"|"fem"|"opc"|"stochastic", ...}`` -> ``{"job_id": ...}``. Jobs run on
+  ``{"kind": "tiled"|"fem"|"opc"|"stochastic"|"lele", ...}`` ->
+  ``{"job_id": ...}``. Jobs run on
   a dedicated executor thread with live progress; ``/simulate`` traffic
   keeps flowing while a job is in flight (jax serializes device work).
 * ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error|cancelled,
@@ -195,9 +196,9 @@ class JobRunner:
 
     def submit(self, body: dict) -> dict:
         kind = body.get("kind")
-        if kind not in ("tiled", "fem", "opc", "stochastic"):
+        if kind not in ("tiled", "fem", "opc", "stochastic", "lele"):
             raise ValueError(f"unknown job kind {kind!r} "
-                             "(expected tiled/fem/opc/stochastic)")
+                             "(expected tiled/fem/opc/stochastic/lele)")
         # validate the mask early so submission errors are synchronous 400s
         mask = _decode_array(body["mask"])
         if mask.ndim != 2 or mask.shape[0] != mask.shape[1]:
@@ -434,6 +435,28 @@ class JobRunner:
                 out["epe"] = {k: v for k, v in result["epe"].items()
                               if not k.startswith("epe_")}
             return out
+        if job.kind == "lele":
+            from .models.multipatterning import lele_print
+            from .models.resist import ResistModel
+
+            result = lele_print(
+                np.asarray(mask, np.float32), config, source,
+                min_pitch_nm=float(body.get("min_pitch_nm", 200.0)),
+                resist=ResistModel(
+                    threshold=float(body.get("threshold", 0.35))),
+                rank=rank, halo=halo, polarization=polarization,
+                chromatic=chromatic, progress_cb=progress)
+            return {
+                "features": result["features"],
+                "conflict_edges": result["conflict_edges"],
+                "violations": result["violations"],
+                "mask_a": result["mask_a"],
+                "mask_b": result["mask_b"],
+                "profile": result["profile"],
+                "profile_single": result["profile_single"],
+                "big_n": int(mask.shape[0]),
+            }
+
         if job.kind == "stochastic":
             from .metrology import tiled_stochastic
             from .models.stochastic import StochasticResist

@@ -623,3 +623,24 @@ def test_simulate_accepts_perturbation_and_obscuration(server):
     assert not np.allclose(a, c)
     status, err = _post(server, "/simulate", dict(base, obscuration=1.5))
     assert status == 400 and "obscuration" in err["error"]
+
+
+def test_job_lele_decomposition(server):
+    """LELE job: decomposition report inline, masks/profiles as arrays."""
+    big_n = 96
+    mask = np.zeros((big_n, big_n), np.float32)
+    for x in range(8, big_n - 8, 6):
+        mask[8:-8, x:x + 3] = 1.0  # 150 nm pitch at 25 nm px
+    body = {"kind": "lele", "mask": _encode_array(mask), "pixel_number": 48,
+            "rank": 16, "halo": 8, "min_pitch_nm": 200.0,
+            "source": {"kind": "classical", "sigma_out": 0.3}}
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200, payload
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert final["violations"] == 0 and final["features"] > 4
+    a = _decode_array(final["mask_a"])
+    b = _decode_array(final["mask_b"])
+    assert not ((a > 0.5) & (b > 0.5)).any()
+    np.testing.assert_array_equal(np.maximum(a, b) > 0.5, mask > 0.5)
+    assert _decode_array(final["profile"]).shape == (big_n, big_n)
