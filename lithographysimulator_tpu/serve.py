@@ -26,6 +26,8 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``{"job_id": ...}``. Jobs run on
   a dedicated executor thread with live progress; ``/simulate`` traffic
   keeps flowing while a job is in flight (jax serializes device work).
+* ``/jobs`` — GET; summaries of all tracked jobs (id/kind/status/
+  progress/age).
 * ``/jobs/<id>`` — GET; ``{"status": queued|running|done|error|cancelled,
   "progress": 0..1, ...result when done}``. The router pins job polls to
   the backend that accepted the job. Result arrays over ~4 MB are NOT
@@ -235,6 +237,17 @@ class JobRunner:
         if job.status == "error":
             out["error"] = job.error
         return 200, out
+
+    def list_jobs(self) -> dict:
+        """Summaries of every tracked job, oldest first (no results — poll
+        the individual job for those)."""
+        with self._cv:
+            jobs = [{"job_id": j.id, "kind": j.kind, "status": j.status,
+                     "progress": round(j.progress, 4),
+                     "age_s": round(time.time() - j.created, 1)}
+                    for j in self._jobs.values()]
+        return {"jobs": jobs, "count": len(jobs),
+                "queued": len(self._queue)}
 
     def artifact(self, job_id: str, name: str):
         """(status, ndarray-or-error-dict) for a done job's named artifact."""
@@ -783,8 +796,10 @@ class LithoService:
                 return 200, self.health()
             if path == "/simulate":
                 return 200, self.simulate(body or {})
-            if path == "/jobs" and body is not None:
-                return 200, self.jobs().submit(body)
+            if path == "/jobs":
+                if body is not None:
+                    return 200, self.jobs().submit(body)
+                return 200, self.jobs().list_jobs()
             if path.startswith("/jobs/"):
                 rest = path[len("/jobs/"):]
                 if rest.endswith("/cancel") and body is not None:
@@ -941,6 +956,20 @@ class Router:
                          "queued_requests": self.queued,
                          "tracked_jobs": len(self._job_backend),
                          "backends": per_backend}
+        if path == "/jobs" and raw_body is None:
+            # GET listing: aggregate every backend's tracked jobs
+            jobs, queued = [], 0
+            for i, backend in enumerate(self.backends):
+                try:
+                    status, payload = self._forward_one(backend + "/jobs",
+                                                        None)
+                except OSError:
+                    continue
+                if status == 200:
+                    for j in payload.get("jobs", ()):
+                        jobs.append(dict(j, backend=backend))
+                    queued += int(payload.get("queued", 0))
+            return 200, {"jobs": jobs, "count": len(jobs), "queued": queued}
         if path.startswith("/jobs/"):
             # pinned: the owning worker holds the job state (the id is the
             # first path segment — /jobs/<id> and /jobs/<id>/cancel alike)

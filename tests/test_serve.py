@@ -644,3 +644,28 @@ def test_job_lele_decomposition(server):
     assert not ((a > 0.5) & (b > 0.5)).any()
     np.testing.assert_array_equal(np.maximum(a, b) > 0.5, mask > 0.5)
     assert _decode_array(final["profile"]).shape == (big_n, big_n)
+
+
+def test_jobs_listing(server):
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200
+    jid = payload["job_id"]
+    status, listing = _get(server, "/jobs")
+    assert status == 200
+    assert listing["count"] >= 1
+    mine = [j for j in listing["jobs"] if j["job_id"] == jid]
+    assert mine and mine[0]["kind"] == "tiled"
+    assert {"status", "progress", "age_s"} <= set(mine[0])
+    _poll_job(server, jid)  # drain so later tests see an idle worker
+
+
+def test_router_aggregates_jobs_listing(fleet):
+    url, _ = fleet
+    status, payload = _post(url, "/jobs", _job_body("tiled", big_n=64))
+    assert status == 200
+    jid = payload["job_id"]
+    status, listing = _get(url, "/jobs")
+    assert status == 200
+    assert any(j["job_id"] == jid and "backend" in j
+               for j in listing["jobs"])
+    _poll_job(url, jid)
