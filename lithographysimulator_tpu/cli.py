@@ -604,6 +604,18 @@ def cmd_lele(args) -> int:
                  profile=out["profile"],
                  profile_single=out["profile_single"])
         print(f"wrote {args.out}")
+    if args.gds:
+        from .io.contours import trace_contours
+        from .io.gdsii import write_gds
+
+        px = config.pixel_size
+        cells = {"LELE": [
+            (layer, xy)
+            for layer, m in ((1, out["mask_a"]), (2, out["mask_b"]))
+            for xy in trace_contours(m, pixel_size=px)
+        ]}
+        write_gds(args.gds, cells, unit_nm=1.0)
+        print(f"wrote {args.gds} (mask A on layer 1, mask B on layer 2)")
     return 0
 
 
@@ -929,6 +941,9 @@ def main(argv=None) -> int:
                         choices=["scalar", "x", "y", "unpolarized"])
     p_lele.add_argument("--out", default=None,
                         help=".npz path for masks + profiles")
+    p_lele.add_argument("--gds", default=None,
+                        help="write the decomposed masks as a GDS cell "
+                             "(mask A layer 1, mask B layer 2)")
     p_lele.set_defaults(func=cmd_lele)
 
     p_sto = sub.add_parser(

@@ -97,3 +97,37 @@ def test_progress_callback():
     lele_print(m, CFG, src, min_pitch_nm=200.0, rank=32, halo=16,
                progress_cb=seen.append)
     assert seen and max(seen) <= 1.0 + 1e-9
+
+
+def test_cli_lele_writes_gds(tmp_path, capsys):
+    """lele --gds round-trips: the two decomposition layers rasterize back
+    to the original layout."""
+    from lithographysimulator_tpu.cli import main
+    from lithographysimulator_tpu.io.contours import rasterize_loops
+    from lithographysimulator_tpu.io.gdsii import read_gds
+
+    gds = tmp_path / "lele.gds"
+    rc = main(["lele", "--pixel-number", "64", "--mask", "lines",
+               "--source", "classical", "--sigma-out", "0.3",
+               "--min-pitch", "200", "--rank", "24", "--halo", "16",
+               "--gds", str(gds)])
+    assert rc == 0
+    lib = read_gds(gds)
+    polys = lib.flatten("LELE")
+    layers = {p.layer for p in polys}
+    assert layers == {1, 2}
+    import json
+
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert report["violations"] == 0
+    cfg_px = 25.0
+    union = np.zeros((64, 64), bool)
+    for layer in (1, 2):
+        loops = [p.xy_nm for p in polys if p.layer == layer]
+        union |= rasterize_loops(loops, pixel_size=cfg_px, n=64) > 0.5
+    from lithographysimulator_tpu import OpticsConfig, lines_and_spaces
+
+    target = np.abs(np.asarray(lines_and_spaces(
+        OpticsConfig(pixel_number=64), line_width_px=4,
+        pitch_px=8).geometry)) > 0.5
+    np.testing.assert_array_equal(union, target)
