@@ -778,7 +778,29 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for CLI/serving processes (same
+    cache bench.py uses): tunnel compiles cost 20-40 s per program and the
+    auto-rank loop compiles several — repeat invocations of identical
+    configs should pay none of it. Env JAX_COMPILATION_CACHE_DIR wins."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    from pathlib import Path
+
+    cache = Path(__file__).resolve().parent.parent / ".jax_cache"
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(prog="lithographysimulator_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

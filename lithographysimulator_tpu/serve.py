@@ -1135,6 +1135,9 @@ def serve_router(backends: list[str], host: str = "127.0.0.1",
 
 
 if __name__ == "__main__":
+    from .cli import _enable_compile_cache
+
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8100)

@@ -239,3 +239,13 @@ def test_device_info():
 
     info = device_info()
     assert info["device_count"] >= 1 and info["platform"]
+
+
+def test_cli_enables_persistent_compile_cache(monkeypatch):
+    import jax
+
+    from lithographysimulator_tpu.cli import _enable_compile_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    _enable_compile_cache()
+    assert str(jax.config.jax_compilation_cache_dir).endswith(".jax_cache")
