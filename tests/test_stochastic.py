@@ -155,3 +155,24 @@ def test_streamed_chunks_match_single_pass(monkeypatch):
     assert streamed["mean_cd_nm"] == pytest.approx(single["mean_cd_nm"],
                                                    rel=0.05)
     assert abs(streamed["break_rate"] - single["break_rate"]) < 0.2
+
+
+def test_exposure_summary_contract():
+    """The device summary matches what full fields would give: sampled
+    continuous rows, per-cut run counts, and the contour sum."""
+    from lithographysimulator_tpu.models.stochastic import exposure_summary
+
+    model = StochasticResist(dose_photons_per_nm2=5.0, diffusion_nm=8.0,
+                             threshold=0.4)
+    rows, runs, band = exposure_summary(IMG, CFG, model, trials=6, seed=3,
+                                        trial_chunk=3, row_step=4)
+    fields = np.asarray(exposure_trials(IMG, CFG, model, trials=6, seed=3,
+                                        binary=False, trial_chunk=3))
+    np.testing.assert_allclose(np.asarray(rows), fields[:, ::4, :],
+                               atol=1e-6)
+    contours = fields > model.threshold
+    np.testing.assert_allclose(np.asarray(band), contours.sum(axis=0),
+                               atol=1e-6)
+    pad = np.pad(contours, ((0, 0), (0, 0), (1, 1))).astype(np.int8)
+    ref_runs = (np.diff(pad, axis=2) == 1).sum(axis=2)
+    np.testing.assert_array_equal(np.asarray(runs), ref_runs)
