@@ -33,8 +33,8 @@ from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.multipatterning import decompose_lele, lele_print
 from .models.sraf import sraf_band, sraf_insert, sraf_print_check
 from .models.source import LightSource
-from .models.stochastic import (StochasticResist, exposure_trials,
-                                stochastic_ensemble)
+from .models.stochastic import (StochasticResist, exposure_summary,
+                                exposure_trials, stochastic_ensemble)
 from .ops.compensated import matmul_compensated
 from .ops.abbe import (
     SourcePoints,
@@ -104,6 +104,7 @@ __all__ = [
     "sraf_insert",
     "sraf_print_check",
     "exposure_trials",
+    "exposure_summary",
     "stochastic_ensemble",
     "edge_placement_errors",
     "feature_table",
