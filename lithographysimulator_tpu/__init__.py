@@ -30,7 +30,9 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             hotspots, nils_table,
                             pattern_fidelity, swing_curve)
 from .models.mrc import MaskRules, mrc_check, mrc_clean
-from .models.multipatterning import decompose_lele, lele_print
+from .models.multipatterning import (decompose_lele,
+                                     decompose_multipatterning, lele_print,
+                                     multipatterning_print)
 from .models.sraf import sraf_band, sraf_insert, sraf_print_check
 from .models.source import LightSource
 from .models.stochastic import (StochasticResist, exposure_summary,
@@ -99,7 +101,9 @@ __all__ = [
     "mrc_check",
     "mrc_clean",
     "decompose_lele",
+    "decompose_multipatterning",
     "lele_print",
+    "multipatterning_print",
     "sraf_band",
     "sraf_insert",
     "sraf_print_check",

@@ -573,9 +573,10 @@ def cmd_opc(args) -> int:
 
 
 def cmd_lele(args) -> int:
-    """Double patterning: decompose the layout into two LELE masks, print
-    both + the single exposure, report feature recovery."""
-    from .models.multipatterning import lele_print
+    """Multiple patterning: decompose the layout into N masks (2 = LELE,
+    3 = LELELE, ...), print each + the single exposure, report feature
+    recovery."""
+    from .models.multipatterning import multipatterning_print
     from .models.resist import ResistModel, feature_table
 
     config = _build_config(args)
@@ -583,14 +584,16 @@ def cmd_lele(args) -> int:
     source = _build_source(args, config)
     polarization = None if args.polarization == "scalar" else args.polarization
     t0 = time.perf_counter()
-    out = lele_print(
+    out = multipatterning_print(
         mask, config, np.asarray(source), min_pitch_nm=args.min_pitch,
+        masks=args.masks,
         resist=ResistModel(threshold=args.threshold), rank=args.rank,
         halo=args.halo, polarization=polarization,
         chromatic=_build_chromatic(args))
     elapsed = time.perf_counter() - t0
     feats = lambda m: int(feature_table(m, config, axis=1)["row"].size)
     print(json.dumps({
+        "masks": args.masks,
         "features": out["features"],
         "conflict_edges": out["conflict_edges"],
         "violations": out["violations"],
@@ -600,9 +603,10 @@ def cmd_lele(args) -> int:
         "wall_clock_s": round(elapsed, 3),
     }))
     if args.out:
-        np.savez(args.out, mask_a=out["mask_a"], mask_b=out["mask_b"],
-                 profile=out["profile"],
-                 profile_single=out["profile_single"])
+        np.savez(args.out, profile=out["profile"],
+                 profile_single=out["profile_single"],
+                 **{f"mask_{chr(ord('a') + i)}": m
+                    for i, m in enumerate(out["masks"])})
         print(f"wrote {args.out}")
     if args.gds:
         from .io.contours import trace_contours
@@ -611,11 +615,12 @@ def cmd_lele(args) -> int:
         px = config.pixel_size
         cells = {"LELE": [
             (layer, xy)
-            for layer, m in ((1, out["mask_a"]), (2, out["mask_b"]))
+            for layer, m in enumerate(out["masks"], start=1)
             for xy in trace_contours(m, pixel_size=px)
         ]}
         write_gds(args.gds, cells, unit_nm=1.0)
-        print(f"wrote {args.gds} (mask A on layer 1, mask B on layer 2)")
+        print(f"wrote {args.gds} (mask i on layer i, "
+              f"{args.masks} masks)")
     return 0
 
 
@@ -954,6 +959,8 @@ def main(argv=None) -> int:
         "lele", help="double patterning: decompose + composite print")
     _add_common(p_lele)
     _add_chromatic(p_lele)
+    p_lele.add_argument("--masks", type=int, default=2,
+                        help="number of patterning masks (2=LELE, 3=LELELE)")
     p_lele.add_argument("--min-pitch", type=float, default=200.0,
                         help="minimum same-mask pitch (nm) for decomposition")
     p_lele.add_argument("--threshold", type=float, default=0.35)

@@ -449,26 +449,32 @@ class JobRunner:
                               if not k.startswith("epe_")}
             return out
         if job.kind == "lele":
-            from .models.multipatterning import lele_print
+            from .models.multipatterning import multipatterning_print
             from .models.resist import ResistModel
 
-            result = lele_print(
+            n_masks = int(body.get("masks", 2))
+            result = multipatterning_print(
                 np.asarray(mask, np.float32), config, source,
                 min_pitch_nm=float(body.get("min_pitch_nm", 200.0)),
+                masks=n_masks,
                 resist=ResistModel(
                     threshold=float(body.get("threshold", 0.35))),
                 rank=rank, halo=halo, polarization=polarization,
                 chromatic=chromatic, progress_cb=progress)
-            return {
+            out = {
+                "masks": n_masks,
                 "features": result["features"],
                 "conflict_edges": result["conflict_edges"],
                 "violations": result["violations"],
-                "mask_a": result["mask_a"],
-                "mask_b": result["mask_b"],
                 "profile": result["profile"],
                 "profile_single": result["profile_single"],
                 "big_n": int(mask.shape[0]),
             }
+            # mask_a / mask_b names preserved for the LELE (2-mask) case;
+            # further masks continue the alphabet (mask_c, ...)
+            for i, m in enumerate(result["masks"]):
+                out[f"mask_{chr(ord('a') + i)}"] = m
+            return out
 
         if job.kind == "stochastic":
             from .metrology import tiled_stochastic

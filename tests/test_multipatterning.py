@@ -11,8 +11,11 @@ import pytest
 
 from lithographysimulator_tpu import LightSource, OpticsConfig
 from lithographysimulator_tpu.models.multipatterning import (
+    conflict_pairs,
     decompose_lele,
+    decompose_multipatterning,
     lele_print,
+    multipatterning_print,
 )
 from lithographysimulator_tpu.models.resist import ResistModel, feature_table
 
@@ -131,3 +134,84 @@ def test_cli_lele_writes_gds(tmp_path, capsys):
         OpticsConfig(pixel_number=64), line_width_px=4,
         pitch_px=8).geometry)) > 0.5
     np.testing.assert_array_equal(union, target)
+
+
+def _brute_force_pairs(labels, k):
+    """O(pixels^2) Chebyshev pair oracle for small layouts."""
+    count = labels.max()
+    coords = {lab: np.argwhere(labels == lab) for lab in range(1, count + 1)}
+    pairs = set()
+    for a in range(1, count + 1):
+        for b in range(a + 1, count + 1):
+            da = np.abs(coords[a][:, None, :] - coords[b][None, :, :])
+            if da.max(axis=-1).min() <= k:
+                pairs.add((a, b))
+    return pairs
+
+
+@pytest.mark.parametrize("seed,k", [(0, 1), (1, 2), (2, 3), (3, 5)])
+def test_conflict_pairs_matches_brute_force(seed, k):
+    """The vectorized boundary offset scan is EXACT: same pair set as the
+    all-pairs Chebyshev distance oracle on random blob layouts."""
+    from lithographysimulator_tpu.models.mrc import label_components
+
+    rng = np.random.default_rng(seed)
+    m = np.zeros((48, 48), np.int8)
+    for _ in range(14):
+        y, x = rng.integers(2, 42, 2)
+        h, w = rng.integers(2, 6, 2)
+        m[y:y + h, x:x + w] = 1
+    labels, count = label_components(m)
+    got = {tuple(p) for p in conflict_pairs(labels, k)}
+    assert got == _brute_force_pairs(labels, k)
+
+
+def test_triple_patterning_colors_odd_cycle():
+    """The triangle layout that LELE cannot 2-color decomposes cleanly into
+    three masks, each internally conflict-free."""
+    m = np.zeros((64, 64), np.float32)
+    m[20:26, 20:26] = 1.0
+    m[20:26, 30:36] = 1.0
+    m[30:36, 25:31] = 1.0
+    two = decompose_multipatterning(m, CFG, min_pitch_nm=200.0, masks=2)
+    three = decompose_multipatterning(m, CFG, min_pitch_nm=200.0, masks=3)
+    assert two["violations"] >= 1
+    assert three["violations"] == 0
+    assert three["conflict_edges"] == 3
+    # exactly one feature per mask; union restores the layout
+    union = np.zeros_like(m)
+    for sub in three["masks"]:
+        assert 0 < sub.sum() < m.sum()
+        union = np.maximum(union, sub)
+    np.testing.assert_array_equal(union > 0.5, m > 0.5)
+
+
+def test_triple_patterning_dense_lines_relaxes_pitch():
+    """Dense lines at pitch p split over 3 masks see >= 3p same-mask pitch;
+    every same-mask gap clears a min_pitch 2-coloring cannot satisfy."""
+    m = _dense_lines()  # 150 nm pitch
+    parts = decompose_multipatterning(m, CFG, min_pitch_nm=300.0, masks=3)
+    assert parts["violations"] == 0
+    for sub in parts["masks"]:
+        cols = np.nonzero(sub[32] > 0.5)[0]
+        gaps = np.diff(cols)
+        big = gaps[gaps > 3]
+        assert (big * CFG.pixel_size >= 300.0).all()
+    # 2 masks cannot satisfy 300 nm at 150 nm pitch (needs every 2nd line
+    # on the same mask -> 300 nm pitch but the conflict radius is 12 px
+    # while same-mask neighbors sit at 12-3=9 px edge-to-edge)
+    two = decompose_multipatterning(m, CFG, min_pitch_nm=300.0, masks=2)
+    assert two["violations"] >= 1
+
+
+def test_multipatterning_print_union():
+    m = _dense_lines()
+    src = np.asarray(LightSource(CFG, sigma_out=0.3).classical())
+    out = multipatterning_print(m, CFG, src, min_pitch_nm=200.0, masks=3,
+                                rank=32, halo=16)
+    assert out["violations"] == 0
+    assert len(out["profiles"]) == 3
+    np.testing.assert_array_equal(
+        out["profile"],
+        np.maximum(np.maximum(out["profiles"][0], out["profiles"][1]),
+                   out["profiles"][2]))
