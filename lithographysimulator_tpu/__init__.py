@@ -26,6 +26,7 @@ from .metrology import (apply_dose_map, dose_correction_map, orc_check,
 from .models.pupil import Pupil, pupil_function
 from .models.resist import (DepthResist, MackResist, ResistModel,
                             cd_uniformity, critical_dimension,
+                            aligned_edge_positions,
                             edge_placement_errors, feature_table,
                             hotspots, nils_table,
                             pattern_fidelity, swing_curve)
@@ -110,6 +111,7 @@ __all__ = [
     "exposure_trials",
     "exposure_summary",
     "stochastic_ensemble",
+    "aligned_edge_positions",
     "edge_placement_errors",
     "feature_table",
     "default_halo",

@@ -449,6 +449,7 @@ def cmd_fem(args) -> int:
         polarization=polarization, chromatic=_build_chromatic(args),
         warm_start=not args.no_warm_start,
         hotspot_nils=args.hotspot_nils,
+        pv_bands=args.pv_bands is not None,
     )
     elapsed = time.perf_counter() - t0
     report = {
@@ -476,7 +477,15 @@ def cmd_fem(args) -> int:
         spots = dict(result["hotspots"])
         spots["locations"] = spots["locations"][:10]  # top-10 in the JSON
         report["hotspots"] = spots
+    pv = result.get("pv")
+    if pv is not None:
+        report["pv"] = {k: v for k, v in pv.items()
+                        if k not in ("outer", "inner", "band")}
     print(json.dumps(report))
+    if args.pv_bands and pv is not None:
+        np.savez(args.pv_bands, outer=pv["outer"], inner=pv["inner"],
+                 band=pv["band"])
+        print(f"wrote {args.pv_bands}")
     if args.cdu_map and cdu is not None:
         cd_map = np.asarray(cdu["cd_map_nm"])
         if args.cdu_map.endswith(".npy"):
@@ -886,6 +895,11 @@ def main(argv=None) -> int:
     p_fem.add_argument("--hotspot-nils", type=float, default=None,
                        help="report feature locations with NILS below this "
                             "printability floor (e.g. 1.5)")
+    p_fem.add_argument("--pv-bands", default=None,
+                       help="accumulate process-variability bands over the "
+                            "focus x dose corners and write outer/inner/"
+                            "band contour maps to this .npz (per-edge band "
+                            "stats land in the JSON report)")
     p_fem.add_argument("--cdu-map", default=None,
                        help="write the nominal-condition CD-uniformity map "
                             "(.npy, or any image extension for a rendered "

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import OpticsConfig
-from .models.resist import (ResistModel, cd_uniformity, critical_dimension,
+from .models.resist import (ResistModel, aligned_edge_positions,
+                            cd_uniformity, critical_dimension,
                             edge_placement_errors, feature_table, meef,
                             hotspots, nils_table, process_window)
 from .ops.focus import focus_stack_aberrations
@@ -203,6 +204,7 @@ def tiled_fem(
     progress_cb=None,
     hotspot_nils: float | None = None,
     perturb=None,
+    pv_bands: bool = False,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
@@ -229,7 +231,20 @@ def tiled_fem(
     through-focus contrast loss the FEM exists to measure.
 
     ``target_cd_nm=None`` self-calibrates: the window is centered on the CD
-    printed at the middle focal plane and the dose nearest 1.0."""
+    printed at the middle focal plane and the dose nearest 1.0.
+
+    ``pv_bands=True`` additionally accumulates process-variability bands
+    over the (focus x dose) corners at zero extra imaging cost (each cell's
+    developed profile is already in hand): ``result['pv']`` holds the outer
+    (union) and inner (intersection) printed contours, the band map
+    (``outer & ~inner`` — the region where the printed edge wanders across
+    the process window), its area fraction, and per-edge band widths
+    (printed edge positions aligned to the target's edge list per cell via
+    :func:`..models.resist.aligned_edge_positions`; band = max - min over
+    conditions). Edges whose feature fails to print in ANY condition are
+    counted in ``edges_open`` instead — those are catastrophic (bridge /
+    pinch) sites, not finite bands. The standard OPC sign-off artifact; no
+    reference counterpart."""
     resist = resist or ResistModel()
     stack = tiled_focus_images(
         mask_big, tile_config, source_map, defocus_nm,
@@ -265,12 +280,33 @@ def tiled_fem(
     epe = None
     nils = None
     spots = None
+    pv_target_table = None
+    pv_inner = pv_outer = None
+    pv_rise: list = []
+    pv_fall: list = []
+    if pv_bands:
+        pv_target = (target_geometry if target_geometry is not None
+                     else mask_big)
+        if pv_target is not None:
+            pv_target_table = feature_table(
+                np.asarray(pv_target, np.float32), tile_config, axis=cd_axis,
+                row_step=cd_row_step)
     for i, image in enumerate(stack):
         norm = image / scale
         for j, dose in enumerate(doses):
             profile = np.asarray(resist.develop_binary(
                 norm * dose, tile_config, normalize=False))
             cds[i, j] = measure(profile)
+            if pv_bands:
+                pb = profile > 0.5
+                pv_inner = pb if pv_inner is None else (pv_inner & pb)
+                pv_outer = pb if pv_outer is None else (pv_outer | pb)
+                if pv_target_table is not None:
+                    r, f = aligned_edge_positions(
+                        profile, pv_target_table, tile_config, axis=cd_axis,
+                        row_step=cd_row_step)
+                    pv_rise.append(r)
+                    pv_fall.append(f)
             if progress_cb is not None:
                 done = i * len(doses) + j + 1
                 progress_cb(0.8 + 0.2 * done / (len(stack) * len(doses)))
@@ -299,7 +335,37 @@ def tiled_fem(
         target_cd_nm = float(cds[i_mid, j_nom])
     summary = process_window(cds, defocus_nm, doses,
                              target_cd_nm=target_cd_nm, tolerance=tolerance)
+    pv = None
+    if pv_bands:
+        band_map = pv_outer & ~pv_inner
+        if pv_rise:
+            rise = np.stack(pv_rise)  # (conditions, target features)
+            fall = np.stack(pv_fall)
+            full = (~np.isnan(rise).any(0)) & (~np.isnan(fall).any(0))
+            widths = np.concatenate([
+                rise[:, full].max(0) - rise[:, full].min(0),
+                fall[:, full].max(0) - fall[:, full].min(0),
+            ]) if full.any() else np.zeros(0)
+            open_edges = 2 * int((~full).sum())
+        else:
+            widths = np.zeros(0)
+            open_edges = 0
+        pv = {
+            "outer": pv_outer.astype(np.uint8),
+            "inner": pv_inner.astype(np.uint8),
+            "band": band_map.astype(np.uint8),
+            "band_area_frac": float(band_map.mean()),
+            "edge_band_mean_nm": (float(widths.mean()) if widths.size
+                                  else 0.0),
+            "edge_band_max_nm": float(widths.max()) if widths.size else 0.0,
+            "edge_band_sigma_nm": (float(widths.std()) if widths.size
+                                   else 0.0),
+            "edges_measured": int(widths.size),
+            "edges_open": open_edges,
+            "conditions": int(len(stack) * len(doses)),
+        }
     return {
+        "pv": pv,
         "cd_nm": cds,
         "defocus_nm": np.asarray(defocus_nm, np.float64),
         "doses": doses,

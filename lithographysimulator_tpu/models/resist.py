@@ -296,6 +296,68 @@ def hotspots(image, config: OpticsConfig, *, threshold: float = 0.3,
     }
 
 
+def _match_features(pf: dict, tf: dict, px: float, n: int, *,
+                    max_match_nm: float | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Match target features to printed features on the same cut line.
+
+    ``pf``/``tf`` are :func:`feature_table` outputs (printed / target).
+    Returns ``(best, matched)``: for each target feature the index of the
+    nearest-center printed feature on its row, and whether that candidate
+    lies within ``max_match_nm`` (default half the target width + one
+    pixel)."""
+    span = float(n) * px
+    # composite sort key: row major, center minor (rows already sorted)
+    p_key = pf["row"] * (2.0 * span) + pf["center_nm"]
+    t_rows = tf["row"]
+    t_centers = tf["center_nm"]
+    idx = np.searchsorted(p_key, t_rows * (2.0 * span) + t_centers)
+    cand = np.stack([np.clip(idx - 1, 0, max(len(p_key) - 1, 0)),
+                     np.clip(idx, 0, max(len(p_key) - 1, 0))])
+    if len(p_key) == 0:
+        return np.zeros(len(t_rows), int), np.zeros(len(t_rows), bool)
+    same_row = pf["row"][cand] == t_rows[None, :]
+    dist = np.abs(pf["center_nm"][cand] - t_centers[None, :])
+    dist = np.where(same_row, dist, np.inf)
+    pick = np.argmin(dist, axis=0)
+    best = cand[pick, np.arange(len(t_rows))]
+    best_dist = dist[pick, np.arange(len(t_rows))]
+    limit = (0.5 * tf["width_nm"] + px if max_match_nm is None
+             else np.full(len(t_rows), float(max_match_nm)))
+    return best, best_dist <= limit
+
+
+def aligned_edge_positions(profile, target_table: dict,
+                           config: OpticsConfig, *,
+                           threshold: float = 0.5, axis: int = 1,
+                           row_step: int = 1,
+                           max_match_nm: float | None = None
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Subpixel printed edge positions ALIGNED to a fixed target edge list.
+
+    ``target_table`` is the target's :func:`feature_table` (computed once
+    and reused across process conditions). Returns ``(rise_nm, fall_nm)``
+    arrays of length ``len(target_table['row'])`` — the matched printed
+    feature's edge positions in nm, NaN where the target feature did not
+    print (or bridged past the match window). Because every condition's
+    edges land in the same slots, per-edge spreads across conditions are a
+    plain nanmax - nanmin — the process-variability band width per edge
+    (:func:`..metrology.tiled_fem` ``pv_bands=True``)."""
+    pf = feature_table(profile, config, axis=axis, threshold=threshold,
+                       row_step=row_step)
+    px = config.pixel_size
+    n = np.asarray(profile).shape[axis == 0]
+    best, matched = _match_features(pf, target_table, px, n,
+                                    max_match_nm=max_match_nm)
+    n_t = len(target_table["row"])
+    rise = np.full(n_t, np.nan)
+    fall = np.full(n_t, np.nan)
+    if len(pf["row"]) and n_t:
+        rise[matched] = pf["rise_px"][best[matched]] * px
+        fall[matched] = pf["fall_px"][best[matched]] * px
+    return rise, fall
+
+
 def edge_placement_errors(profile, target_geometry, config: OpticsConfig, *,
                           threshold: float = 0.5, axis: int = 1,
                           row_step: int = 1,
@@ -317,27 +379,9 @@ def edge_placement_errors(profile, target_geometry, config: OpticsConfig, *,
                        threshold=threshold, row_step=row_step)
     px = config.pixel_size
     n = np.asarray(profile).shape[axis == 0]
-    span = float(n) * px
-    # composite sort key: row major, center minor (rows already sorted)
-    p_key = pf["row"] * (2.0 * span) + pf["center_nm"]
-    t_rows = tf["row"]
-    t_centers = tf["center_nm"]
-    idx = np.searchsorted(p_key, t_rows * (2.0 * span) + t_centers)
-    cand = np.stack([np.clip(idx - 1, 0, max(len(p_key) - 1, 0)),
-                     np.clip(idx, 0, max(len(p_key) - 1, 0))])
-    if len(p_key) == 0:
-        matched = np.zeros(len(t_rows), bool)
-        best = np.zeros(len(t_rows), int)
-    else:
-        same_row = pf["row"][cand] == t_rows[None, :]
-        dist = np.abs(pf["center_nm"][cand] - t_centers[None, :])
-        dist = np.where(same_row, dist, np.inf)
-        pick = np.argmin(dist, axis=0)
-        best = cand[pick, np.arange(len(t_rows))]
-        best_dist = dist[pick, np.arange(len(t_rows))]
-        limit = (0.5 * tf["width_nm"] + px if max_match_nm is None
-                 else np.full(len(t_rows), float(max_match_nm)))
-        matched = best_dist <= limit
+    best, matched = _match_features(pf, tf, px, n,
+                                    max_match_nm=max_match_nm)
+    p_key, t_rows = pf["row"], tf["row"]
     if len(p_key) == 0 or len(t_rows) == 0:
         epe_rise = epe_fall = np.zeros((0,))
     else:

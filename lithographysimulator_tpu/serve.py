@@ -423,6 +423,7 @@ class JobRunner:
                 hotspot_nils=(float(body["hotspot_nils"])
                               if body.get("hotspot_nils") is not None
                               else None),
+                pv_bands=bool(body.get("pv_bands", False)),
                 progress_cb=progress)
             cdu = dict(result["cdu"] or {})
             cd_map = cdu.pop("cd_map_nm", None)
@@ -447,6 +448,11 @@ class JobRunner:
             if result.get("epe") is not None:
                 out["epe"] = {k: v for k, v in result["epe"].items()
                               if not k.startswith("epe_")}
+            if result.get("pv") is not None:
+                pv = dict(result["pv"])
+                for key in ("outer", "inner", "band"):
+                    out[f"pv_{key}"] = pv.pop(key)  # arrays: inline/artifact
+                out["pv"] = pv
             return out
         if job.kind == "lele":
             from .models.multipatterning import multipatterning_print

@@ -420,6 +420,22 @@ def test_job_fem_end_to_end(server):
     assert "cd_map_nm" in final
 
 
+def test_job_fem_pv_bands(server):
+    body = _job_body("fem", defocus_nm=[-80.0, 0.0, 80.0],
+                     doses=[0.9, 1.0, 1.1], threshold=0.3, pv_bands=True)
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    pv = final["pv"]
+    assert pv["band_area_frac"] > 0 and pv["edge_band_mean_nm"] > 0
+    outer = _decode_array(final["pv_outer"])
+    inner = _decode_array(final["pv_inner"])
+    band = _decode_array(final["pv_band"])
+    assert not ((inner > 0.5) & (outer < 0.5)).any()
+    np.testing.assert_array_equal(band > 0.5, (outer > 0.5) & (inner < 0.5))
+
+
 def test_job_concurrent_with_simulate(server):
     """A running job must not break concurrent /simulate traffic."""
     status, payload = _post(server, "/jobs", _job_body("tiled", big_n=128))
