@@ -30,6 +30,7 @@ from .models.resist import (DepthResist, MackResist, ResistModel,
                             edge_placement_errors, feature_table,
                             hotspots, nils_table,
                             pattern_fidelity, swing_curve)
+from .models.calibrate import calibrate_resist, gauge_cd
 from .models.mrc import MaskRules, mrc_check, mrc_clean
 from .models.multipatterning import (decompose_lele,
                                      decompose_multipatterning, lele_print,
@@ -98,6 +99,8 @@ __all__ = [
     "critical_dimension",
     "nils_table",
     "hotspots",
+    "calibrate_resist",
+    "gauge_cd",
     "MaskRules",
     "mrc_check",
     "mrc_clean",

@@ -633,6 +633,32 @@ def cmd_lele(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Resist model calibration: fit model parameters to measured gauge
+    CDs (aerial images from .npy files + CD-SEM numbers)."""
+    from .models.calibrate import calibrate_resist
+    from .models.resist import MackResist, ResistModel
+
+    config = _build_config(args)
+    images = [np.load(p) for p in args.images]
+    if len(args.cds) != len(images):
+        raise SystemExit(f"{len(images)} --images vs {len(args.cds)} --cds")
+    model = MackResist() if args.model == "mack" else ResistModel(
+        threshold=args.threshold, diffusion_nm=args.diffusion)
+    t0 = time.perf_counter()
+    out = calibrate_resist(images, args.cds, config, model=model,
+                           fit=tuple(args.fit), iters=args.iters)
+    print(json.dumps({
+        "params": out["params"],
+        "rms_nm": round(out["rms_nm"], 4),
+        "cd_nm": [round(float(c), 3) for c in out["cd_nm"]],
+        "residual_nm": [round(float(r), 3) for r in out["residual_nm"]],
+        "evals": out["evals"],
+        "wall_clock_s": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_stochastic(args) -> int:
     """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
     trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
@@ -1015,6 +1041,25 @@ def main(argv=None) -> int:
                        help="print-probability map .npy path")
     p_sto.add_argument("--plot", default=None, help="figure .png path")
     p_sto.set_defaults(func=cmd_stochastic)
+
+    p_cal = sub.add_parser(
+        "calibrate", help="fit resist model parameters to measured gauge CDs")
+    _add_common(p_cal)
+    p_cal.add_argument("--images", nargs="+", required=True,
+                       help="gauge aerial images (.npy), one per measurement")
+    p_cal.add_argument("--cds", type=float, nargs="+", required=True,
+                       help="measured CDs (nm), one per gauge image")
+    p_cal.add_argument("--model", choices=["lumped", "mack"],
+                       default="lumped")
+    p_cal.add_argument("--fit", nargs="+",
+                       default=["threshold", "diffusion_nm"],
+                       help="model fields to fit (others stay frozen)")
+    p_cal.add_argument("--threshold", type=float, default=0.3,
+                       help="initial threshold (lumped model)")
+    p_cal.add_argument("--diffusion", type=float, default=0.0,
+                       help="initial diffusion length nm (lumped model)")
+    p_cal.add_argument("--iters", type=int, default=150)
+    p_cal.set_defaults(func=cmd_calibrate)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)
