@@ -633,6 +633,44 @@ def cmd_lele(args) -> int:
     return 0
 
 
+def cmd_fitaberr(args) -> int:
+    """Scanner aberration retrieval: fit OSA Zernike coefficients to
+    measured through-focus aerial images of a known test structure."""
+    import jax
+
+    from .optimize import fit_aberrations
+    from .ops.fraunhofer import mask_spectrum
+    from .parallel import padded_source_arrays
+
+    config = _build_config(args)
+    mask = _build_mask(args, config)
+    source = _build_source(args, config)
+    shifts, weights, _ = padded_source_arrays(np.asarray(source),
+                                              args.chunk * 8)
+    images = np.stack([np.load(p).astype(np.float32) for p in args.images])
+    if args.defocus is not None and len(args.defocus) != len(images):
+        raise SystemExit(f"{len(images)} --images vs "
+                         f"{len(args.defocus)} --defocus planes")
+    # spectrum stays a DEVICE array: built under jit (eager complex math
+    # dies on the TPU tunnel) and consumed only inside the jitted fit step
+    spectrum = jax.jit(
+        lambda g: mask_spectrum(g, config))(np.asarray(mask.geometry))
+    target = images if args.defocus is not None else images[0]
+    t0 = time.perf_counter()
+    coeffs, history = fit_aberrations(
+        target, spectrum, shifts, weights, config,
+        n_coeffs=args.n_coeffs, steps=args.steps, learning_rate=args.lr,
+        chunk=args.chunk, defocus_nm=args.defocus)
+    print(json.dumps({
+        "coefficients": [round(float(c), 6) for c in np.asarray(coeffs)],
+        "loss_initial": history[0],
+        "loss_final": history[-1],
+        "planes": len(images),
+        "wall_clock_s": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_calibrate(args) -> int:
     """Resist model calibration: fit model parameters to measured gauge
     CDs (aerial images from .npy files + CD-SEM numbers)."""
@@ -1041,6 +1079,22 @@ def main(argv=None) -> int:
                        help="print-probability map .npy path")
     p_sto.add_argument("--plot", default=None, help="figure .png path")
     p_sto.set_defaults(func=cmd_stochastic)
+
+    p_fit = sub.add_parser(
+        "fitaberr", help="scanner aberration retrieval from measured "
+                         "through-focus aerial images")
+    _add_common(p_fit)
+    p_fit.add_argument("--images", nargs="+", required=True,
+                       help="measured aerial images (.npy), one per plane")
+    p_fit.add_argument("--defocus", type=float, nargs="+", default=None,
+                       help="stage defocus (nm) of each image; omit for a "
+                            "single-image fit (even-aberration signs then "
+                            "unresolvable)")
+    p_fit.add_argument("--n-coeffs", type=int, default=10)
+    p_fit.add_argument("--steps", type=int, default=300)
+    p_fit.add_argument("--lr", type=float, default=0.05)
+    p_fit.add_argument("--chunk", type=int, default=4)
+    p_fit.set_defaults(func=cmd_fitaberr)
 
     p_cal = sub.add_parser(
         "calibrate", help="fit resist model parameters to measured gauge CDs")

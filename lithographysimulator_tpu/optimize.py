@@ -320,6 +320,7 @@ def fit_aberrations(
     solver: str = "gau23",
     chunk: int = 4,
     init=None,
+    defocus_nm=None,
 ) -> tuple[jnp.ndarray, list[float]]:
     """Recover OSA Zernike coefficients from a measured aerial image by
     gradient descent through the imaging model (the pipeline is
@@ -328,24 +329,63 @@ def fit_aberrations(
     The target and model images are normalized per-iteration, so absolute
     dose need not be known. Piston (index 0) is a global phase with no
     intensity signature and is pinned to zero.
+
+    Through-focus mode (the scanner-matching workflow): pass ``defocus_nm``
+    (length F) and a matching (F, n, n) ``target_image`` stack. A single
+    in-focus intensity image cannot determine the SIGN of even (focus-
+    symmetric) aberrations — ±spherical print identically at best focus to
+    first order — so production aberration metrology always measures a
+    focal stack; each known stage offset is ADDED to the fitted entry-4
+    base defocus (both nm, the nm→waves map is linear), which keeps the
+    residual scanner defocus itself identifiable from two or more planes.
     """
     from .models.pupil import pupil_function
 
     target = jnp.asarray(target_image, jnp.float32)
-    target = target / jnp.maximum(jnp.max(target), 1e-30)
-    mask_vec = jnp.ones((n_coeffs,), jnp.float32).at[0].set(0.0)
+    if defocus_nm is not None:
+        # host-side numpy: offsets/mask_vec embed as host constants in the
+        # jitted step (a device-array capture would round-trip the tunnel)
+        offsets = np.asarray(defocus_nm, np.float32)
+        if target.ndim != 3 or target.shape[0] != offsets.shape[0]:
+            raise ValueError(
+                f"defocus_nm has {offsets.shape[0]} planes; target_image "
+                f"must be a matching (F, n, n) stack, got {target.shape}")
+        n_coeffs = max(n_coeffs, 5)  # entry 4 carries the focal offsets
+    else:
+        offsets = None
+        if target.ndim != 2:
+            raise ValueError("single-image fit expects an (n, n) target; "
+                             "pass defocus_nm for a focal stack")
+    axes = tuple(range(-2, 0))
+    target = target / jnp.maximum(
+        jnp.max(target, axis=axes, keepdims=True), 1e-30)
+    mask_vec = np.ones((n_coeffs,), np.float32)
+    mask_vec[0] = 0.0  # host constant (see offsets note above)
     spectrum = jnp.asarray(spectrum)
     shifts = jnp.asarray(shifts)
     weights = jnp.asarray(weights)
 
-    def loss_fn(coeffs, target, spectrum, shifts, weights):
-        pupil = pupil_function(coeffs * mask_vec, config)
+    def one_plane(coeffs, target_plane, spectrum, shifts, weights):
+        # all device arrays arrive as arguments — a closure capture would
+        # lower them as jit constants, and pulling the complex spectrum to
+        # host for that dies UNIMPLEMENTED on the TPU tunnel (CLAUDE.md)
+        pupil = pupil_function(coeffs, config)
         image = abbe_image_points(
             spectrum, pupil, shifts, weights, config,
             solver=solver, chunk=chunk, normalize=True,
         )
         image = image / jnp.maximum(jnp.max(image), 1e-30)
-        return jnp.mean((image - target) ** 2)
+        return jnp.mean((image - target_plane) ** 2)
+
+    def loss_fn(coeffs, target, spectrum, shifts, weights):
+        coeffs = coeffs * mask_vec
+        if offsets is None:
+            return one_plane(coeffs, target, spectrum, shifts, weights)
+        stacked = jnp.broadcast_to(
+            coeffs, (offsets.shape[0], n_coeffs)).at[:, 4].add(offsets)
+        per_plane = jax.vmap(one_plane, in_axes=(0, 0, None, None, None))(
+            stacked, target, spectrum, shifts, weights)
+        return jnp.mean(per_plane)
 
     optimizer = optax.adam(learning_rate)
     coeffs = (jnp.zeros((n_coeffs,), jnp.float32) if init is None

@@ -3,6 +3,7 @@
 import jax
 import numpy as np
 import optax
+import pytest
 
 from lithographysimulator_tpu import (
     LightSource,
@@ -261,3 +262,57 @@ def test_pw_opc_beats_nominal_on_worst_corner():
     # loss history decreased
     h = pw_report["loss_history"]
     assert h[-1] < h[0]
+
+
+def test_aberration_retrieval_through_focus_recovers_coefficients():
+    """Scanner matching: a focal stack pins the aberration FUNCTION, not
+    just one image — the odd terms (astig/coma) land on their true values,
+    the even (focus-symmetric) spherical term recovers its SIGN and
+    magnitude, and the fit generalizes to focal planes it never saw,
+    including extrapolation beyond the measured range. (Base defocus Z2
+    and spherical's rho^2 content form a near-flat direction at this
+    small-NA phase diversity — coefficient-exact c4 is NOT asserted; the
+    wavefront equivalence class is what the unseen-plane check pins.)"""
+    from lithographysimulator_tpu import demo_bars, mask_spectrum
+    from lithographysimulator_tpu.optimize import fit_aberrations
+
+    shifts, weights = _setup()
+    spec = mask_spectrum(demo_bars(CFG).geometry, CFG)
+    # astig (j=3), base defocus 25 nm (j=4), coma (j=7), spherical (j=12)
+    true_ab = np.zeros(13, np.float32)
+    true_ab[3] = 0.05
+    true_ab[4] = 25.0
+    true_ab[7] = 0.04
+    true_ab[12] = -0.03
+
+    def image_at(ab, off):
+        a = np.asarray(ab, np.float32).copy()
+        a[4] += off
+        out = np.asarray(abbe_image_points(
+            spec, pupil_function(a, CFG), shifts, weights, CFG,
+            chunk=8, normalize=True))
+        return out / out.max()
+
+    offsets = np.array([-150.0, -50.0, 50.0, 150.0], np.float32)
+    target = np.stack([image_at(true_ab, o) for o in offsets])
+
+    coeffs, hist = fit_aberrations(
+        target, spec, shifts, weights, CFG, n_coeffs=13, steps=600,
+        learning_rate=0.05, chunk=8, defocus_nm=offsets)
+    assert hist[-1] < hist[0] * 0.02
+    got = np.asarray(coeffs)
+    assert abs(got[3] - 0.05) < 5e-3
+    assert abs(got[7] - 0.04) < 5e-3
+    # even-aberration SIGN + magnitude — unresolvable from one in-focus image
+    assert got[12] < 0 and abs(got[12] - (-0.03)) < 1e-2
+    # generalization: unseen interpolated + extrapolated planes match truth
+    for off in (0.0, -250.0):
+        nrms = np.sqrt(np.mean((image_at(true_ab, off)
+                                - image_at(got, off)) ** 2))
+        assert nrms < 0.01, (off, nrms)
+    # input validation
+    with pytest.raises(ValueError, match="matching"):
+        fit_aberrations(target[0], spec, shifts, weights, CFG,
+                        defocus_nm=offsets)
+    with pytest.raises(ValueError, match="single-image"):
+        fit_aberrations(target, spec, shifts, weights, CFG)
