@@ -593,9 +593,17 @@ def cmd_lele(args) -> int:
     source = _build_source(args, config)
     polarization = None if args.polarization == "scalar" else args.polarization
     t0 = time.perf_counter()
+    overlay = None
+    if args.overlay:
+        if len(args.overlay) != 2 * args.masks:
+            raise SystemExit(f"--overlay needs dy dx per mask "
+                             f"({2 * args.masks} numbers for "
+                             f"--masks {args.masks})")
+        overlay = [(args.overlay[2 * i], args.overlay[2 * i + 1])
+                   for i in range(args.masks)]
     out = multipatterning_print(
         mask, config, np.asarray(source), min_pitch_nm=args.min_pitch,
-        masks=args.masks,
+        masks=args.masks, overlay_nm=overlay,
         resist=ResistModel(threshold=args.threshold), rank=args.rank,
         halo=args.halo, polarization=polarization,
         chromatic=_build_chromatic(args))
@@ -1039,6 +1047,9 @@ def main(argv=None) -> int:
     _add_chromatic(p_lele)
     p_lele.add_argument("--masks", type=int, default=2,
                         help="number of patterning masks (2=LELE, 3=LELELE)")
+    p_lele.add_argument("--overlay", type=float, nargs="+", default=None,
+                        help="scanner overlay error: dy dx nm per mask "
+                             "(2*masks numbers)")
     p_lele.add_argument("--min-pitch", type=float, default=200.0,
                         help="minimum same-mask pitch (nm) for decomposition")
     p_lele.add_argument("--threshold", type=float, default=0.35)

@@ -187,33 +187,64 @@ def decompose_lele(mask, config_or_pixel, *, min_pitch_nm: float) -> dict:
     return out
 
 
+def subpixel_shift(image: np.ndarray, dy_nm: float, dx_nm: float,
+                   pixel_size: float) -> np.ndarray:
+    """Exact subpixel translation of a band-limited field via a Fourier
+    phase ramp (host-side numpy). Partial-coherence imaging is linear
+    shift-invariant, so displacing a mask by (dy, dx) displaces its aerial
+    intensity by exactly (dy, dx) — overlay error applies as an image
+    shift, with no re-imaging."""
+    if dy_nm == 0.0 and dx_nm == 0.0:
+        return np.asarray(image)
+    arr = np.asarray(image, np.float64)
+    fy = np.fft.fftfreq(arr.shape[0])[:, None]
+    fx = np.fft.fftfreq(arr.shape[1])[None, :]
+    ramp = np.exp(-2j * np.pi * (fy * dy_nm / pixel_size
+                                 + fx * dx_nm / pixel_size))
+    return np.real(np.fft.ifft2(np.fft.fft2(arr) * ramp)).astype(np.float32)
+
+
 def multipatterning_print(mask_big, tile_config: OpticsConfig, source_map, *,
                           min_pitch_nm: float, masks: int = 2, resist=None,
                           rank: int = 64, halo: int | None = None,
                           polarization=None, chromatic=None,
-                          progress_cb=None) -> dict:
+                          overlay_nm=None, progress_cb=None) -> dict:
     """Decompose + image + develop + union: the full multi-patterning flow
     on the tiled path. Returns the decomposition report plus ``profile``
     (the union print, {0,1}), per-mask ``profiles``, and the
-    single-exposure profile for comparison."""
+    single-exposure profile for comparison.
+
+    ``overlay_nm`` models scanner overlay error — the dominant
+    multipatterning CDU contributor: a (dy, dx) nm pair per mask displaces
+    that exposure relative to the wafer grid (applied as an exact subpixel
+    Fourier shift of its aerial image; see :func:`subpixel_shift`)."""
     from ..metrology import tiled_focus_images
     from .resist import ResistModel
 
     resist = resist or ResistModel()
     parts = decompose_multipatterning(
         mask_big, tile_config, min_pitch_nm=min_pitch_nm, masks=masks)
+    if overlay_nm is None:
+        overlay_nm = [(0.0, 0.0)] * masks
+    if len(overlay_nm) != masks:
+        raise ValueError(f"overlay_nm needs one (dy, dx) pair per mask: "
+                         f"got {len(overlay_nm)} for {masks} masks")
     n_jobs = masks + 1
 
-    def print_one(m, j):
+    def print_one(m, j, overlay=(0.0, 0.0)):
         lo, hi = j / n_jobs, (j + 1) / n_jobs
         img = tiled_focus_images(
             m, tile_config, source_map, [0.0], rank=rank, halo=halo,
             polarization=polarization, chromatic=chromatic,
             progress_cb=(None if progress_cb is None else
                          lambda f: progress_cb(lo + (hi - lo) * f)))[0]
+        img = subpixel_shift(np.asarray(img), float(overlay[0]),
+                             float(overlay[1]), tile_config.pixel_size)
         return np.asarray(resist.develop_binary(img, tile_config))
 
-    profiles = [print_one(m, j) for j, m in enumerate(parts["masks"])]
+    profiles = [print_one(m, j, overlay)
+                for j, (m, overlay) in enumerate(zip(parts["masks"],
+                                                     overlay_nm))]
     single = print_one(np.asarray(mask_big, np.float32), masks)
     union = profiles[0]
     for p in profiles[1:]:
@@ -226,7 +257,7 @@ def multipatterning_print(mask_big, tile_config: OpticsConfig, source_map, *,
 def lele_print(mask_big, tile_config: OpticsConfig, source_map, *,
                min_pitch_nm: float, resist=None, rank: int = 64,
                halo: int | None = None, polarization=None, chromatic=None,
-               progress_cb=None) -> dict:
+               overlay_nm=None, progress_cb=None) -> dict:
     """Decompose + image + develop + union for two masks (LELE). Returns
     the decomposition report plus ``profile`` (the union print, {0,1}), the
     per-mask profiles, and the single-exposure profile for comparison."""
@@ -234,7 +265,7 @@ def lele_print(mask_big, tile_config: OpticsConfig, source_map, *,
         mask_big, tile_config, source_map, min_pitch_nm=min_pitch_nm,
         masks=2, resist=resist, rank=rank, halo=halo,
         polarization=polarization, chromatic=chromatic,
-        progress_cb=progress_cb)
+        overlay_nm=overlay_nm, progress_cb=progress_cb)
     out["mask_a"], out["mask_b"] = out.pop("masks")
     out["profile_a"], out["profile_b"] = out.pop("profiles")
     return out

@@ -459,10 +459,13 @@ class JobRunner:
             from .models.resist import ResistModel
 
             n_masks = int(body.get("masks", 2))
+            overlay = body.get("overlay_nm")
+            if overlay is not None:
+                overlay = [(float(p[0]), float(p[1])) for p in overlay]
             result = multipatterning_print(
                 np.asarray(mask, np.float32), config, source,
                 min_pitch_nm=float(body.get("min_pitch_nm", 200.0)),
-                masks=n_masks,
+                masks=n_masks, overlay_nm=overlay,
                 resist=ResistModel(
                     threshold=float(body.get("threshold", 0.35))),
                 rank=rank, halo=halo, polarization=polarization,

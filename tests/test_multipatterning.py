@@ -215,3 +215,47 @@ def test_multipatterning_print_union():
         out["profile"],
         np.maximum(np.maximum(out["profiles"][0], out["profiles"][1]),
                    out["profiles"][2]))
+
+
+def test_subpixel_shift_exact_on_bandlimited_field():
+    from lithographysimulator_tpu.models.multipatterning import (
+        subpixel_shift,
+    )
+
+    n, px = 64, 25.0
+    x = np.arange(n)
+    # band-limited field: low-frequency sinusoid grid
+    f = (np.sin(2 * np.pi * 3 * x / n)[:, None]
+         * np.cos(2 * np.pi * 2 * x / n)[None, :])
+    shifted = subpixel_shift(f, 0.0, 0.4 * px, px)
+    expect = (np.sin(2 * np.pi * 3 * x / n)[:, None]
+              * np.cos(2 * np.pi * 2 * (x - 0.4) / n)[None, :])
+    np.testing.assert_allclose(shifted, expect, atol=1e-6)
+    np.testing.assert_allclose(subpixel_shift(f, 0.0, 0.0, px), f)
+
+
+def test_overlay_moves_only_the_shifted_masks_features():
+    """10 nm x-overlay on mask B displaces B's printed edges by ~10 nm
+    while mask A's stay put — the overlay-induced CDU mechanism."""
+    from lithographysimulator_tpu.models.resist import (
+        aligned_edge_positions,
+        feature_table,
+    )
+
+    m = _dense_lines()
+    src = np.asarray(LightSource(CFG, sigma_out=0.3).classical())
+    kw = dict(min_pitch_nm=200.0, resist=ResistModel(threshold=0.45),
+              rank=48, halo=16)
+    base = lele_print(m, CFG, src, **kw)
+    skew = lele_print(m, CFG, src, overlay_nm=[(0.0, 0.0), (0.0, 10.0)],
+                      **kw)
+    for key, expect_shift in (("profile_a", 0.0), ("profile_b", 10.0)):
+        ttab = feature_table(base[key], CFG, axis=1, row_step=4)
+        rise0, fall0 = aligned_edge_positions(base[key], ttab, CFG,
+                                              axis=1, row_step=4)
+        rise1, fall1 = aligned_edge_positions(skew[key], ttab, CFG,
+                                              axis=1, row_step=4)
+        moved = np.nanmean(np.concatenate([rise1 - rise0, fall1 - fall0]))
+        assert moved == pytest.approx(expect_shift, abs=1.5), key
+    # union print still has the full feature count, but gaps are skewed
+    assert skew["violations"] == 0
