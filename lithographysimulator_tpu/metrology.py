@@ -453,6 +453,7 @@ def orc_check(
     hotspot_nils: float | None = 1.5,
     epe_spec_nm: float | None = None,
     axis: int = 1,
+    process_corners: dict | None = None,
 ) -> dict:
     """OPC verification (ORC): ONE full-chip deck over a candidate mask.
 
@@ -464,7 +465,16 @@ def orc_check(
     rule checks on the MASK itself. ``pass_`` aggregates: no missing or
     spurious features, max |EPE| within ``epe_spec_nm`` (when given), MRC
     clean (when checked). The standard EDA sign-off bundled as one call —
-    no reference counterpart."""
+    no reference counterpart.
+
+    ``process_corners`` extends the deck across the process window (a mask
+    that prints at nominal but collapses at the focus/dose corners must
+    not sign off): a dict with ``defocus_nm`` / ``doses`` lists and
+    optionally ``max_edge_band_nm`` (PV-band width spec per edge) and
+    ``max_open_edges`` (default 0) — runs the FEM with PV bands
+    (:func:`tiled_fem` ``pv_bands=True``) and gates ``pass_`` on
+    catastrophic (unprinted-at-some-corner) edges and on the per-edge
+    band width. Adds ``out['pv']`` stats and ``out['process_window']``."""
     from .models.mrc import mrc_check
     from .models.resist import pattern_fidelity
 
@@ -499,6 +509,29 @@ def orc_check(
         ok = ok and out["epe"]["max_abs_epe_nm"] <= epe_spec_nm
     if mrc_rules is not None:
         ok = ok and out["mrc"]["clean"]
+    if process_corners is not None:
+        fem = tiled_fem(
+            mask_big, tile_config, source_map,
+            defocus_nm=process_corners.get("defocus_nm",
+                                           [-60.0, 0.0, 60.0]),
+            doses=process_corners.get("doses", [0.95, 1.0, 1.05]),
+            resist=resist, rank=rank, halo=halo,
+            tiles_per_dispatch=tiles_per_dispatch,
+            polarization=polarization, chromatic=chromatic,
+            perturb=perturb, target_geometry=target, cd_axis=axis,
+            pv_bands=True)
+        pv = fem["pv"]
+        out["pv"] = {k: v for k, v in pv.items()
+                     if k not in ("outer", "inner", "band")}
+        out["process_window"] = {
+            "depth_of_focus_nm": fem["depth_of_focus_nm"],
+            "exposure_latitude": fem["exposure_latitude"],
+        }
+        ok = ok and pv["edges_open"] <= int(
+            process_corners.get("max_open_edges", 0))
+        max_band = process_corners.get("max_edge_band_nm")
+        if max_band is not None:
+            ok = ok and pv["edge_band_max_nm"] <= float(max_band)
     out["pass_"] = bool(ok)
     return out
 

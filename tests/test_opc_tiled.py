@@ -134,3 +134,26 @@ def test_orc_deck_signs_off_corrected_mask(layout, source):
                       rank=48, halo=16, epe_spec_nm=90.0)
     assert not deck2["pass_"]
     assert deck2["epe"]["missing"] > 0
+
+
+def test_orc_deck_process_corners(layout, source):
+    """ORC with process_corners: a mask that prints at nominal must ALSO
+    survive the focus/dose corners. A generous band spec signs off; a
+    tight one fails the same deck; PV stats land in the report."""
+    from lithographysimulator_tpu.metrology import orc_check
+
+    resist = ResistModel(threshold=0.3, steepness=30.0)
+    corners = {"defocus_nm": [-80.0, 0.0, 80.0], "doses": [0.9, 1.0, 1.1],
+               "max_open_edges": 4}
+    deck = orc_check(layout, layout, TILE_CFG, source, resist=resist,
+                     rank=48, halo=16, epe_spec_nm=90.0,
+                     process_corners=corners)
+    assert "pv" in deck and "process_window" in deck
+    assert deck["pv"]["edge_band_mean_nm"] > 0
+    assert deck["process_window"]["depth_of_focus_nm"] >= 0
+    tight = dict(corners, max_edge_band_nm=deck["pv"]["edge_band_max_nm"]
+                 * 0.5, max_open_edges=0)
+    deck2 = orc_check(layout, layout, TILE_CFG, source, resist=resist,
+                      rank=48, halo=16, epe_spec_nm=90.0,
+                      process_corners=tight)
+    assert not deck2["pass_"]
