@@ -20,7 +20,8 @@ from .models.mask import (
     from_array,
     lines_and_spaces,
 )
-from .metrology import (apply_dose_map, dose_correction_map, orc_check,
+from .metrology import (apply_dose_map, defect_printability,
+                        dose_correction_map, orc_check,
                         tiled_fem, tiled_focus_images,
                         tiled_meef, tiled_meef_map, tiled_stochastic)
 from .models.pupil import Pupil, pupil_function
@@ -126,6 +127,7 @@ __all__ = [
     "tiled_focus_images",
     "tiled_meef",
     "apply_dose_map",
+    "defect_printability",
     "dose_correction_map",
     "orc_check",
     "tiled_meef_map",

@@ -672,3 +672,130 @@ def tiled_meef_map(
 
     return meef_table(mask_big, image_fn, tile_config, resist,
                       bias_px=bias_px, map_blocks=map_blocks)
+
+
+def defect_printability(
+    mask_big,
+    defective_big,
+    tile_config: OpticsConfig,
+    source_map,
+    *,
+    resist: ResistModel | None = None,
+    rank: int = 64,
+    halo: int | None = None,
+    engine: str = "auto",
+    tiles_per_dispatch: int = 8,
+    defocus_nm=(0.0,),
+    cd_spec_nm: float | None = None,
+    axis: int = 1,
+    polarization=None,
+    apodize: bool = True,
+    chromatic=None,
+) -> dict:
+    """Mask-defect printability: does a reticle defect print, and at what
+    CD cost? The inspection disposition question a mask shop answers for
+    every blank/patterned defect before (re)shipping a reticle.
+
+    Images the nominal and defective masks through the tiled path with ONE
+    shared kernel set per focal plane, then aligns the defective print's
+    subpixel edges to the nominal print's feature table
+    (:func:`..models.resist.aligned_edge_positions`) on the CONTINUOUS
+    post-diffusion field — the binary develop quantizes edges to pixels,
+    which would read a sub-nm disturbance near a threshold crossing as a
+    full-pixel CD jump. Per focal plane it
+    reports the peak aerial-intensity disturbance and its location, the
+    per-feature CD deltas, and features that vanish (pinch) or appear
+    (bridge / printing defect). ``prints`` is the worst-case-over-focus
+    verdict: any |CD delta| beyond ``cd_spec_nm`` (default 5% of the
+    nominal median CD) or any missing/new feature. No reference
+    counterpart."""
+    from .models.calibrate import _blur_np
+    from .simulate import _socs_build_with_channels
+
+    resist = resist or ResistModel()
+    mask_big = np.asarray(mask_big, np.float32)
+    defective_big = np.asarray(defective_big, np.float32)
+    if mask_big.shape != defective_big.shape:
+        raise ValueError(f"mask {mask_big.shape} vs defective "
+                         f"{defective_big.shape} shapes differ")
+    build = _socs_build_with_channels(tile_config, rank, polarization,
+                                      apodize, chromatic)
+    px = tile_config.pixel_size
+    src = np.asarray(source_map, np.float32)
+    per_focus = []
+    worst_delta = 0.0
+    missing_total = 0
+    new_total = 0
+    median_cd = 0.0
+    for d in defocus_nm:
+        ab = np.zeros(5, np.float32)
+        ab[4] = float(d)
+        socs = build(ab, src)[0]
+
+        def image(m, _socs=socs):
+            return np.asarray(tiled_socs_image(
+                m, _socs, tile_config, halo=halo, engine=engine,
+                tiles_per_dispatch=tiles_per_dispatch))
+
+        nominal = image(mask_big)
+        defective = image(defective_big)
+        scale = max(float(nominal.max()), 1e-30)
+        nominal = nominal / scale  # jax-backed buffers are read-only
+        defective = defective / scale
+        delta = defective - nominal
+        iy, ix = np.unravel_index(int(np.argmax(np.abs(delta))), delta.shape)
+        # edges measured on the CONTINUOUS post-diffusion field (host-numpy
+        # blur — eager jnp FFTs die on the TPU tunnel): the binary develop
+        # quantizes edges to pixels, so a 3%-intensity disturbance near a
+        # threshold crossing reads as a full-pixel (25 nm) CD jump there
+        # while the true edge motion is sub-nm
+        p_nom = _blur_np(nominal, float(resist.diffusion_nm), px)
+        p_def = _blur_np(defective, float(resist.diffusion_nm), px)
+        row_step = max(1, p_nom.shape[0] // 256)
+        ttab = feature_table(p_nom, tile_config, axis=axis,
+                             threshold=resist.threshold, row_step=row_step)
+        dtab = feature_table(p_def, tile_config, axis=axis,
+                             threshold=resist.threshold, row_step=row_step)
+        rise, fall = aligned_edge_positions(p_def, ttab, tile_config,
+                                            threshold=resist.threshold,
+                                            axis=axis, row_step=row_step)
+        matched = ~np.isnan(rise) & ~np.isnan(fall)
+        cd_delta = (fall - rise)[matched] - ttab["width_nm"][matched]
+        missing = int((~matched).sum())
+        new = max(0, int(dtab["row"].size) - int(matched.sum()))
+        if ttab["width_nm"].size:
+            median_cd = max(median_cd, float(np.median(ttab["width_nm"])))
+        worst_here = float(np.max(np.abs(cd_delta))) if cd_delta.size else 0.0
+        worst_delta = max(worst_delta, worst_here)
+        missing_total += missing
+        new_total += new
+        # worst-CD-delta location (cut-line frame -> image frame, nm)
+        if cd_delta.size:
+            k = int(np.argmax(np.abs(cd_delta)))
+            rows = ttab["row"][matched]
+            centers = ttab["center_nm"][matched]
+            along, across = float(centers[k]), float(rows[k]) * px
+            cd_loc = ((across, along) if axis == 1 else (along, across))
+        else:
+            cd_loc = None
+        per_focus.append({
+            "defocus_nm": float(d),
+            "max_delta_intensity": float(np.abs(delta).max()),
+            "delta_location_nm": (float(iy) * px, float(ix) * px),
+            "max_abs_cd_delta_nm": worst_here,
+            "cd_delta_location_nm": cd_loc,
+            "missing_features": missing,
+            "new_features": new,
+        })
+    if cd_spec_nm is None:
+        cd_spec_nm = 0.05 * median_cd if median_cd else 1.0
+    prints = (worst_delta > cd_spec_nm or missing_total > 0
+              or new_total > 0)
+    return {
+        "prints": bool(prints),
+        "cd_spec_nm": float(cd_spec_nm),
+        "max_abs_cd_delta_nm": worst_delta,
+        "missing_features": missing_total,
+        "new_features": new_total,
+        "per_focus": per_focus,
+    }
