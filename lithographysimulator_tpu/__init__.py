@@ -38,8 +38,10 @@ from .models.multipatterning import (decompose_lele,
                                      multipatterning_print)
 from .models.sraf import sraf_band, sraf_insert, sraf_print_check
 from .models.source import LightSource
-from .models.stochastic import (StochasticResist, exposure_summary,
-                                exposure_trials, stochastic_ensemble)
+from .models.stochastic import (StochasticResist, acf_correlation_length,
+                                edge_psd, exposure_summary, exposure_trials,
+                                fit_psd_model, stochastic_ensemble,
+                                stochastic_psd)
 from .ops.compensated import matmul_compensated
 from .ops.abbe import (
     SourcePoints,
@@ -115,6 +117,10 @@ __all__ = [
     "exposure_trials",
     "exposure_summary",
     "stochastic_ensemble",
+    "stochastic_psd",
+    "edge_psd",
+    "fit_psd_model",
+    "acf_correlation_length",
     "aligned_edge_positions",
     "edge_placement_errors",
     "feature_table",

@@ -709,7 +709,8 @@ def cmd_stochastic(args) -> int:
     """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
     trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
     band. The trials run as one jitted vmapped program per chunk."""
-    from .models.stochastic import StochasticResist, stochastic_ensemble
+    from .models.stochastic import (StochasticResist, stochastic_ensemble,
+                                    stochastic_psd)
     from .simulate import simulate
 
     config = _build_config(args)
@@ -727,6 +728,17 @@ def cmd_stochastic(args) -> int:
     t0 = time.perf_counter()
     out = stochastic_ensemble(np.asarray(result.image), config, model,
                               trials=args.trials, seed=args.seed)
+    psd = None
+    if args.psd:
+        psd = stochastic_psd(np.asarray(result.image), config, model,
+                             trials=args.trials, seed=args.seed)
+        for k in ("ler_3s_nm", "acf_corr_length_nm", "corr_length_nm",
+                  "alpha", "psd0_nm3", "n_edges"):
+            if k in psd:
+                out[f"psd_{k}"] = psd[k]
+        if args.psd_out:
+            np.savez(args.psd_out, freq_per_nm=psd["freq_per_nm"],
+                     psd_nm3=psd["psd_nm3"])
     elapsed = time.perf_counter() - t0
     band = out.pop("print_probability")
     out["wall_s"] = round(elapsed, 3)
@@ -741,7 +753,8 @@ def cmd_stochastic(args) -> int:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(1, 2, figsize=(9, 4.2))
+        n_panels = 3 if psd is not None and psd["n_edges"] else 2
+        fig, axes = plt.subplots(1, n_panels, figsize=(4.5 * n_panels, 4.2))
         axes[0].imshow(np.asarray(result.image), cmap="inferno")
         axes[0].set_title("aerial image")
         im = axes[1].imshow(band, cmap="RdBu_r", vmin=0, vmax=1)
@@ -749,8 +762,24 @@ def cmd_stochastic(args) -> int:
             f"print probability ({args.trials} trials)\n"
             f"LER {out['ler_nm']:.2f} nm  LWR {out['lwr_nm']:.2f} nm")
         fig.colorbar(im, ax=axes[1], fraction=0.046)
-        for ax in axes:
+        for ax in axes[:2]:
             ax.set_xticks([]), ax.set_yticks([])
+        if n_panels == 3:
+            f_ax, p_ax = psd["freq_per_nm"], psd["psd_nm3"]
+            axes[2].loglog(f_ax, p_ax, lw=1.2, label="measured")
+            model_psd = psd["psd0_nm3"] / (
+                1.0 + (2 * np.pi * f_ax * psd["corr_length_nm"]) ** 2
+            ) ** (psd["alpha"] + 0.5)
+            axes[2].loglog(f_ax, model_psd, "--", lw=1.0,
+                           label=(f"Palasantzas fit\n"
+                                  f"$\\xi$={psd['corr_length_nm']:.1f} nm  "
+                                  f"$\\alpha$={psd['alpha']:.2f}"))
+            axes[2].set_xlabel("frequency (1/nm)")
+            axes[2].set_ylabel("PSD (nm$^3$)")
+            axes[2].set_title(
+                f"LER PSD ({psd['n_edges']} edges)\n"
+                f"ACF corr. length {psd['acf_corr_length_nm']:.1f} nm")
+            axes[2].legend(fontsize=8)
         fig.tight_layout()
         fig.savefig(args.plot, dpi=130)
         print(f"wrote {args.plot}")
@@ -1088,6 +1117,12 @@ def main(argv=None) -> int:
                        choices=["poisson", "gaussian"])
     p_sto.add_argument("--out", default=None,
                        help="print-probability map .npy path")
+    p_sto.add_argument("--psd", action="store_true",
+                       help="add LER power-spectral-density analysis "
+                            "(averaged edge PSD, Palasantzas fit, ACF "
+                            "correlation length)")
+    p_sto.add_argument("--psd-out", default=None,
+                       help=".npz path for the PSD spectrum (with --psd)")
     p_sto.add_argument("--plot", default=None, help="figure .png path")
     p_sto.set_defaults(func=cmd_stochastic)
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -272,18 +273,7 @@ def _edge_stats_trials(fields: np.ndarray, config: OpticsConfig, *,
         rise = feats["rise_px"] * px
         fall = feats["fall_px"] * px
         width = feats["width_nm"]
-        if ref_centers is not None and ref_centers.size:
-            # anchor each run to the nearest deterministic feature
-            idx = np.clip(np.searchsorted(ref_centers, feats["center_nm"]),
-                          1, len(ref_centers) - 1) if len(ref_centers) > 1                 else np.zeros(len(feats["center_nm"]), np.int64)
-            lo = np.maximum(idx - 1, 0)
-            fid = np.where(
-                np.abs(ref_centers[idx] - feats["center_nm"])
-                <= np.abs(ref_centers[lo] - feats["center_nm"]), idx, lo)                 if len(ref_centers) > 1 else idx
-        else:
-            # fallback: rounded-center grouping by a pitch estimate
-            pitch = max(float(np.median(width)) * 2.0, px)
-            fid = np.round(feats["center_nm"] / pitch).astype(np.int64)
+        fid = _assign_feature_ids(feats["center_nm"], width, ref_centers, px)
         ler_vals, lwr_vals = [], []
         for f in np.unique(fid):
             sel = fid == f
@@ -422,4 +412,295 @@ def stochastic_ensemble(image, config: OpticsConfig,
     out["deterministic_cd_nm"] = _edge_stats(
         det_field[None], config, axis=axis, threshold=model.threshold,
         row_step=row_step)["mean_cd_nm"]
+    return out
+
+
+def _assign_feature_ids(center_nm, width_nm, ref_centers, px):
+    """Feature id per table entry: nearest deterministic anchor when
+    anchors exist, else rounded-center grouping by a pitch estimate
+    (shared by the LER/LWR statistics and the PSD trace extraction)."""
+    if ref_centers is not None and ref_centers.size:
+        if len(ref_centers) > 1:
+            idx = np.clip(np.searchsorted(ref_centers, center_nm),
+                          1, len(ref_centers) - 1)
+            lo = np.maximum(idx - 1, 0)
+            return np.where(
+                np.abs(ref_centers[idx] - center_nm)
+                <= np.abs(ref_centers[lo] - center_nm), idx, lo)
+        return np.zeros(len(center_nm), np.int64)
+    pitch = max(float(np.median(width_nm)) * 2.0, px)
+    return np.round(center_nm / pitch).astype(np.int64)
+
+
+def _complete_edge_traces(contour, config, *, threshold, ref_centers):
+    """Rise/fall edge-position traces (nm, one value per cut line) for
+    every feature that prints on EVERY cut line of ``contour`` (R, n).
+    A feature missing from any cut line cannot give a uniformly sampled
+    trace and is skipped; a cut line with several runs anchored to the
+    same feature (a noise-split edge, a spurious sliver) contributes the
+    run closest to the feature's anchor center — one extra crossing in
+    hundreds of rows must not discard the whole trace."""
+    from .resist import feature_table
+
+    px = config.pixel_size
+    rows_total = contour.shape[0]
+    feats = feature_table(contour, config, axis=1, threshold=threshold,
+                          row_step=1)
+    if len(feats["row"]) == 0:
+        return []
+    fid = _assign_feature_ids(feats["center_nm"], feats["width_nm"],
+                              ref_centers, px)
+    traces = []
+    for f in np.unique(fid):
+        sel = fid == f
+        rows = feats["row"][sel]
+        if len(np.unique(rows)) != rows_total:
+            continue
+        centers = feats["center_nm"][sel]
+        anchor = np.median(centers)
+        # sort by (row, distance-to-anchor); keep the first run per row
+        order = np.lexsort((np.abs(centers - anchor), rows))
+        keep = order[np.concatenate(
+            ([True], rows[order][1:] != rows[order][:-1]))]
+        traces.append(feats["rise_px"][sel][keep] * px)
+        traces.append(feats["fall_px"][sel][keep] * px)
+    return traces
+
+
+def _print_band(det_rows, config, *, threshold, ref_centers):
+    """Longest contiguous cut-line interval [lo, hi] over which the
+    deterministic field prints its maximal anchor count. Real images roll
+    off at the field edge (and line ends), so demanding full-height traces
+    finds none; PSD traces must be uniformly sampled, so the analysis
+    restricts to this band instead."""
+    from .resist import feature_table
+
+    feats = feature_table(det_rows, config, axis=1, threshold=threshold,
+                          row_step=1)
+    if len(feats["row"]) == 0:
+        return None
+    fid = _assign_feature_ids(feats["center_nm"], feats["width_nm"],
+                              ref_centers, config.pixel_size)
+    n_rows = det_rows.shape[0]
+    anchors = np.unique(fid)
+    cover = np.zeros((len(anchors), n_rows), bool)
+    for i, u in enumerate(anchors):
+        cover[i, np.unique(feats["row"][fid == u])] = True
+    count = cover.sum(axis=0)
+    good = np.concatenate(([0], (count == count.max()).astype(np.int8), [0]))
+    d = np.diff(good)
+    starts, ends = np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]
+    k = int(np.argmax(ends - starts))
+    return int(starts[k]), int(ends[k] - 1)
+
+
+def edge_psd(fields, config, *, axis=1, threshold=0.5, spacing_nm=None,
+             ref_centers=None, fit=True, row_band=None):
+    """Averaged one-sided LER power spectral density of a trial ensemble.
+
+    ``fields`` is (T, R, n): T trials of R uniformly spaced continuous
+    cut lines (what :func:`exposure_summary` returns), or full (T, n, n)
+    fields with ``axis`` selecting the cut direction. Every feature that
+    prints on all analyzed cut lines contributes its rise and fall edge
+    traces; ``row_band=(lo, hi)`` restricts the analysis to a contiguous
+    cut-line interval (see :func:`_print_band` — field edges and line
+    ends don't print, and would otherwise veto every trace).
+
+    PSD convention (Mack, J. Micro/Nanolith. MEMS MOEMS 12(3), 2013): for
+    edge positions x_i (nm) sampled at spacing d (nm), the one-sided
+    estimate is PSD_k = 2 d |DFT(x - mean)|_k^2 / N at f_k = k/(N d), so
+    sum_k PSD_k * df = Var(x). Units nm^3; DC is dropped (mean-detrended).
+
+    Returns freq_per_nm (R//2,), psd_nm3 (averaged over edges), n_edges,
+    sigma_nm / ler_3s_nm (Parseval), and — with ``fit=True`` — the
+    Palasantzas model parameters from :func:`fit_psd_model`.
+    """
+    fields = np.asarray(fields)
+    if axis == 0:
+        fields = fields.transpose(0, 2, 1)
+    if row_band is not None:
+        fields = fields[:, row_band[0]:row_band[1] + 1]
+    spacing = float(spacing_nm or config.pixel_size)
+    n_rows = fields.shape[1]
+    if n_rows < 8:
+        raise ValueError(f"need >= 8 cut lines for a PSD, got {n_rows}")
+    psd_sum = np.zeros(n_rows // 2, np.float64)
+    n_edges = 0
+    for contour in fields:
+        for trace in _complete_edge_traces(
+                contour, config, threshold=threshold,
+                ref_centers=ref_centers):
+            x = trace - trace.mean()
+            spec = np.abs(np.fft.rfft(x)[1:n_rows // 2 + 1]) ** 2
+            psd = 2.0 * spacing * spec / n_rows
+            if n_rows % 2 == 0:
+                psd[-1] *= 0.5  # Nyquist bin is not duplicated
+            psd_sum += psd
+            n_edges += 1
+    out = {
+        "freq_per_nm": np.fft.rfftfreq(n_rows, d=spacing)[1:n_rows // 2 + 1],
+        "n_edges": n_edges,
+        "spacing_nm": spacing,
+    }
+    if n_edges == 0:
+        out["psd_nm3"] = psd_sum
+        out["sigma_nm"] = out["ler_3s_nm"] = float("nan")
+        return out
+    psd = psd_sum / n_edges
+    df = 1.0 / (n_rows * spacing)
+    sigma = math.sqrt(float(psd.sum() * df))
+    out["psd_nm3"] = psd
+    out["sigma_nm"] = sigma
+    out["ler_3s_nm"] = 3.0 * sigma
+    out["acf_corr_length_nm"] = acf_correlation_length(
+        out["freq_per_nm"], psd, spacing)
+    if fit:
+        out.update(fit_psd_model(out["freq_per_nm"], psd))
+    return out
+
+
+def acf_correlation_length(freq_per_nm, psd_nm3, spacing_nm):
+    """Model-free correlation length: the lag where the edge autocorrelation
+    (Wiener-Khinchin transform of the one-sided PSD) first drops below 1/e,
+    linearly interpolated. Robust for spectra the Palasantzas power law
+    fits poorly (e.g. the Gaussian-like rolloff of diffusion-smoothed
+    resist edges)."""
+    f = np.asarray(freq_per_nm, np.float64)
+    p = np.asarray(psd_nm3, np.float64)
+    var = p.sum()
+    if not var > 0:
+        return float("nan")
+    lags = spacing_nm * np.arange(len(f) + 1)
+    acf = (p[None, :] * np.cos(2.0 * np.pi * lags[:, None] * f[None, :])
+           ).sum(axis=1) / var
+    target = 1.0 / math.e
+    below = np.nonzero(acf < target)[0]
+    if below.size == 0:
+        return float(lags[-1])  # never decorrelates over the trace
+    j = below[0]
+    if j == 0:
+        return 0.0
+    frac = (acf[j - 1] - target) / max(acf[j - 1] - acf[j], 1e-30)
+    return float(lags[j - 1] + frac * spacing_nm)
+
+
+def fit_psd_model(freq_per_nm, psd_nm3):
+    """Palasantzas LER model fit:
+    PSD(f) = P0 / (1 + (2 pi f xi)^2)^(alpha + 1/2).
+
+    For a fixed correlation length xi the log model is linear in
+    (log P0, alpha), so the fit is a 1-D search over xi with a
+    closed-form least-squares solve per candidate — no iterative
+    optimizer. Returns corr_length_nm (xi), alpha (roughness exponent),
+    psd0_nm3 (P0), model_sigma_nm (the closed-form integral of the
+    fitted model, valid for alpha > 0) and the log-space RMS residual.
+    """
+    f = np.asarray(freq_per_nm, np.float64)
+    p = np.asarray(psd_nm3, np.float64)
+    keep = p > 0
+    f, p = f[keep], p[keep]
+    if f.size < 4:
+        raise ValueError("need >= 4 positive PSD samples to fit")
+    logp = np.log(p)
+
+    def _grid_fit(fv, lv):
+        best = None
+        # xi between a tenth of the shortest and 10x the longest resolvable
+        # wavelength; log-spaced (the residual is smooth in log xi)
+        for xi in np.geomspace(0.1 / fv[-1], 10.0 / fv[0], 96):
+            u = np.log1p((2.0 * np.pi * fv * xi) ** 2)
+            basis = np.stack([np.ones_like(u), -u], axis=1)
+            sol, *_ = np.linalg.lstsq(basis, lv, rcond=None)
+            resid = lv - basis @ sol
+            rms = float(np.sqrt(np.mean(resid ** 2)))
+            if best is None or rms < best[0]:
+                best = (rms, xi, sol, resid)
+        return best
+
+    rms, xi, sol, resid = _grid_fit(f, logp)
+    # one trimmed refit: a few near-zero bins (windowing artifacts, an
+    # unsampled Nyquist) are huge log-space outliers that drag the slope
+    keep2 = np.abs(resid) <= 3.0 * max(rms, 1e-12)
+    if keep2.sum() >= 4 and not keep2.all():
+        rms, xi, sol, _ = _grid_fit(f[keep2], logp[keep2])
+    logp0, slope = sol
+    alpha = float(slope - 0.5)
+    p0 = float(np.exp(logp0))
+    if alpha > 0:
+        model_sigma = math.sqrt(
+            p0 * math.sqrt(math.pi) * math.gamma(alpha)
+            / (4.0 * math.pi * xi * math.gamma(alpha + 0.5)))
+    else:  # integral diverges; report NaN rather than a fake number
+        model_sigma = float("nan")
+    return {
+        "corr_length_nm": float(xi),
+        "alpha": alpha,
+        "psd0_nm3": p0,
+        "model_sigma_nm": model_sigma,
+        "fit_rms_log": rms,
+    }
+
+
+def stochastic_psd(image, config, model=None, *, trials=64,
+                   seed=0, axis=1, row_step=1, trial_chunk=16,
+                   fit=True):
+    """LER PSD + Palasantzas parameters for one aerial image.
+
+    Runs the transfer-lean device trial summary (:func:`exposure_summary`)
+    in host-bounded chunks — the same streaming scheme as
+    :func:`stochastic_ensemble` — and accumulates the averaged edge PSD
+    across all trials. ``row_step`` keeps full-chip calls bounded but
+    coarsens the highest resolvable frequency (1 / (2 row_step px)); the
+    default samples every cut line, which is what a PSD wants.
+    """
+    model = model or StochasticResist()
+    n = np.asarray(image).shape[0]
+    bytes_per_trial = (-(-n // row_step)) * n * 4 + n * n // 2
+    host_chunk = max(1, min(trials,
+                            _HOST_FIELD_BYTES // max(bytes_per_trial, 1)))
+    det_field = np.asarray(jax.jit(
+        lambda im: model.deterministic_field(im, config))(jnp.asarray(image)))
+    ref_centers = _reference_centers(det_field, config, axis=axis,
+                                     threshold=model.threshold,
+                                     row_step=row_step)
+    spacing = config.pixel_size * row_step
+    det_rows = (det_field if axis == 1 else det_field.T)[::row_step]
+    band = _print_band(det_rows, config, threshold=model.threshold,
+                       ref_centers=ref_centers)
+    n_rows = det_rows.shape[0] if band is None else band[1] - band[0] + 1
+    psd_sum = None
+    n_edges = 0
+    for ci, start in enumerate(range(0, trials, host_chunk)):
+        m_tr = min(host_chunk, trials - start)
+        rows_d, _, _ = exposure_summary(
+            image, config, model, trials=m_tr, seed=seed + 7919 * ci,
+            trial_chunk=min(trial_chunk, m_tr), row_step=row_step, axis=axis)
+        part = edge_psd(np.asarray(rows_d), config, axis=1,
+                        threshold=model.threshold, spacing_nm=spacing,
+                        ref_centers=ref_centers, fit=False, row_band=band)
+        del rows_d
+        if part["n_edges"]:
+            add = part["psd_nm3"] * part["n_edges"]
+            psd_sum = add if psd_sum is None else psd_sum + add
+            n_edges += part["n_edges"]
+    out = {
+        "freq_per_nm": np.fft.rfftfreq(n_rows, d=spacing)[1:n_rows // 2 + 1],
+        "n_edges": n_edges,
+        "spacing_nm": spacing,
+        "trials": trials,
+    }
+    if n_edges == 0:
+        out["psd_nm3"] = np.zeros(n_rows // 2)
+        out["sigma_nm"] = out["ler_3s_nm"] = float("nan")
+        return out
+    psd = psd_sum / n_edges
+    df = 1.0 / (n_rows * spacing)
+    sigma = math.sqrt(float(psd.sum() * df))
+    out["psd_nm3"] = psd
+    out["sigma_nm"] = sigma
+    out["ler_3s_nm"] = 3.0 * sigma
+    out["acf_corr_length_nm"] = acf_correlation_length(
+        out["freq_per_nm"], psd, spacing)
+    if fit:
+        out.update(fit_psd_model(out["freq_per_nm"], psd))
     return out
