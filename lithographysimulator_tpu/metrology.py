@@ -399,6 +399,8 @@ def tiled_stochastic(
     chromatic=None,
     axis: int = 1,
     trial_chunk: int = 8,
+    psd: bool = False,
+    psd_row_step: int | None = None,
     progress_cb=None,
 ) -> dict:
     """Full-chip stochastic printing: one tiled aerial image, then the
@@ -430,6 +432,17 @@ def tiled_stochastic(
     out = stochastic_ensemble(np.asarray(image), tile_config, model,
                               trials=trials, seed=seed, axis=axis,
                               trial_chunk=trial_chunk)
+    if psd:
+        # chip-scale spectral roughness: dense cut-line sampling (the PSD's
+        # frequency ceiling is 1/(2*row_step*px)) capped at ~2048 cut lines
+        from .models.stochastic import stochastic_psd
+
+        n = int(np.asarray(image).shape[0])
+        step = psd_row_step or max(1, n // 2048)
+        spec = stochastic_psd(np.asarray(image), tile_config, model,
+                              trials=trials, seed=seed, axis=axis,
+                              row_step=step, trial_chunk=trial_chunk)
+        out["psd"] = spec
     if progress_cb is not None:
         progress_cb(1.0)
     out["big_n"] = int(np.asarray(image).shape[0])

@@ -502,6 +502,7 @@ class JobRunner:
                     noise=str(body.get("noise", "poisson"))),
                 trials=int(body.get("trials", 32)),
                 seed=int(body.get("seed", 0)),
+                psd=bool(body.get("psd", False)),
                 rank=rank, halo=halo, polarization=polarization,
                 chromatic=chromatic, progress_cb=progress)
             return result
