@@ -170,6 +170,109 @@ def test_socs_image_sharded_matches_local():
                                atol=1e-5 * local.max())
 
 
+def test_socs_build_sharded_matches_local():
+    """Mesh-sharded randomized SOCS kernel BUILD (collective pattern #5:
+    row-sharded FFT matvecs + column-sharded whitening grams with psum)
+    reproduces the local build's image and eigenvalues at equal seed."""
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, pupil_function,
+        randomized_socs, socs_image, spectrum_fft)
+    from lithographysimulator_tpu.parallel import (
+        randomized_socs_sharded, source_mesh)
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_in=0.2, sigma_out=0.6).annular())
+    pup = pupil_function(np.array([0, 0, 0, 0, 30], np.float32), cfg)
+    kw = dict(rank=24, oversample=16, power_iters=2, seed=3)
+    local = randomized_socs(pup, src, cfg, lean=False, **kw)
+    sharded = randomized_socs_sharded(pup, src, cfg, source_mesh(), **kw)
+    assert sharded.kernels.shape == local.kernels.shape
+    np.testing.assert_allclose(
+        np.asarray(sharded.eigenvalues), np.asarray(local.eigenvalues),
+        rtol=1e-4, atol=1e-6 * float(local.eigenvalues[0]))
+    img_l = np.asarray(socs_image(spec, local, cfg, chunk=4))
+    img_s = np.asarray(socs_image(spec, sharded, cfg, chunk=4))
+    nrms = np.sqrt(np.mean((img_s - img_l) ** 2)) / img_l.max()
+    assert nrms < 1e-5, nrms
+
+
+def test_socs_build_sharded_device_count_invariance():
+    """2-device and 8-device sharded builds agree (collective correctness
+    does not depend on the shard count)."""
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, pupil_function, socs_image,
+        spectrum_fft)
+    from lithographysimulator_tpu.parallel import (
+        randomized_socs_sharded, source_mesh)
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    pup = pupil_function(np.zeros(1, np.float32), cfg)
+    images = []
+    for ndev in (2, 8):
+        socs = randomized_socs_sharded(
+            pup, src, cfg, source_mesh(ndev), rank=16, oversample=8,
+            power_iters=1, seed=0)
+        images.append(np.asarray(socs_image(spec, socs, cfg, chunk=4)))
+    np.testing.assert_allclose(images[0], images[1], rtol=1e-5,
+                               atol=1e-5 * images[0].max())
+
+
+def test_socs_build_sharded_warm_start_interchange():
+    """A LOCAL build's Ritz basis warm-starts the SHARDED build (and the
+    sharded basis round-trips): power_iters=0 from a warm basis matches the
+    cold power_iters=2 build's image."""
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, pupil_function,
+        randomized_socs, socs_image, spectrum_fft)
+    from lithographysimulator_tpu.parallel import (
+        randomized_socs_sharded, source_mesh)
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.6).classical())
+    pup = pupil_function(np.array([0, 0, 0, 0, 20], np.float32), cfg)
+    kw = dict(rank=20, oversample=12, seed=1)
+    cold, basis = randomized_socs(pup, src, cfg, lean=False, power_iters=2,
+                                  return_basis=True, **kw)
+    warm = randomized_socs_sharded(pup, src, cfg, source_mesh(),
+                                   power_iters=0, init_basis=basis, **kw)
+    img_c = np.asarray(socs_image(spec, cold, cfg, chunk=4))
+    img_w = np.asarray(socs_image(spec, warm, cfg, chunk=4))
+    nrms = np.sqrt(np.mean((img_w - img_c) ** 2)) / img_c.max()
+    assert nrms < 1e-4, nrms
+
+
+def test_socs_components_build_sharded_matches_local():
+    """Mesh-sharded frequency-side summed-TCC build (vector/chromatic
+    component stacks) matches the local components build."""
+    from lithographysimulator_tpu import OpticsConfig, LightSource, demo_bars, spectrum_fft
+    from lithographysimulator_tpu import pupil_function, socs_image
+    from lithographysimulator_tpu.ops.hopkins import (
+        randomized_socs_components, vector_component_stack)
+    from lithographysimulator_tpu.parallel import (
+        randomized_socs_components_sharded, source_mesh)
+
+    cfg = OpticsConfig(pixel_number=32, na=0.9)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    pup = pupil_function(np.array([0, 0, 0, 0, 15], np.float32), cfg)
+    comps, q = vector_component_stack(pup, cfg, polarization="unpolarized")
+    kw = dict(rank=20, oversample=12, power_iters=2, seed=2)
+    local = randomized_socs_components(comps, q, src, cfg, **kw)
+    sharded = randomized_socs_components_sharded(
+        comps, q, src, cfg, source_mesh(), **kw)
+    np.testing.assert_allclose(
+        np.asarray(sharded.eigenvalues), np.asarray(local.eigenvalues),
+        rtol=1e-4, atol=1e-6 * float(local.eigenvalues[0]))
+    img_l = np.asarray(socs_image(spec, local, cfg, chunk=4))
+    img_s = np.asarray(socs_image(spec, sharded, cfg, chunk=4))
+    nrms = np.sqrt(np.mean((img_s - img_l) ** 2)) / img_l.max()
+    assert nrms < 1e-5, nrms
+
+
 def test_stochastic_band_sharded_matches_host():
     """Trial-sharded print-probability band (4th collective pattern): one
     global key split sharded over 8 devices equals the single-device
