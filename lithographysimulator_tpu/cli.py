@@ -709,8 +709,7 @@ def cmd_stochastic(args) -> int:
     """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
     trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
     band. The trials run as one jitted vmapped program per chunk."""
-    from .models.stochastic import (StochasticResist, stochastic_ensemble,
-                                    stochastic_psd)
+    from .models.stochastic import StochasticResist, stochastic_ensemble
     from .simulate import simulate
 
     config = _build_config(args)
@@ -726,12 +725,14 @@ def cmd_stochastic(args) -> int:
         pag_per_nm2=args.pag, diffusion_nm=args.diffusion,
         threshold=args.threshold, noise=args.noise)
     t0 = time.perf_counter()
+    want_psd = args.psd or bool(args.psd_out)  # --psd-out implies --psd
     out = stochastic_ensemble(np.asarray(result.image), config, model,
-                              trials=args.trials, seed=args.seed)
-    psd = None
-    if args.psd:
-        psd = stochastic_psd(np.asarray(result.image), config, model,
-                             trials=args.trials, seed=args.seed)
+                              trials=args.trials, seed=args.seed,
+                              psd=want_psd)
+    # the PSD accumulates from the SAME streamed trials as the summary —
+    # one ensemble pass, not two (ADVICE r3)
+    psd = out.pop("psd", None)
+    if psd is not None:
         for k in ("ler_3s_nm", "acf_corr_length_nm", "corr_length_nm",
                   "alpha", "psd0_nm3", "n_edges"):
             if k in psd:
@@ -1122,7 +1123,7 @@ def main(argv=None) -> int:
                             "(averaged edge PSD, Palasantzas fit, ACF "
                             "correlation length)")
     p_sto.add_argument("--psd-out", default=None,
-                       help=".npz path for the PSD spectrum (with --psd)")
+                       help=".npz path for the PSD spectrum (implies --psd)")
     p_sto.add_argument("--plot", default=None, help="figure .png path")
     p_sto.set_defaults(func=cmd_stochastic)
 

@@ -431,18 +431,29 @@ def tiled_stochastic(
                      else lambda f: progress_cb(0.6 * f)))[0]
     out = stochastic_ensemble(np.asarray(image), tile_config, model,
                               trials=trials, seed=seed, axis=axis,
-                              trial_chunk=trial_chunk)
+                              trial_chunk=trial_chunk,
+                              psd=psd and psd_row_step is None)
     if psd:
-        # chip-scale spectral roughness: dense cut-line sampling (the PSD's
-        # frequency ceiling is 1/(2*row_step*px)) capped at ~2048 cut lines
-        from .models.stochastic import stochastic_psd
+        if psd_row_step is None:
+            # default: the PSD accumulated from the SAME streamed ensemble
+            # rows — zero extra trials (frequency ceiling follows the
+            # ensemble's ~512-cut-line row_step)
+            spec = out.pop("psd")
+        else:
+            # dedicated dense sampling: re-runs the trial ensemble at the
+            # requested cut-line density (the PSD's frequency ceiling is
+            # 1/(2*row_step*px)) — roughly doubles the trial cost
+            from .models.stochastic import stochastic_psd
 
-        n = int(np.asarray(image).shape[0])
-        step = psd_row_step or max(1, n // 2048)
-        spec = stochastic_psd(np.asarray(image), tile_config, model,
-                              trials=trials, seed=seed, axis=axis,
-                              row_step=step, trial_chunk=trial_chunk)
-        out["psd"] = spec
+            spec = stochastic_psd(np.asarray(image), tile_config, model,
+                                  trials=trials, seed=seed, axis=axis,
+                                  row_step=psd_row_step,
+                                  trial_chunk=trial_chunk)
+        # Flattened to TOP-LEVEL keys: the serving layer's _finalize_result
+        # inlines/streams only top-level arrays, so a nested dict's numpy
+        # arrays would serialize as lossy repr strings (ADVICE r3).
+        for k, v in spec.items():
+            out[k if k.startswith("psd") else f"psd_{k}"] = v
     if progress_cb is not None:
         progress_cb(1.0)
     out["big_n"] = int(np.asarray(image).shape[0])

@@ -347,13 +347,21 @@ def stochastic_ensemble(image, config: OpticsConfig,
                         model: StochasticResist | None = None, *,
                         trials: int = 64, seed: int = 0,
                         axis: int = 1, row_step: int | None = None,
-                        trial_chunk: int = 16) -> dict:
+                        trial_chunk: int = 16, psd: bool = False) -> dict:
     """Monte-Carlo stochastic printing summary for one aerial image.
 
     Returns LER/LWR (nm, 3-sigma), LCDU across trials (nm, 3-sigma),
     bridge/break defect rates vs the deterministic contour, the mean
     contour (printing probability per pixel, the 'stochastic band'), and
-    the trial count."""
+    the trial count.
+
+    ``psd=True`` additionally accumulates the averaged edge PSD from the
+    SAME streamed trial rows the summary consumes (result key ``"psd"``, a
+    :func:`stochastic_psd`-shaped dict) — zero extra trials or transfers,
+    where a separate :func:`stochastic_psd` call would re-dispatch the
+    whole ensemble (ADVICE r3). The PSD's frequency ceiling follows this
+    function's ``row_step``; call :func:`stochastic_psd` directly for a
+    denser dedicated sampling."""
     model = model or StochasticResist()
     n = np.asarray(image).shape[0]
     if row_step is None:
@@ -377,6 +385,16 @@ def stochastic_ensemble(image, config: OpticsConfig,
     pad_ref = np.pad(ref_oriented > 0.5, ((0, 0), (1, 1))).astype(np.int8)
     ref_runs = (np.diff(pad_ref, axis=1) == 1).sum(axis=1)
     live = ref_runs > 0
+    if psd:
+        psd_spacing = config.pixel_size * row_step
+        det_rows_psd = (det_field if axis == 1 else det_field.T)[::row_step]
+        psd_band = _print_band(det_rows_psd, config,
+                               threshold=model.threshold,
+                               ref_centers=ref_centers)
+        psd_rows = (det_rows_psd.shape[0] if psd_band is None
+                    else psd_band[1] - psd_band[0] + 1)
+        psd_sum = None
+        psd_edges = 0
     lers, lwrs, mean_cds = [], [], []
     prob_sum = np.zeros((n, n), np.float64)
     broken = bridged = live_cells = 0
@@ -396,6 +414,14 @@ def stochastic_ensemble(image, config: OpticsConfig,
                                         row_step=1,
                                         ref_centers=ref_centers)
         lers += le, ; lwrs += lw, ; mean_cds += mc,
+        if psd and psd_rows >= 8:
+            part = edge_psd(rows, config, axis=1, threshold=model.threshold,
+                            spacing_nm=psd_spacing, ref_centers=ref_centers,
+                            fit=False, row_band=psd_band)
+            if part["n_edges"]:
+                add = part["psd_nm3"] * part["n_edges"]
+                psd_sum = add if psd_sum is None else psd_sum + add
+                psd_edges += part["n_edges"]
         prob_sum += band if axis == 1 else band.T
         if live.any():
             broken += int((runs[:, live] > ref_runs[None, live]).sum())
@@ -412,6 +438,11 @@ def stochastic_ensemble(image, config: OpticsConfig,
     out["deterministic_cd_nm"] = _edge_stats(
         det_field[None], config, axis=axis, threshold=model.threshold,
         row_step=row_step)["mean_cd_nm"]
+    if psd:
+        spec = _psd_summary(psd_sum, psd_edges, max(psd_rows, 2),
+                            psd_spacing, fit=True)
+        spec["trials"] = trials
+        out["psd"] = spec
     return out
 
 
@@ -555,8 +586,24 @@ def edge_psd(fields, config, *, axis=1, threshold=0.5, spacing_nm=None,
     out["acf_corr_length_nm"] = acf_correlation_length(
         out["freq_per_nm"], psd, spacing)
     if fit:
-        out.update(fit_psd_model(out["freq_per_nm"], psd))
+        out.update(_fit_or_nan(out["freq_per_nm"], psd))
     return out
+
+
+_NAN_FIT = {"corr_length_nm": float("nan"), "alpha": float("nan"),
+            "psd0_nm3": float("nan"), "model_sigma_nm": float("nan"),
+            "fit_rms_log": float("nan")}
+
+
+def _fit_or_nan(freq_per_nm, psd_nm3) -> dict:
+    """Palasantzas fit, degenerate-safe: a near-zero-noise ensemble whose
+    averaged PSD has < 4 positive samples gets NaN parameters instead of a
+    ValueError crashing the run after the trials already completed
+    (ADVICE r3)."""
+    try:
+        return fit_psd_model(freq_per_nm, psd_nm3)
+    except ValueError:
+        return dict(_NAN_FIT)
 
 
 def acf_correlation_length(freq_per_nm, psd_nm3, spacing_nm):
@@ -641,6 +688,37 @@ def fit_psd_model(freq_per_nm, psd_nm3):
     }
 
 
+def _psd_summary(psd_sum, n_edges: int, n_rows: int, spacing: float, *,
+                 fit: bool) -> dict:
+    """Assemble the averaged-PSD result dict from accumulated per-chunk
+    partials (shared by :func:`stochastic_psd` and the in-pass accumulation
+    of :func:`stochastic_ensemble`). ``n_edges == 0`` — including the
+    too-narrow-band case that never accumulated — yields the NaN result
+    rather than raising."""
+    out = {
+        "freq_per_nm": np.fft.rfftfreq(n_rows, d=spacing)[1:n_rows // 2 + 1],
+        "n_edges": n_edges,
+        "spacing_nm": spacing,
+    }
+    if n_edges == 0:
+        out["psd_nm3"] = np.zeros(n_rows // 2)
+        out["sigma_nm"] = out["ler_3s_nm"] = float("nan")
+        if fit:
+            out.update(_NAN_FIT)
+        return out
+    psd = psd_sum / n_edges
+    df = 1.0 / (n_rows * spacing)
+    sigma = math.sqrt(float(psd.sum() * df))
+    out["psd_nm3"] = psd
+    out["sigma_nm"] = sigma
+    out["ler_3s_nm"] = 3.0 * sigma
+    out["acf_corr_length_nm"] = acf_correlation_length(
+        out["freq_per_nm"], psd, spacing)
+    if fit:
+        out.update(_fit_or_nan(out["freq_per_nm"], psd))
+    return out
+
+
 def stochastic_psd(image, config, model=None, *, trials=64,
                    seed=0, axis=1, row_step=1, trial_chunk=16,
                    fit=True):
@@ -668,6 +746,13 @@ def stochastic_psd(image, config, model=None, *, trials=64,
     band = _print_band(det_rows, config, threshold=model.threshold,
                        ref_centers=ref_centers)
     n_rows = det_rows.shape[0] if band is None else band[1] - band[0] + 1
+    if n_rows < 8:
+        # a print band under 8 cut lines (short lines, contacts, coarse
+        # row_step) cannot support a PSD: return the n_edges=0 NaN result
+        # instead of letting edge_psd raise mid-run (ADVICE r3)
+        out = _psd_summary(None, 0, max(n_rows, 2), spacing, fit=fit)
+        out["trials"] = trials
+        return out
     psd_sum = None
     n_edges = 0
     for ci, start in enumerate(range(0, trials, host_chunk)):
@@ -683,24 +768,6 @@ def stochastic_psd(image, config, model=None, *, trials=64,
             add = part["psd_nm3"] * part["n_edges"]
             psd_sum = add if psd_sum is None else psd_sum + add
             n_edges += part["n_edges"]
-    out = {
-        "freq_per_nm": np.fft.rfftfreq(n_rows, d=spacing)[1:n_rows // 2 + 1],
-        "n_edges": n_edges,
-        "spacing_nm": spacing,
-        "trials": trials,
-    }
-    if n_edges == 0:
-        out["psd_nm3"] = np.zeros(n_rows // 2)
-        out["sigma_nm"] = out["ler_3s_nm"] = float("nan")
-        return out
-    psd = psd_sum / n_edges
-    df = 1.0 / (n_rows * spacing)
-    sigma = math.sqrt(float(psd.sum() * df))
-    out["psd_nm3"] = psd
-    out["sigma_nm"] = sigma
-    out["ler_3s_nm"] = 3.0 * sigma
-    out["acf_corr_length_nm"] = acf_correlation_length(
-        out["freq_per_nm"], psd, spacing)
-    if fit:
-        out.update(fit_psd_model(out["freq_per_nm"], psd))
+    out = _psd_summary(psd_sum, n_edges, n_rows, spacing, fit=fit)
+    out["trials"] = trials
     return out

@@ -38,6 +38,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _out_vma(*arrays) -> frozenset:
+    """Union of the operands' varying-manual-axes: inside ``shard_map``
+    (rank-sharded SOCS imaging, sharded exact Abbe) ``pallas_call`` output
+    avals must declare how they vary over the mesh; outside it this is the
+    empty set, which ``ShapeDtypeStruct`` accepts unchanged."""
+    vma: frozenset = frozenset()
+    for a in arrays:
+        vma |= frozenset(getattr(jax.typeof(a), "vma", ()) or ())
+    return vma
+
+
 def quantize_rows(a: jnp.ndarray):
     """Split f32 (..., w) into limbs (..., 3, w) int8 + per-row scale (...,).
 
@@ -163,7 +174,10 @@ def column_intensity_int8(
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n), jnp.float32,
+            vma=_out_vma(ylr, yli, yls, ysc, tlr, tli, tls, t_scales,
+                         weights)),
     )(weights.astype(jnp.float32).reshape(b, 1),
       ylr, yli, yls, ysc, tlr, tli, tls, t_scales)
 
@@ -270,13 +284,14 @@ def row_transform_int8(
                           memory_space=pltpu.VMEM)
     yl_spec = pl.BlockSpec((3, 1, tile_m, w), lambda k, i: (0, k, i, 0),
                            memory_space=pltpu.VMEM)
+    vma = _out_vma(xlr, xli, xls, xsc, tlr, tli, tls, t_scales)
     out_shapes = (
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
         # scales flattened to (3, b*n): a (3, 1, tile_m) block would violate
         # the (8, 128)-divisibility rule on its last two dims
-        jax.ShapeDtypeStruct((3, b * n), jnp.float32),
+        jax.ShapeDtypeStruct((3, b * n), jnp.float32, vma=vma),
     )
     blocks_per_b = n // tile_m
     ylr, yli, yls, ysc = pl.pallas_call(
@@ -405,11 +420,12 @@ def row_transform_int8_splitk(
                           memory_space=pltpu.VMEM)
     yl_spec = pl.BlockSpec((3, 1, tile_m, w), lambda k, i, kk: (0, k, i, 0),
                            memory_space=pltpu.VMEM)
+    vma = _out_vma(xlr, xli, xls, xsc, tlr, tli, tls, t_scales)
     out_shapes = (
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
-        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8),
-        jax.ShapeDtypeStruct((3, b * n), jnp.float32),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
+        jax.ShapeDtypeStruct((3, b, n, w), jnp.int8, vma=vma),
+        jax.ShapeDtypeStruct((3, b * n), jnp.float32, vma=vma),
     )
     blocks_per_b = n // tile_m
     ylr, yli, yls, ysc = pl.pallas_call(

@@ -105,6 +105,7 @@ def through_focus_sharded(
     chunk: int = 4,
     normalize: bool = False,
     max_abs_shift: int | None = None,
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """(F, n, n) focal stack over a 2-D ('focus', 'source') mesh: defocus
     settings sharded across 'focus', source points across 'source'."""
@@ -129,7 +130,7 @@ def through_focus_sharded(
             pup = pupil_function(aberr, config, dtype=spec.dtype)
             local = accumulate_intensity(
                 pup, spec, s, w, config, solver=solver, chunk=chunk,
-                max_abs_shift=max_abs_shift,
+                max_abs_shift=max_abs_shift, engine=engine,
             )
             return jax.lax.psum(local, SOURCE_AXIS)
 

@@ -70,6 +70,13 @@ def socs_image_sharded(
         mesh=mesh,
         in_specs=(P(), P(SOURCE_AXIS)),
         out_specs=P(),
+        # vma checking is off: the int8 engine's Pallas kernels run in
+        # interpret mode off-TPU, and the HLO interpreter's internal
+        # while_loop mixes varying/unvarying dynamic_slice operands — a
+        # jax-internal limitation its own error message says to work
+        # around this way. The psum contract is unchanged (pinned by
+        # tests/test_sharding.py::test_socs_image_sharded_matches_local).
+        check_vma=False,
     )
     def run(spec, socs_shard):
         local = socs_image(spec, socs_shard, config,

@@ -311,3 +311,31 @@ def test_dose_correction_validation():
     with pytest.raises(ValueError, match="CDU map"):
         dose_correction_map({"cd_nm": np.ones((1, 3)),
                              "doses": [0.9, 1.0, 1.1], "cdu": None})
+
+
+def test_tiled_stochastic_psd_flattened_for_serving(big_mask, source):
+    """psd=True returns the spectrum as TOP-LEVEL arrays/scalars (not a
+    nested dict): the serving layer's _finalize_result only inlines or
+    streams top-level arrays, so nesting would serialize them as lossy
+    repr strings (ADVICE r3). Default path shares the ensemble's trial
+    rows — no second Monte-Carlo pass."""
+    from lithographysimulator_tpu.metrology import tiled_stochastic
+    from lithographysimulator_tpu.models.stochastic import StochasticResist
+
+    out = tiled_stochastic(
+        big_mask, TILE_CFG, source,
+        model=StochasticResist(dose_photons_per_nm2=0.05, diffusion_nm=25.0,
+                               threshold=0.35),
+        trials=4, seed=0, rank=32, halo=16, trial_chunk=4, psd=True)
+    assert "psd" not in out  # nothing nested
+    assert isinstance(out["psd_freq_per_nm"], np.ndarray)
+    assert isinstance(out["psd_nm3"], np.ndarray)
+    assert out["psd_freq_per_nm"].shape == out["psd_nm3"].shape
+    for key in ("psd_n_edges", "psd_sigma_nm", "psd_ler_3s_nm",
+                "psd_corr_length_nm", "psd_alpha"):
+        assert key in out, key
+    # every value is JSON-safe through the serving encoder: scalars or
+    # 1-D float arrays
+    for k, v in out.items():
+        if isinstance(v, np.ndarray):
+            assert v.ndim <= 2, k

@@ -152,3 +152,50 @@ def test_stochastic_psd_consistent_with_ensemble():
                                          diffusion_nm=8.0, threshold=0.4),
                         trials=16, seed=3)
     assert hi["sigma_nm"] < psd["sigma_nm"]
+
+
+def test_ensemble_inline_psd_matches_dedicated():
+    """stochastic_ensemble(psd=True) accumulates the PSD from the same
+    streamed trial rows (one pass, ADVICE r3) and matches the dedicated
+    stochastic_psd at equal row_step/seed exactly (same trials, same
+    accumulation)."""
+    img = _aerial()
+    model = StochasticResist(dose_photons_per_nm2=10.0, diffusion_nm=8.0,
+                             threshold=0.4)
+    ens = stochastic_ensemble(img, CFG, model, trials=8, seed=5, psd=True)
+    spec = ens["psd"]
+    dedicated = stochastic_psd(img, CFG, model, trials=8, seed=5,
+                               row_step=max(1, img.shape[0] // 512))
+    assert spec["n_edges"] == dedicated["n_edges"] > 0
+    np.testing.assert_allclose(spec["psd_nm3"], dedicated["psd_nm3"],
+                               rtol=1e-12)
+    assert spec["ler_3s_nm"] == pytest.approx(dedicated["ler_3s_nm"])
+
+
+def test_stochastic_psd_narrow_band_returns_nan():
+    """A print band under 8 cut lines returns the n_edges=0 NaN result
+    instead of edge_psd raising mid-run (ADVICE r3)."""
+    img = np.zeros((32, 32), np.float32)
+    img[14:17, 4:28] = 1.0  # 3-row feature: band < 8 cut lines
+    model = StochasticResist(dose_photons_per_nm2=20.0, threshold=0.4)
+    out = stochastic_psd(img, CFG, model, trials=4, seed=0)
+    assert out["n_edges"] == 0
+    assert np.isnan(out["sigma_nm"]) and np.isnan(out["corr_length_nm"])
+    ens = stochastic_ensemble(img, CFG, model, trials=4, seed=0, psd=True)
+    assert ens["psd"]["n_edges"] == 0
+    assert np.isnan(ens["psd"]["corr_length_nm"])
+
+
+def test_fit_psd_degenerate_returns_nan():
+    """A near-zero-noise spectrum (< 4 positive samples) yields NaN fit
+    parameters from the PSD pipeline instead of a ValueError (ADVICE r3)."""
+    from lithographysimulator_tpu.models.stochastic import _fit_or_nan
+
+    out = _fit_or_nan(np.array([0.01, 0.02, 0.03]), np.zeros(3))
+    assert np.isnan(out["corr_length_nm"]) and np.isnan(out["alpha"])
+    # edge_psd end-to-end: perfectly straight edges -> all-zero PSD
+    field = np.zeros((1, 32, 32), np.float32)
+    field[:, :, 10:20] = 1.0
+    res = edge_psd(field, CFG, fit=True, threshold=0.5)
+    assert res["n_edges"] > 0
+    assert np.isnan(res["corr_length_nm"]) or res["psd_nm3"].sum() > 0

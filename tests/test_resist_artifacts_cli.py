@@ -249,3 +249,20 @@ def test_cli_enables_persistent_compile_cache(monkeypatch):
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
     _enable_compile_cache()
     assert str(jax.config.jax_compilation_cache_dir).endswith(".jax_cache")
+
+
+def test_cli_stochastic_psd_out_implies_psd(tmp_path, capsys):
+    """--psd-out without --psd still runs the PSD analysis and writes the
+    spectrum (ADVICE r3: it used to be silently ignored)."""
+    from lithographysimulator_tpu.cli import main
+
+    out = tmp_path / "spec.npz"
+    rc = main(["stochastic", "--pixel-number", "32", "--source", "classical",
+               "--trials", "4", "--diffusion", "8",
+               "--psd-out", str(out)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert "psd_n_edges" in report
+    data = np.load(out)
+    assert "psd_nm3" in data and "freq_per_nm" in data
+    assert data["psd_nm3"].ndim == 1

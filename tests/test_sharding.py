@@ -273,6 +273,69 @@ def test_socs_components_build_sharded_matches_local():
     assert nrms < 1e-5, nrms
 
 
+def test_fem_cd_matrix_sharded_matches_host(setup):
+    """Device-side (focus x dose) FEM cell pass on the 2-D mesh equals the
+    same math computed from the host focal stack, and CD grows with dose."""
+    from lithographysimulator_tpu.models.resist import ResistModel
+    from lithographysimulator_tpu.parallel import fem_cd_matrix_sharded
+
+    spec, _, src = setup
+    mesh = focus_source_mesh(focus=2, source=4)
+    shifts, weights, _ = padded_source_arrays(src, mesh.shape["source"] * 4)
+    base = np.zeros(5, np.float32)
+    defocus = np.array([0.0, 80.0], np.float32)
+    doses = np.array([0.8, 1.0, 1.2], np.float32)
+    resist = ResistModel(threshold=0.3, steepness=60.0, diffusion_nm=10.0)
+
+    cds = np.asarray(fem_cd_matrix_sharded(
+        spec, base, defocus, doses, shifts, weights, CFG, mesh,
+        resist=resist, chunk=4))
+    assert cds.shape == (2, 3)
+
+    stack = np.asarray(through_focus_images(
+        spec, focus_stack_aberrations(base, defocus), shifts, weights, CFG,
+        chunk=4))
+    norm = stack / stack.max()
+    import jax.numpy as jnp
+    blurred = np.stack([np.asarray(resist.blur(jnp.asarray(im), CFG))
+                        for im in norm])
+    cut = blurred[:, CFG.n // 2]
+    expect = np.stack([
+        (1.0 / (1.0 + np.exp(-resist.steepness * (cut * d - resist.threshold)))
+         ).sum(axis=-1) * CFG.pixel_size
+        for d in doses], axis=1)
+    np.testing.assert_allclose(cds, expect, rtol=1e-4, atol=1e-3)
+    # more dose -> more printed width, at every focus
+    assert (np.diff(cds, axis=1) > 0).all()
+
+
+def test_fem_cd_matrix_sharded_grad():
+    """The sharded FEM matrix is differentiable in the aberrations
+    (process-window-aware SMO objective)."""
+    import jax
+    import jax.numpy as jnp
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, spectrum_fft)
+    from lithographysimulator_tpu.parallel import (
+        fem_cd_matrix_sharded, focus_source_mesh, padded_source_arrays)
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.5).classical())
+    mesh = focus_source_mesh(focus=2, source=4)
+    shifts, weights, _ = padded_source_arrays(src, mesh.shape["source"] * 4)
+
+    def loss(base):
+        cds = fem_cd_matrix_sharded(
+            spec, base, jnp.array([0.0, 60.0]), jnp.array([1.0]),
+            shifts, weights, cfg, mesh, chunk=4)
+        return jnp.var(cds)
+
+    g = jax.grad(loss)(jnp.zeros(5, jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_stochastic_band_sharded_matches_host():
     """Trial-sharded print-probability band (4th collective pattern): one
     global key split sharded over 8 devices equals the single-device
