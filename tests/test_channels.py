@@ -136,6 +136,7 @@ def test_scalar_limit_channel_capture_grows_as_na_shrinks():
     assert caps[0.1] > 0.997
 
 
+@pytest.mark.slow
 def test_truncation_error_tracks_dropped_trace():
     """Image error decreases monotonically-ish with kept channels and the
     K=C image is exact; a hard 1-channel truncation at hyper-NA leaves a

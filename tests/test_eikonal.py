@@ -117,6 +117,7 @@ def test_develop_profile_shapes_and_range(aerial):
     assert hard[0].sum() >= hard[-1].sum()
 
 
+@pytest.mark.slow
 def test_lateral_develop_differentiable(aerial):
     dr = DepthResist(nz=4)
 

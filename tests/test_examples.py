@@ -1,5 +1,7 @@
 """The examples must keep running (the framework tour is user-facing)."""
 
+import pytest
+
 import subprocess
 import sys
 from pathlib import Path
@@ -7,6 +9,7 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 def test_production_flow_example(tmp_path):
     proc = subprocess.run(
         [sys.executable, str(ROOT / "examples" / "production_flow.py"),

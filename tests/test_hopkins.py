@@ -76,6 +76,7 @@ def test_randomized_socs_image_exact(setup):
     assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
 
 
+@pytest.mark.slow
 def test_lean_build_matches_standard(setup):
     """The in-place single-block-peak build computes the same decomposition:
     eigenvalues match the dense eigh and images match the Abbe loop at the
@@ -90,6 +91,7 @@ def test_lean_build_matches_standard(setup):
     assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
 
 
+@pytest.mark.slow
 def test_lean_build_uncompensated_and_tail_chunks(setup):
     """Odd rank (tail chunks on every in-place loop) + compensated=False."""
     spec, pup, src, abbe = setup
@@ -166,6 +168,7 @@ def test_socs_scales_to_larger_grid():
     assert socs.rank < int(src.sum())  # fewer kernels than source points
 
 
+@pytest.mark.slow
 def test_energy_captured(setup):
     from lithographysimulator_tpu.ops.hopkins import socs_energy_captured
 
@@ -190,6 +193,7 @@ def test_source_side_matches_frequency_side(setup):
                    socs_image(spec, freq, CFG)) < 1e-6
 
 
+@pytest.mark.slow
 def test_randomized_dense_agreement_1e6_at_128():
     """VERDICT r1 #6 acceptance: randomized (compensated + block-Krylov) vs
     dense-eigh agreement <= 1e-6 at rank 64 on a 128^2 config. The dense
@@ -217,6 +221,7 @@ def test_randomized_dense_agreement_1e6_at_128():
                                atol=2e-6 * float(dense.eigenvalues[0]))
 
 
+@pytest.mark.slow
 def test_auto_rank_socs(setup):
     from lithographysimulator_tpu.ops.hopkins import (auto_rank_socs,
                                                       socs_energy_captured)

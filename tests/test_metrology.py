@@ -64,6 +64,7 @@ def test_tiled_fem_process_window(big_mask, source):
     assert nils["min_nils"] <= nils["mean_nils"]
 
 
+@pytest.mark.slow
 def test_tiled_matches_single_field_interior(big_mask, source):
     """For a chip-periodic pattern whose period divides the tile step, the
     stitched full-chip image equals a directly-imaged single field under the

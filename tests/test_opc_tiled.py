@@ -35,6 +35,7 @@ def _print_fidelity(mask_big, layout, source, resist):
     return pattern_fidelity(profile.astype(np.float32), layout, TILE_CFG)
 
 
+@pytest.mark.slow
 def test_opc_correct_tiled_improves_print(layout, source):
     resist = ResistModel(threshold=0.3, steepness=30.0)
     before = _print_fidelity(layout, layout, source, resist)
@@ -48,6 +49,7 @@ def test_opc_correct_tiled_improves_print(layout, source):
     assert after["xor_area_nm2"] < before["xor_area_nm2"]
 
 
+@pytest.mark.slow
 def test_opc_correct_tiled_second_sweep_consistent(layout, source):
     """A second Gauss-Seidel sweep keeps improving (or at least never
     degrades) the printed fidelity."""

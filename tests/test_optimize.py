@@ -115,6 +115,7 @@ def test_source_optimization_params():
     assert np.abs(np.asarray(g["source_logits"])).max() > 0
 
 
+@pytest.mark.slow
 def test_smo_socs_mask_only_matches_abbe():
     """SOCS-forward SMO reaches the same quality as the exact-Abbe loop:
     final loss EVALUATED UNDER THE ABBE MODEL comparable, big reduction."""
@@ -167,6 +168,7 @@ def test_smo_socs_alternating_source_decreases_loss():
     assert moved > 1e-4
 
 
+@pytest.mark.slow
 def test_aberration_retrieval_recovers_image():
     """Fit Zernike coefficients to a target image generated with known
     aberrations: the fitted model must reproduce the target image closely
@@ -222,6 +224,7 @@ def test_opc_improves_print_fidelity():
     assert after["iou"] >= base["iou"]
 
 
+@pytest.mark.slow
 def test_pw_opc_beats_nominal_on_worst_corner():
     """Process-window OPC (round 3): optimizing across (defocus, dose)
     corners yields a mask whose WORST-corner resist mismatch beats the
@@ -264,6 +267,7 @@ def test_pw_opc_beats_nominal_on_worst_corner():
     assert h[-1] < h[0]
 
 
+@pytest.mark.slow
 def test_aberration_retrieval_through_focus_recovers_coefficients():
     """Scanner matching: a focal stack pins the aberration FUNCTION, not
     just one image — the odd terms (astig/coma) land on their true values,

@@ -173,6 +173,7 @@ def test_pallas_alias_resolves_to_int8():
         resolve_engine("warp9")
 
 
+@pytest.mark.slow
 def test_int8_gradients_flow_through_f32_vjp():
     n = CFG.n
     fft_size = CFG.wavelength_scaling().fft_size
@@ -201,6 +202,7 @@ def test_int8_gradients_flow_through_f32_vjp():
     np.testing.assert_allclose(g8, g32, atol=1e-6 * scale)
 
 
+@pytest.mark.slow
 def test_int8_fast_mode_accuracy_classes():
     """The opt-in 2-limb 'int8_fast' engine: ~1e-5 RMS vs f32 (vs ~1e-7 for
     the exact 6-pass engine), never auto-selected."""
@@ -238,6 +240,7 @@ def test_int8_fast_mode_accuracy_classes():
     assert resolve_engine("int8_fast") == "int8_fast"
 
 
+@pytest.mark.slow
 def test_int8_fast_socs_image():
     import numpy as np
     from lithographysimulator_tpu import (LightSource, OpticsConfig,

@@ -260,6 +260,7 @@ def test_router_failover_skips_dead_backend():
         live.shutdown()
 
 
+@pytest.mark.slow
 def test_fleet_throughput_512(fleet):
     """Sustained throughput at 512^2 through the router with 2 workers:
     after one warmup (compile + SOCS build), 6 requests must sustain

@@ -66,6 +66,7 @@ def test_sharded_under_jit(setup):
     np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-5 * single.max())
 
 
+@pytest.mark.slow
 def test_device_count_invariance(setup):
     """2-device and 8-device meshes produce the same image."""
     spec, pup, src = setup
@@ -80,6 +81,7 @@ def test_device_count_invariance(setup):
                                atol=1e-5 * results[0].max())
 
 
+@pytest.mark.slow
 def test_through_focus_sharded_matches_vmap(setup):
     spec, _, src = setup
     base = np.array([0, 0, 0.01, 0, 0], np.float32)
@@ -148,6 +150,7 @@ def test_sharded_windowed_matches_dense(setup):
     np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6 * np.abs(a).max())
 
 
+@pytest.mark.slow
 def test_socs_image_sharded_matches_local():
     """Rank-sharded SOCS imaging (kernel shards + one psum) equals the
     local kernel-stack image, including a rank that does not divide
@@ -170,6 +173,7 @@ def test_socs_image_sharded_matches_local():
                                atol=1e-5 * local.max())
 
 
+@pytest.mark.slow
 def test_socs_build_sharded_matches_local():
     """Mesh-sharded randomized SOCS kernel BUILD (collective pattern #5:
     row-sharded FFT matvecs + column-sharded whitening grams with psum)
@@ -197,6 +201,7 @@ def test_socs_build_sharded_matches_local():
     assert nrms < 1e-5, nrms
 
 
+@pytest.mark.slow
 def test_socs_build_sharded_device_count_invariance():
     """2-device and 8-device sharded builds agree (collective correctness
     does not depend on the shard count)."""
@@ -220,6 +225,7 @@ def test_socs_build_sharded_device_count_invariance():
                                atol=1e-5 * images[0].max())
 
 
+@pytest.mark.slow
 def test_socs_build_sharded_warm_start_interchange():
     """A LOCAL build's Ritz basis warm-starts the SHARDED build (and the
     sharded basis round-trips): power_iters=0 from a warm basis matches the
@@ -245,6 +251,7 @@ def test_socs_build_sharded_warm_start_interchange():
     assert nrms < 1e-4, nrms
 
 
+@pytest.mark.slow
 def test_socs_components_build_sharded_matches_local():
     """Mesh-sharded frequency-side summed-TCC build (vector/chromatic
     component stacks) matches the local components build."""
@@ -309,6 +316,7 @@ def test_fem_cd_matrix_sharded_matches_host(setup):
     assert (np.diff(cds, axis=1) > 0).all()
 
 
+@pytest.mark.slow
 def test_fem_cd_matrix_sharded_grad():
     """The sharded FEM matrix is differentiable in the aberrations
     (process-window-aware SMO objective)."""
@@ -336,6 +344,7 @@ def test_fem_cd_matrix_sharded_grad():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_stochastic_band_sharded_matches_host():
     """Trial-sharded print-probability band (4th collective pattern): one
     global key split sharded over 8 devices equals the single-device

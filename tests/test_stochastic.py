@@ -52,6 +52,7 @@ def test_high_dose_converges_to_deterministic():
     assert np.mean(np.abs(trials - det[None])) < 0.01
 
 
+@pytest.mark.slow
 def test_ler_scales_down_with_dose():
     lo = stochastic_ensemble(
         IMG, CFG, StochasticResist(dose_photons_per_nm2=5.0,
@@ -77,6 +78,7 @@ def test_poisson_and_gaussian_agree_at_high_dose():
     assert abs(p["ler_nm"] - g["ler_nm"]) < 0.5 * max(p["ler_nm"], g["ler_nm"])
 
 
+@pytest.mark.slow
 def test_defect_rates_appear_at_starved_dose():
     starved = stochastic_ensemble(
         IMG, CFG, StochasticResist(dose_photons_per_nm2=0.8,
@@ -90,6 +92,7 @@ def test_defect_rates_appear_at_starved_dose():
     assert rich["break_rate"] + rich["bridge_rate"] < 1e-3
 
 
+@pytest.mark.slow
 def test_print_probability_band():
     out = stochastic_ensemble(
         IMG, CFG, StochasticResist(dose_photons_per_nm2=5.0,
@@ -157,6 +160,7 @@ def test_streamed_chunks_match_single_pass(monkeypatch):
     assert abs(streamed["break_rate"] - single["break_rate"]) < 0.2
 
 
+@pytest.mark.slow
 def test_exposure_summary_contract():
     """The device summary matches what full fields would give: sampled
     continuous rows, per-cut run counts, and the contour sum."""

@@ -51,6 +51,7 @@ def test_default_halo_reasonable():
     assert default_halo(TILE_CFG, wavelengths=2.0) < TILE_CFG.n // 2
 
 
+@pytest.mark.slow
 def test_tiling_offset_invariance(big_mask, socs):
     """Different halo choices change the tile seams; the image must not care
     (this is the halo-sufficiency / stitching-correctness test)."""
@@ -130,6 +131,7 @@ def test_tiles_per_dispatch_invariance(big_mask, socs):
     np.testing.assert_allclose(a, c, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_field_dependent_aberrations(big_mask):
     """Field-point-sampled tiled imaging: a constant field reduces to the
     uniform path exactly; field-varying defocus changes edge tiles while the
@@ -172,6 +174,7 @@ def test_field_dependent_aberrations(big_mask):
     assert corner_diff > 1e-3 * uniform[:q, :q].max()
 
 
+@pytest.mark.slow
 def test_field_blend_cd_continuity():
     """Round-3 zone-boundary check: with linear image blending between
     field-kernel zones, the printed CD varies CONTINUOUSLY across the chip,

@@ -37,6 +37,7 @@ def _nrms(a, b):
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
+@pytest.mark.slow
 def test_scalar_limit_low_na():
     """Unpolarized vector image converges to the scalar image as NA -> 0
     (vector corrections are O((NA rho)^2))."""
@@ -125,6 +126,7 @@ def test_polarization_states_parsing():
         polarization_states((0.0, 0.0))
 
 
+@pytest.mark.slow
 def test_simulate_polarization_api():
     cfg = OpticsConfig(pixel_number=32, na=0.9)
     src = LightSource(cfg, sigma_out=0.5).classical()

@@ -85,6 +85,7 @@ def test_scalar_tcc_component_path_unchanged():
 
 
 @pytest.mark.parametrize("pol", ["unpolarized", "x", (1.0, 1.0j)])
+@pytest.mark.slow
 def test_randomized_vector_socs_matches_vector_abbe(pol):
     """One kernel set from the frequency-side randomized build reproduces
     the (component-summed) exact vector Abbe image."""
@@ -99,6 +100,7 @@ def test_randomized_vector_socs_matches_vector_abbe(pol):
     assert float(np.asarray(socs.eigenvalues[0])) > 0
 
 
+@pytest.mark.slow
 def test_randomized_vector_matches_dense_eigenvalues():
     """Leading eigenvalues of the randomized summed-TCC build agree with
     the dense stacked oracle (the operators are identical)."""
@@ -113,6 +115,7 @@ def test_randomized_vector_matches_dense_eigenvalues():
                                rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_vector_socs_scalar_limit():
     """As NA -> 0 the vector kernels converge to scalar physics: the
     polarized SOCS image approaches the scalar SOCS image."""
@@ -131,6 +134,7 @@ def test_vector_socs_scalar_limit():
     assert errs[1] < 2e-3
 
 
+@pytest.mark.slow
 def test_vector_energy_captured():
     from lithographysimulator_tpu.ops.hopkins import socs_energy_captured
 
@@ -149,6 +153,7 @@ def test_vector_energy_captured():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_warm_start_adjacent_focus_scalar():
     """Warm start from an adjacent plane's basis with power_iters=0 is as
     accurate as a cold default-power build (the FEM sweep's money path)."""
@@ -170,6 +175,7 @@ def test_warm_start_adjacent_focus_scalar():
     assert err_warm < max(2.0 * err_cold, 1e-5)
 
 
+@pytest.mark.slow
 def test_warm_start_rank_growth():
     """The auto-rank doubling pattern: continue from the rank-32 basis to a
     rank-64 build with fewer power iterations, same accuracy."""
@@ -189,6 +195,7 @@ def test_warm_start_rank_growth():
     assert err_warm < max(2.0 * err_cold, 1e-5)
 
 
+@pytest.mark.slow
 def test_warm_start_vector():
     cfg, spec, pup, src, shifts, weights, ms = _setup()
     _, basis = randomized_socs_vector(pup, src, cfg, polarization="x",
@@ -219,6 +226,7 @@ def test_lean_build_rejects_warm_start():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_tiled_vector_socs_matches_vector_abbe_at_tile_size():
     """VERDICT r2 done-criterion: tiled_socs_image with polarized kernels
     matches vector_abbe_image at tile size to <= 1e-4 normalized RMS (one
@@ -239,6 +247,7 @@ def test_tiled_vector_socs_matches_vector_abbe_at_tile_size():
     assert _nrms(img, ref) < 1e-4
 
 
+@pytest.mark.slow
 def test_simulate_batch_polarized_socs():
     from lithographysimulator_tpu import simulate_batch
 
