@@ -386,17 +386,37 @@ def _randomized_range_eigh(
     power_iters: int,
     compensated: bool,
     krylov: bool,
+    method: str = "rr",
 ):
     """Shared core of the randomized SOCS builds: block subspace (or
     block-Krylov) iteration with CholQR2-style Gram whitening, then
-    Rayleigh-Ritz. ``matvec_all`` applies the Hermitian PSD target operator
-    to an (L, n, n) block; ``omega`` is the starting probe block.
+    Rayleigh-Ritz (``method='rr'``) or the fixed-rank PSD Nystrom
+    approximation (``method='nystrom'``). ``matvec_all`` applies the
+    Hermitian PSD target operator to an (L, n, n) block; ``omega`` is the
+    starting probe block.
 
     Returns ``(eigvals, u)``: the Ritz eigenvalues of the FULL basis, sorted
     descending and clipped at 0, and the top-``rank`` Ritz vectors
     ``u = top^T q`` as a (rank, n, n) block (NOT conjugated — callers own
     the operator's conjugation convention)."""
+    if method not in ("rr", "nystrom"):
+        raise ValueError(f"unknown randomized-eigh method {method!r} "
+                         "(expected 'rr' or 'nystrom')")
     n = omega.shape[-1]
+
+    hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
+
+    def wide_rowdot(x, y, conj_a=False, conj_b=False):
+        # op(x) @ op(y).T without materializing a transpose (the (L, n^2)
+        # operands are GBs at 2048^2 — transposed copies of them OOM HBM)
+        if compensated:
+            return rowdot_compensated(x, y, conj_a=conj_a, conj_b=conj_b)
+        if conj_a:
+            x = jnp.conj(x)
+        if conj_b:
+            y = jnp.conj(y)
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), precision=hi)
 
     def orthonormalize(block):
         # Tall-skinny orthonormalization via Gram whitening: Householder QR
@@ -405,19 +425,6 @@ def _randomized_range_eigh(
         # eigenvalues are clipped, which also handles rank deficiency.
         b = block.shape[0]
         flat = block.reshape(b, -1)  # (L, n^2), rows are vectors
-
-        hi = jax.lax.Precision.HIGHEST  # TPU matmuls default to bf16 passes
-
-        def wide_rowdot(x, y, conj_b=False):
-            # x @ op(y).T without materializing a transpose or a whole-array
-            # conj (the (L, n^2) operands are GBs at 2048^2 — copies of them
-            # OOM HBM)
-            if compensated:
-                return rowdot_compensated(x, y, conj_b=conj_b)
-            if conj_b:
-                y = jnp.conj(y)
-            return jax.lax.dot_general(
-                x, y, (((1,), (1,)), ((), ())), precision=hi)
 
         def whiten_once_eigh(f):
             # Eigh-clip whitening: tiny eigenvalues are clipped, handling
@@ -460,6 +467,55 @@ def _randomized_range_eigh(
             flat = flat - jnp.matmul(coef.T, qf,
                                      precision=jax.lax.Precision.HIGHEST)
         return flat.reshape(block.shape)
+
+    if method == "nystrom":
+        # Fixed-rank PSD Nystrom (Tropp et al. 2017, shifted for Cholesky
+        # stability): basis B from `power_iters` whitened subspace
+        # iterations, ONE further application Y = G B, and the approximation
+        # G ~ Y_nu S_nu^-1 Y_nu^H with S_nu = B^H Y_nu = B^H Y + nu I.
+        # ONE FEWER block matvec than Rayleigh-Ritz at matched power_iters
+        # (the RR projection needs its own G q), and the approximation
+        # error contracts ~quadratically in the basis residual where RR's
+        # is linear — measured at the randomized-truncation floor already
+        # at power_iters=1 on the production TCC spectra. Everything big
+        # stays (L, n^2): the factor F = Y_nu L^-H is never materialized
+        # (its Gram is reconstructed as L^-1 (Y_nu^H Y_nu) L^-H).
+        if krylov:
+            raise ValueError("method='nystrom' is incompatible with "
+                             "krylov=True (use the RR core)")
+        b = orthonormalize(omega)
+        for _ in range(power_iters):
+            b = orthonormalize(matvec_all(b))
+        y = matvec_all(b)
+        lq = b.shape[0]
+        bf = b.reshape(lq, -1)
+        yf = y.reshape(lq, -1)
+        small = wide_rowdot(bf, yf, conj_a=True)          # B^H Y, (L, L)
+        small = 0.5 * (small + small.conj().T)
+        nu = 1.2e-7 * jnp.real(jnp.trace(small))
+        y_nu = yf + nu.astype(yf.dtype) * bf              # Y + nu B
+        eye = jnp.eye(lq, dtype=small.dtype)
+        lc = jnp.linalg.cholesky(small + nu.astype(small.dtype) * eye)
+        linv = jax.scipy.linalg.solve_triangular(lc, eye, lower=True)
+        gy = wide_rowdot(y_nu, y_nu, conj_a=True)         # Y_nu^H Y_nu
+        gy = 0.5 * (gy + gy.conj().T)
+        m = jnp.matmul(jnp.matmul(linv, gy, precision=hi),
+                       linv.conj().T, precision=hi)       # F^H F, (L, L)
+        m = 0.5 * (m + m.conj().T)
+        sig2, v = jnp.linalg.eigh(m)                      # ascending
+        sig2 = sig2[::-1].real
+        v = v[:, ::-1]
+        eigvals = jnp.clip(sig2 - nu, 0.0, None)
+        # eigvecs of G: U = F V Sigma^-1 = Y_nu (L^-H V Sigma^-1); dead
+        # directions (collapsed singular values) get zero vectors, mirroring
+        # the whitening clip.
+        inv_sig = jnp.where(sig2 > _WHITEN_CLIP * jnp.maximum(sig2[0], 1e-30),
+                            1.0 / jnp.sqrt(jnp.maximum(sig2, 1e-300)), 0.0)
+        c = jnp.matmul(linv.conj().T,
+                       v[:, :rank] * inv_sig[None, :rank].astype(v.dtype),
+                       precision=hi)                      # (L, rank)
+        u = jnp.matmul(c.T, y_nu, precision=hi).reshape(rank, n, n)
+        return eigvals, u
 
     if krylov:
         # Block-Krylov: Rayleigh-Ritz over ALL iterates [Q_0, G Q_0, ...,
@@ -542,10 +598,17 @@ def randomized_socs(
     lean: bool | str = "auto",
     init_basis=None,
     return_basis: bool = False,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
     of the source-side Gram operator. Exact circulant structure; accuracy set
     by ``power_iters``/``oversample``. Scales to arbitrarily fine grids.
+
+    ``method='nystrom'`` swaps the Rayleigh-Ritz projection for the
+    fixed-rank PSD Nystrom core (see :func:`_randomized_range_eigh`): one
+    fewer block matvec per build — the matvecs are the FFT-bound stage —
+    with error that contracts ~quadratically (vs linearly) in the subspace
+    residual. Not supported by the lean or krylov builds.
 
     ``compensated=True`` (default) computes the K = n^2 contractions of the
     whitening Gram and the Rayleigh-Ritz projection with double-float
@@ -577,10 +640,13 @@ def randomized_socs(
     n = config.n
     if lean == "auto":
         lean = lean_auto(rank + oversample, n) and not krylov \
-            and init_basis is None and not return_basis
+            and init_basis is None and not return_basis \
+            and method == "rr"
     if lean:
         if krylov:
             raise ValueError("krylov=True has no lean-memory variant")
+        if method != "rr":
+            raise ValueError(f"method={method!r} has no lean-memory variant")
         if init_basis is not None or return_basis:
             raise ValueError("warm-start basis is not supported by the "
                              "lean build (pass lean=False)")
@@ -615,7 +681,7 @@ def randomized_socs(
 
     eigvals, u = _randomized_range_eigh(
         matvec_all, omega, rank=rank, power_iters=power_iters,
-        compensated=compensated, krylov=krylov)
+        compensated=compensated, krylov=krylov, method=method)
     basis = u  # Ritz basis of the iterated operator, for warm restarts
     # _gram_matvec convolves with R(s - s') where G's true entry is
     # conj(R(s - s')) = R(s' - s): it applies conj(G). conj(G) shares G's
@@ -674,6 +740,7 @@ def randomized_socs_vector(
     return_basis: bool = False,
     channels: int | str | None = None,
     channel_rotation=None,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Polarized (vector/high-NA) SOCS kernels: ONE kernel set carrying the
     full Jones-pupil physics, drop-in for every scalar-SOCS consumer.
@@ -722,7 +789,7 @@ def randomized_socs_vector(
         power_iters=power_iters, seed=seed, probe_chunk=probe_chunk,
         compensated=compensated, krylov=krylov, init_basis=init_basis,
         return_basis=return_basis, channels=channels,
-        channel_rotation=channel_rotation)
+        channel_rotation=channel_rotation, method=method)
 
 
 def vector_component_stack(pupil, config: OpticsConfig, *,
@@ -909,6 +976,7 @@ def randomized_socs_components(
     return_basis: bool = False,
     channels: int | str | None = None,
     channel_rotation=None,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Summed-TCC SOCS kernels for ANY weighted stack of component pupils.
 
@@ -993,7 +1061,7 @@ def randomized_socs_components(
 
     eigvals, u = _randomized_range_eigh(
         matvec_all, omega, rank=rank, power_iters=power_iters,
-        compensated=compensated, krylov=krylov)
+        compensated=compensated, krylov=krylov, method=method)
     # u rows are Ritz vectors of T itself (frequency plane, unit norm);
     # the kernel that multiplies the mask spectrum is conj(phi_j) — see
     # tcc_eigensystem's conjugation note.
@@ -1029,6 +1097,7 @@ def randomized_socs_chromatic(
     return_basis: bool = False,
     channels: int | str | None = None,
     channel_rotation=None,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Polychromatic (finite laser-bandwidth) SOCS kernels — optionally
     polarized too — as ONE kernel set for every scalar-SOCS consumer.
@@ -1054,7 +1123,7 @@ def randomized_socs_chromatic(
         oversample=oversample, power_iters=power_iters, seed=seed,
         probe_chunk=probe_chunk, compensated=compensated, krylov=krylov,
         init_basis=init_basis, return_basis=return_basis, channels=channels,
-        channel_rotation=channel_rotation)
+        channel_rotation=channel_rotation, method=method)
 
 
 def chromatic_component_stack(aberrations, config: OpticsConfig, *,

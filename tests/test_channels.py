@@ -255,6 +255,29 @@ def test_product_stack_compression():
                  np.asarray(socs_image(spec, plain, cfg))) < 5e-4
 
 
+def test_nystrom_method_on_component_builds():
+    """method='nystrom' reaches the vector and chromatic builds through
+    randomized_socs_components: image parity with the RR build at one fewer
+    block matvec per build."""
+    cfg, spec, pup, src = _setup()
+    plain = randomized_socs_vector(pup, src, cfg, polarization="unpolarized",
+                                   **BUILD)
+    ny = randomized_socs_vector(pup, src, cfg, polarization="unpolarized",
+                                rank=48, oversample=24, power_iters=2,
+                                method="nystrom")
+    assert _nrms(np.asarray(socs_image(spec, ny, cfg)),
+                 np.asarray(socs_image(spec, plain, cfg))) < 2e-4
+
+    laser = LaserSpectrum(bandwidth_pm=0.6, focus_nm_per_pm=-250.0, samples=3)
+    plain_c = randomized_socs_chromatic(ABERR, src, cfg, spectrum=laser,
+                                        **BUILD)
+    ny_c = randomized_socs_chromatic(ABERR, src, cfg, spectrum=laser,
+                                     rank=48, oversample=24, power_iters=2,
+                                     method="nystrom")
+    assert _nrms(np.asarray(socs_image(spec, ny_c, cfg)),
+                 np.asarray(socs_image(spec, plain_c, cfg))) < 2e-4
+
+
 def test_simulate_layer_rotation_cache():
     """The simulate-layer cache compresses chromatic stacks (the rotation is
     aberration-independent, computed once per optics setup), declines

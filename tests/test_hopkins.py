@@ -106,6 +106,50 @@ def test_lean_krylov_rejected(setup):
         randomized_socs(pup, src, CFG, rank=8, lean=True, krylov=True)
 
 
+def test_nystrom_matches_dense_eigenvalues(setup):
+    """The fixed-rank PSD Nystrom core recovers the dense eigh's spectrum."""
+    _, pup, src, _ = setup
+    dense = tcc_eigensystem(pup, src, CFG, rank=12)
+    ny = randomized_socs(pup, src, CFG, rank=12, power_iters=3,
+                         method="nystrom")
+    np.testing.assert_allclose(np.asarray(ny.eigenvalues),
+                               np.asarray(dense.eigenvalues), rtol=1e-3)
+
+
+def test_nystrom_socs_image_exact(setup):
+    """Nystrom at power_iters=1 (2 block matvecs — one FEWER than RR p=1)
+    already reaches the randomized path's image accuracy floor."""
+    spec, pup, src, abbe = setup
+    socs = randomized_socs(pup, src, CFG, rank=64, power_iters=1,
+                           method="nystrom")
+    assert rel_rms(socs_image(spec, socs, CFG), abbe) < 2e-4
+
+
+def test_nystrom_not_worse_than_rr_at_matched_iters(setup):
+    """The Nystrom approximation error contracts ~quadratically in the basis
+    residual where RR's is linear: at matched power_iters (and one fewer
+    matvec) its image error must not exceed RR's."""
+    spec, pup, src, abbe = setup
+    kw = dict(rank=24, oversample=8, power_iters=1, seed=5)
+    err_rr = rel_rms(socs_image(spec, randomized_socs(pup, src, CFG, **kw),
+                                CFG), abbe)
+    err_ny = rel_rms(socs_image(spec, randomized_socs(pup, src, CFG,
+                                method="nystrom", **kw), CFG), abbe)
+    assert err_ny <= err_rr * 1.25
+
+
+def test_nystrom_lean_and_krylov_rejected(setup):
+    _, pup, src, _ = setup
+    with pytest.raises(ValueError):
+        randomized_socs(pup, src, CFG, rank=8, lean=True, method="nystrom")
+    with pytest.raises(ValueError):
+        randomized_socs(pup, src, CFG, rank=8, krylov=True, method="nystrom")
+    # lean='auto' must silently fall back to the standard build
+    socs = randomized_socs(pup, src, CFG, rank=8, lean="auto",
+                           method="nystrom")
+    assert socs.eigenvalues.shape[0] >= 8
+
+
 def test_randomized_socs_direct_solver(setup):
     """SOCS composes with the direct (matmul-transform) field solver too."""
     spec, pup, src, _ = setup
