@@ -110,6 +110,10 @@ def main() -> None:
     image = jax.block_until_ready(socs_apply(mask.geometry, socs))
     t_apply = time.perf_counter() - t0
     total = t_build + t_apply
+    # 2.1 GB kernel set, never used again: the 2048^2 Nystrom cold build
+    # below peaks ~3 probe blocks (~13.9 GB) and needs the HBM back
+    # (holding this OOMed the r4 bench; CLAUDE.md buffer-discipline rule).
+    del socs
 
     # --- Abbe exact: MEASURED over all 8 segments -----------------------
     shifts, weights, _ = padded_source_arrays(src, CHUNK * SEGMENTS)
@@ -369,7 +373,7 @@ def main() -> None:
     # lean build's ~13 GB peak plus a held 2 GB kernel set exhausts HBM.
     image_peak = float(np.asarray(image).max())
     abbe_image_peak = float(np.asarray(abbe_image_full).max())
-    del socs, image, abbe_image_full
+    del image, abbe_image_full
 
     @jax.jit
     def socs_lean_2048(geom, a, s_map):

@@ -54,6 +54,7 @@ from ..config import OpticsConfig
 from ..ops.compensated import rowdot3_compensated
 from ..ops.hopkins import (
     SOCSKernels,
+    _WHITEN_CLIP,
     _cholesky_whiten_mat,
     _gram_matvec,
     _random_probe_block,
@@ -87,16 +88,22 @@ def _range_eigh_sharded(
     compensated: bool,
     row_s: NamedSharding,
     col_s: NamedSharding,
+    method: str = "rr",
 ):
     """Sharded twin of :func:`..ops.hopkins._randomized_range_eigh`
     (subspace-iteration path): block subspace iteration with CholQR2 Gram
-    whitening, then Rayleigh-Ritz. Blocks stay 3-D throughout — the Gram
-    contractions run on :func:`..ops.compensated.rowdot3_compensated`, whose
-    row-chunked scan slices only the UNSHARDED image-row axis (slicing a
-    sharded axis would force SPMD gathers).
+    whitening, then Rayleigh-Ritz (``method='rr'``) or the fixed-rank PSD
+    Nystrom core (``method='nystrom'`` — one fewer block matvec, see the
+    local twin). Blocks stay 3-D throughout — the Gram contractions run on
+    :func:`..ops.compensated.rowdot3_compensated`, whose row-chunked scan
+    slices only the UNSHARDED image-row axis (slicing a sharded axis would
+    force SPMD gathers).
 
     Returns ``(eigvals, u)`` exactly as the local twin: full descending
     clipped Ritz values and the top-``rank`` Ritz block, row-sharded."""
+    if method not in ("rr", "nystrom"):
+        raise ValueError(f"unknown randomized-eigh method {method!r} "
+                         "(expected 'rr' or 'nystrom')")
 
     def to_rows(x):
         return jax.lax.with_sharding_constraint(x, row_s)
@@ -119,6 +126,42 @@ def _range_eigh_sharded(
             whiten = _cholesky_whiten_mat(dot3(b, b, conj_b=True))
             b = to_cols(jax.lax.dot_general(whiten, b, _MIX_DIMS, precision=_HI))
         return b
+
+    if method == "nystrom":
+        # Mirrors the local Nystrom core: basis from `power_iters` whitened
+        # subspace iterations, one further application Y = G B, and
+        # G ~ Y_nu S_nu^-1 Y_nu^H with S_nu = B^H Y + nu I. The (L, L)
+        # reductions psum over the column shards; everything (L, n, n)
+        # stays sharded.
+        lq = omega.shape[0]
+        b = orthonormalize(omega)
+        for _ in range(power_iters):
+            b = orthonormalize(matvec_all(to_rows(b)))
+        y = to_cols(matvec_all(to_rows(b)))
+        small = dot3(b, y, conj_a=True)          # B^H Y, (L, L), replicated
+        small = 0.5 * (small + small.conj().T)
+        nu = 1.2e-7 * jnp.real(jnp.trace(small))
+        y_nu = to_cols(y + nu.astype(y.dtype) * b)
+        eye = jnp.eye(lq, dtype=small.dtype)
+        lc = jnp.linalg.cholesky(small + nu.astype(small.dtype) * eye)
+        linv = jax.scipy.linalg.solve_triangular(lc, eye, lower=True)
+        gy = dot3(y_nu, y_nu, conj_a=True)       # Y_nu^H Y_nu
+        gy = 0.5 * (gy + gy.conj().T)
+        m = jnp.matmul(jnp.matmul(linv, gy, precision=_HI),
+                       linv.conj().T, precision=_HI)
+        m = 0.5 * (m + m.conj().T)
+        sig2, v = jnp.linalg.eigh(m)             # ascending
+        sig2 = sig2[::-1].real
+        v = v[:, ::-1]
+        eigvals = jnp.clip(sig2 - nu, 0.0, None)
+        inv_sig = jnp.where(
+            sig2 > _WHITEN_CLIP * jnp.maximum(sig2[0], 1e-30),
+            1.0 / jnp.sqrt(jnp.maximum(sig2, 1e-300)), 0.0)
+        c = jnp.matmul(linv.conj().T,
+                       v[:, :rank] * inv_sig[None, :rank].astype(v.dtype),
+                       precision=_HI)            # (L, rank)
+        u = jax.lax.dot_general(c.T, y_nu, _MIX_DIMS, precision=_HI)
+        return eigvals, to_rows(u)
 
     y = matvec_all(to_rows(omega))
     for _ in range(power_iters):
@@ -145,7 +188,7 @@ def _live_points(source_map) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _compiled_scalar_build(mesh, axis, n, rank, oversample, power_iters,
-                           seed, compensated):
+                           seed, compensated, method="rr"):
     row_s = NamedSharding(mesh, P(axis, None, None))
     col_s = NamedSharding(mesh, P(None, None, axis))
     l = rank + oversample
@@ -167,7 +210,7 @@ def _compiled_scalar_build(mesh, axis, n, rank, oversample, power_iters,
 
         eigvals, u = _range_eigh_sharded(
             matvec_all, omega, rank=rank, power_iters=power_iters,
-            compensated=compensated, row_s=row_s, col_s=col_s)
+            compensated=compensated, row_s=row_s, col_s=col_s, method=method)
         basis = u  # Ritz basis of the iterated operator (conj(G)) for warm restarts
         # _gram_matvec applies conj(G); conjugate before synthesis — see the
         # conjugation note in ops/hopkins.randomized_socs.
@@ -201,6 +244,7 @@ def randomized_socs_sharded(
     axis: str | None = None,
     init_basis=None,
     return_basis: bool = False,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Mesh-sharded :func:`..ops.hopkins.randomized_socs` (scalar Gram-side
     build): FFT matvecs split over probe rows, whitening/Rayleigh-Ritz
@@ -209,12 +253,14 @@ def randomized_socs_sharded(
     kernels are rank-sharded over ``axis`` (default the mesh's 'source'
     axis) — exactly the layout :func:`.socs_sharded.socs_image_sharded`
     consumes. ``init_basis``/``return_basis`` mirror the local warm-start
-    protocol (sharded and local bases are interchangeable)."""
+    protocol (sharded and local bases are interchangeable);
+    ``method='nystrom'`` mirrors the local Nystrom core (one fewer sharded
+    block matvec per build)."""
     axis = _build_axis(mesh, axis)
     n = config.n
     w = jnp.asarray(source_map, jnp.float32)
     fn = _compiled_scalar_build(mesh, axis, n, rank, oversample, power_iters,
-                                seed, compensated)
+                                seed, compensated, method)
     kernels, vals, basis = fn(
         jnp.asarray(pupil), w,
         None if init_basis is None else jnp.asarray(init_basis, jnp.complex64))
@@ -225,7 +271,7 @@ def randomized_socs_sharded(
 
 @functools.lru_cache(maxsize=None)
 def _compiled_components_build(mesh, axis, n, rank, oversample, power_iters,
-                               seed, compensated, channels):
+                               seed, compensated, channels, method="rr"):
     row_s = NamedSharding(mesh, P(axis, None, None))
     col_s = NamedSharding(mesh, P(None, None, axis))
     l = rank + oversample
@@ -260,7 +306,7 @@ def _compiled_components_build(mesh, axis, n, rank, oversample, power_iters,
                  else _warm_omega(init_basis, l, n, key))
         eigvals, u = _range_eigh_sharded(
             tcc_matvec, omega, rank=rank, power_iters=power_iters,
-            compensated=compensated, row_s=row_s, col_s=col_s)
+            compensated=compensated, row_s=row_s, col_s=col_s, method=method)
         # u rows are Ritz vectors of T itself (frequency plane, unit norm);
         # the kernel multiplying the mask spectrum is conj(phi_j).
         return jnp.conj(u), eigvals[:rank].astype(jnp.float32), u
@@ -285,6 +331,7 @@ def randomized_socs_components_sharded(
     channel_rotation=None,
     init_basis=None,
     return_basis: bool = False,
+    method: str = "rr",
 ) -> SOCSKernels:
     """Mesh-sharded :func:`..ops.hopkins.randomized_socs_components`
     (frequency-side summed-TCC build — the vector/chromatic path): the
@@ -305,7 +352,8 @@ def randomized_socs_components_sharded(
     w = jnp.roll(jnp.asarray(source_map, jnp.float32),
                  (-(n // 2), -(n // 2)), axis=(0, 1))
     fn = _compiled_components_build(mesh, axis, n, rank, oversample,
-                                    power_iters, seed, compensated, channels)
+                                    power_iters, seed, compensated, channels,
+                                    method)
     kernels, vals, basis = fn(
         jnp.asarray(components), jnp.asarray(weights, jnp.float32), w,
         None if init_basis is None else jnp.asarray(init_basis, jnp.complex64),

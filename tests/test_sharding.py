@@ -201,6 +201,32 @@ def test_socs_build_sharded_matches_local():
     assert nrms < 1e-5, nrms
 
 
+def test_socs_build_sharded_nystrom_matches_local():
+    """The sharded Nystrom build (one fewer sharded block matvec than RR)
+    matches the LOCAL Nystrom build's image and eigenvalues at equal seed —
+    the same parity contract as the RR twin above."""
+    from lithographysimulator_tpu import (
+        LightSource, OpticsConfig, demo_bars, pupil_function,
+        randomized_socs, socs_image, spectrum_fft)
+    from lithographysimulator_tpu.parallel import (
+        randomized_socs_sharded, source_mesh)
+
+    cfg = OpticsConfig(pixel_number=32)
+    spec = spectrum_fft(demo_bars(cfg).geometry, cfg)
+    src = np.asarray(LightSource(cfg, sigma_in=0.2, sigma_out=0.6).annular())
+    pup = pupil_function(np.array([0, 0, 0, 0, 30], np.float32), cfg)
+    kw = dict(rank=24, oversample=16, power_iters=1, seed=3, method="nystrom")
+    local = randomized_socs(pup, src, cfg, lean=False, **kw)
+    sharded = randomized_socs_sharded(pup, src, cfg, source_mesh(), **kw)
+    np.testing.assert_allclose(
+        np.asarray(sharded.eigenvalues), np.asarray(local.eigenvalues),
+        rtol=1e-4, atol=1e-6 * float(local.eigenvalues[0]))
+    img_l = np.asarray(socs_image(spec, local, cfg, chunk=4))
+    img_s = np.asarray(socs_image(spec, sharded, cfg, chunk=4))
+    nrms = np.sqrt(np.mean((img_s - img_l) ** 2)) / img_l.max()
+    assert nrms < 1e-5, nrms
+
+
 @pytest.mark.slow
 def test_socs_build_sharded_device_count_invariance():
     """2-device and 8-device sharded builds agree (collective correctness
