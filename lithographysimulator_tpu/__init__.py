@@ -60,7 +60,9 @@ from .ops.hopkins import (SOCSKernels, principal_channel_rotation,
                           tcc_eigensystem)
 from .ops.perturb import ImagePerturbation, apply_perturbation
 from .ops.mask3d import (BoundaryLayer, apply_boundary_layers,
-                         fit_boundary_layer)
+                         boundary_layer_from_rcwa, fit_boundary_layer)
+from .ops.rcwa import (GratingLayer, MASK_STACKS, MaskStack, rcwa_effective_mask,
+                       rcwa_orders, thin_mask_transmission)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
                         tiled_socs_image_field, tiled_socs_image_scan,
                         tiled_socs_image_stream)
@@ -96,6 +98,13 @@ __all__ = [
     "attenuated_psm",
     "accumulate_intensity",
     "fit_boundary_layer",
+    "boundary_layer_from_rcwa",
+    "GratingLayer",
+    "MASK_STACKS",
+    "MaskStack",
+    "rcwa_effective_mask",
+    "rcwa_orders",
+    "thin_mask_transmission",
     "contact_holes",
     "StochasticResist",
     "cd_uniformity",

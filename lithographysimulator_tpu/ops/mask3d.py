@@ -189,3 +189,152 @@ def fit_boundary_layer(
         beta_v=complex(float(params["bv_re"]), float(params["bv_im"])),
     )
     return fitted, history
+
+
+def grating_geometry(config: OpticsConfig, *, pitch_px: int, duty: float,
+                     transmission: complex = 0.0, axis: int = 1):
+    """Drawn thin-mask line/space layout matching the centering convention of
+    :func:`..rcwa.rcwa_effective_mask`: absorber of complex ``transmission``
+    covering ``duty`` of each period, centered on x = 0 (periodic wrap).
+    ``duty * pitch_px`` should be an ODD pixel count for an exact raster: an
+    odd run of pixels centers on x = 0 exactly (pixel i spans i ± 1/2, so a
+    width-(2m+1) rect covers pixel centers −m..m with no partial pixels); an
+    even count cannot center on a pixel and rasterizes one pixel narrow."""
+    import numpy as np
+
+    n = int(config.pixel_number)
+    if pitch_px <= 0 or n % int(pitch_px):
+        raise ValueError(f"pitch_px={pitch_px} must divide pixel_number={n}")
+    x = np.arange(n)
+    half = 0.5 * duty * pitch_px
+    dist = np.minimum(x % pitch_px, pitch_px - (x % pitch_px))
+    row = np.where(dist < half, complex(transmission), 1.0 + 0.0j)
+    geom = np.broadcast_to(row[None, :], (n, n))
+    if axis == 0:
+        geom = geom.T
+    if complex(transmission) == 0.0:
+        # binary masks stay real float32 (the common fast path)
+        return jnp.asarray(np.ascontiguousarray(geom.real), jnp.float32)
+    # complex (PSM) layouts upload as re/im planes: complex host->device
+    # transfers fail on the TPU tunnel (see .xfer)
+    from ..xfer import to_device_complex
+
+    return to_device_complex(np.ascontiguousarray(geom)).astype(jnp.complex64)
+
+
+def boundary_layer_from_rcwa(
+    config: OpticsConfig,
+    *,
+    stack="binary_cr",
+    pitch_px: int = 16,
+    duty: float = 7.0 / 16.0,
+    illumination_pol: str = "unpolarized",
+    width_nm: float = 8.0,
+    magnification: float = 4.0,
+    n_harmonics: int = 31,
+    sigma_out: float = 0.5,
+    solver: str = "gau23",
+    chunk: int = 8,
+    steps: int = 150,
+    learning_rate: float = 0.05,
+) -> tuple[BoundaryLayer, dict]:
+    """Calibrate the BL model from first principles — no external EMF tool.
+
+    Runs the in-repo rigorous RCWA oracle (:mod:`.rcwa`) on a line/space
+    topography of the named absorber ``stack``, images the rigorous near
+    field through the standard Abbe stack, and fits β by gradient descent
+    against that image (one fit per polarization). Polarization mapping for
+    lines along y (a VERTICAL edge): E ∥ lines is TE, E ⊥ lines is TM, so
+
+    - ``illumination_pol='x'``: β_v = β_TM, β_h = β_TE;
+    - ``illumination_pol='y'``: β_v = β_TE, β_h = β_TM;
+    - ``'unpolarized'``: both β fit against the TE/TM-averaged (incoherent)
+      image — by rotational symmetry β_h = β_v, and H–V bias vanishes, as
+      it physically must for unpolarized illumination at normal incidence.
+
+    Returns the calibrated :class:`BoundaryLayer` and a report dict with the
+    per-polarization fits, loss histories, and the rigorous/thin/corrected
+    image residuals (nRMS) that certify the fit.
+
+    The default ``duty`` keeps ``duty * pitch_px`` odd so the drawn layout
+    rasterizes exactly (see :func:`grating_geometry`) — otherwise a 1-px CD
+    mismatch between the thin layout and the RCWA topography leaks into β.
+
+    Caveat: an in-focus target determines Re β (the CD bias) strongly but
+    constrains Im β only at second order — its *sign* (the direction of the
+    thick-mask best-focus shift) can land either way between runs/backends.
+    Fits that need the focus-shift sign should extend the target to a
+    through-focus pair (``fit_boundary_layer`` accepts ``aberrations``).
+    """
+    import numpy as np
+
+    from ..models.mask import Mask, from_array
+    from ..models.source import LightSource
+    from ..parallel import padded_source_arrays
+    from ..simulate import simulate
+    from .rcwa import rcwa_effective_mask, thin_mask_transmission
+
+    if illumination_pol not in ("x", "y", "unpolarized"):
+        raise ValueError(f"unknown illumination_pol {illumination_pol!r}")
+
+    src = np.asarray(LightSource(config, sigma_out=sigma_out).classical())
+    shifts, weights, _ = padded_source_arrays(src, chunk)
+
+    t_thin = thin_mask_transmission(stack, config.wavelength)
+    if abs(t_thin) < 0.02:
+        t_thin = 0.0  # binary: draw the standard opaque layout
+    geom = grating_geometry(config, pitch_px=pitch_px, duty=duty,
+                            transmission=t_thin, axis=1)
+
+    def imaged(geometry) -> np.ndarray:
+        # host arrays go through from_array (complex uploads as re/im
+        # planes — required on the TPU tunnel); device arrays wrap directly
+        # (a host round-trip would be a complex readback, which also fails)
+        if isinstance(geometry, jax.Array):
+            mask = Mask(geometry=geometry, config=config)
+        else:
+            mask = from_array(geometry, config)
+        img = np.asarray(
+            simulate(mask, src, solver=solver, normalize=True).image)
+        return img / max(float(img.max()), 1e-30)
+
+    thin_img = imaged(geom)
+    targets = {}
+    for pol in ("te", "tm"):
+        rig = rcwa_effective_mask(
+            config, pitch_px=pitch_px, duty=duty, stack=stack, pol=pol,
+            axis=1, magnification=magnification, n_harmonics=n_harmonics)
+        targets[pol] = imaged(rig)
+
+    def nrms(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    fits, report = {}, {"pitch_px": pitch_px, "duty": duty,
+                        "thin_nrms": {}, "fit_nrms": {}, "history": {}}
+    fit_targets = ({"avg": 0.5 * (targets["te"] + targets["tm"])}
+                   if illumination_pol == "unpolarized" else targets)
+    for key, target in fit_targets.items():
+        bl, hist = fit_boundary_layer(
+            target, geom, shifts, weights, config, width_nm=width_nm,
+            solver=solver, chunk=chunk, steps=steps,
+            learning_rate=learning_rate)
+        fits[key] = bl
+        # apply under jit: eager complex arithmetic dies on the TPU tunnel
+        corrected = imaged(jax.jit(bl.apply, static_argnums=1)(geom, config))
+        report["thin_nrms"][key] = nrms(thin_img, target)
+        report["fit_nrms"][key] = nrms(corrected, target)
+        report["history"][key] = hist
+
+    if illumination_pol == "unpolarized":
+        beta = fits["avg"].beta_v
+        result = BoundaryLayer(width_nm=width_nm, beta_h=beta, beta_v=beta)
+    elif illumination_pol == "x":
+        result = BoundaryLayer(width_nm=width_nm,
+                               beta_h=fits["te"].beta_v,
+                               beta_v=fits["tm"].beta_v)
+    else:
+        result = BoundaryLayer(width_nm=width_nm,
+                               beta_h=fits["tm"].beta_v,
+                               beta_v=fits["te"].beta_v)
+    report["fits"] = fits
+    return result, report

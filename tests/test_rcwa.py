@@ -1,0 +1,250 @@
+"""RCWA rigorous-solver tests (the validation contract of ops/rcwa.py):
+homogeneous stacks must reproduce the analytic thin-film transfer matrix at
+machine precision, lossless gratings conserve energy, large-period absorbers
+converge to the Kirchhoff duty-cycle orders, TM converges in order count
+(Li's rule), and the imaging bridge / boundary-layer calibration built on
+top behaves physically."""
+
+import numpy as np
+import pytest
+
+from lithographysimulator_tpu import OpticsConfig
+from lithographysimulator_tpu.ops.rcwa import (
+    MASK_STACKS,
+    GratingLayer,
+    kirchhoff_orders,
+    rcwa_effective_mask,
+    rcwa_orders,
+    thin_mask_transmission,
+    transfer_matrix_stack,
+)
+
+LAM = 193.0
+
+
+# ---------------------------------------------------------------------------
+# Core solver vs analytic oracles
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pol", ["te", "tm"])
+@pytest.mark.parametrize("theta", [0.0, 23.0])
+def test_homogeneous_stack_matches_transfer_matrix(pol, theta):
+    """duty=0 layers are homogeneous films: every off-axis order must vanish
+    and the specular (r, t) must equal the analytic transfer-matrix stack —
+    lossy absorber + dielectric spacer, oblique incidence, glass superstrate."""
+    films = [(20.0, 1.965 + 1.201j), (68.0, 0.842 + 1.647j), (35.0, 1.44 + 0j)]
+    layers = [GratingLayer(thickness_nm=d, n_ridge=2.0, n_groove=n, duty=0.0)
+              for d, n in films]
+    res = rcwa_orders(600.0, layers, LAM, pol=pol, n_super=1.5631,
+                      n_sub=1.0, theta_deg=theta, n_harmonics=11)
+    r_ref, t_ref = transfer_matrix_stack(
+        [n for _, n in films], [d for d, _ in films], LAM, pol=pol,
+        n_super=1.5631, n_sub=1.0, theta_deg=theta)
+    mid = (len(res.orders) - 1) // 2
+    assert abs(res.r[mid] - r_ref) < 1e-11
+    assert abs(res.t[mid] - t_ref) < 1e-11
+    off = np.delete(np.arange(len(res.orders)), mid)
+    assert np.abs(res.r[off]).max() < 1e-12
+    assert np.abs(res.t[off]).max() < 1e-12
+
+
+@pytest.mark.parametrize("pol", ["te", "tm"])
+def test_lossless_grating_conserves_energy(pol):
+    """Real-index grating with several propagating orders: total reflected +
+    transmitted efficiency is exactly 1."""
+    layers = [GratingLayer(thickness_nm=150.0, n_ridge=2.1, n_groove=1.0,
+                           duty=0.45)]
+    res = rcwa_orders(800.0, layers, LAM, pol=pol, n_super=1.5,
+                      n_sub=1.0, theta_deg=8.0, n_harmonics=41)
+    assert abs(res.energy - 1.0) < 1e-10
+    # sanity: the large period really does support off-axis orders
+    mid = (len(res.orders) - 1) // 2
+    assert res.eff_t[mid + 1] > 1e-4 and res.eff_t[mid - 1] > 1e-4
+
+
+def test_energy_deficit_for_absorber():
+    """A chrome grating absorbs: energy strictly < 1 (and > 0)."""
+    layers = [GratingLayer(thickness_nm=68.0, n_ridge=0.842 + 1.647j,
+                           duty=0.5)]
+    res = rcwa_orders(400.0, layers, LAM, pol="te", n_super=1.5631)
+    assert 0.0 < res.energy < 0.9
+
+
+def test_large_period_converges_to_kirchhoff():
+    """Scalar-diffraction regime: at period >> lambda the normalized
+    transmitted orders of an absorber grating approach the ideal thin-mask
+    (Kirchhoff) duty-cycle orders, and the residual shrinks with period."""
+    stack = MASK_STACKS["binary_cr"]
+    t_thin = thin_mask_transmission(stack, LAM)
+
+    def kirchhoff_err(period_nm: float) -> float:
+        layers = [GratingLayer(thickness_nm=d, n_ridge=n, duty=0.5)
+                  for d, n in stack.layers]
+        res = rcwa_orders(period_nm, layers, LAM, pol="te",
+                          n_super=stack.n_blank, n_harmonics=61)
+        blank = [GratingLayer(thickness_nm=d, n_ridge=n, duty=0.0)
+                 for d, n in stack.layers]
+        # normalize to the bare-blank path as rcwa_effective_mask does;
+        # blank layers are air (n_groove=1), i.e. the clear opening
+        res0 = rcwa_orders(period_nm, blank, LAM, pol="te",
+                           n_super=stack.n_blank, n_harmonics=61)
+        mid = (len(res.orders) - 1) // 2
+        sel = np.arange(mid - 3, mid + 4)
+        t = res.t[sel] / res0.t[mid]
+        ref = kirchhoff_orders(0.5, res.orders[sel], transmission=t_thin)
+        return float(np.abs(t - ref).max())
+
+    # periods chosen off integer multiples of λ (a period of exactly m·λ
+    # parks an order on the Rayleigh anomaly, which the solver regularizes
+    # but which is physically outside the scalar limit being tested)
+    err_near, err_far = kirchhoff_err(10.4 * LAM), kirchhoff_err(41.6 * LAM)
+    assert err_far < 0.02
+    assert err_far < 0.5 * err_near
+
+
+def test_tm_li_rule_convergence():
+    """Metallic grating in TM — the case Li's inverse rule exists for: the
+    efficiency spectrum is already converged at 21 harmonics (vs 61)."""
+    layers = [GratingLayer(thickness_nm=68.0, n_ridge=0.842 + 1.647j,
+                           duty=0.5)]
+
+    def eff(nh):
+        res = rcwa_orders(400.0, layers, LAM, pol="tm", n_super=1.5631,
+                          n_harmonics=nh)
+        mid = (len(res.orders) - 1) // 2
+        return res.eff_t[mid - 2: mid + 3], res.eff_r[mid - 2: mid + 3]
+
+    t21, r21 = eff(21)
+    t61, r61 = eff(61)
+    assert np.abs(t21 - t61).max() < 1e-3
+    assert np.abs(r21 - r61).max() < 1e-3
+
+
+def test_offset_is_a_pure_phase_shift():
+    """Translating the grating by a fraction of the period multiplies order m
+    by exp(-2pi i m offset) exactly (both polarizations)."""
+    for pol in ("te", "tm"):
+        mk = lambda off: [GratingLayer(thickness_nm=68.0,
+                                       n_ridge=0.842 + 1.647j,
+                                       duty=0.4, offset=off)]
+        a = rcwa_orders(500.0, mk(0.0), LAM, pol=pol, n_super=1.5631)
+        b = rcwa_orders(500.0, mk(0.22), LAM, pol=pol, n_super=1.5631)
+        # sign fixed by the module's order convention (kx_m = kx0 - m λ/Λ
+        # plus the final conjugation): +offset translates order m by
+        # exp(+2πi m offset) — the same convention rcwa_effective_mask's
+        # synthesis assumes, so the two must stay in lockstep.
+        phase = np.exp(2j * np.pi * a.orders * 0.22)
+        np.testing.assert_allclose(b.t, a.t * phase, atol=1e-10)
+
+
+def test_normal_incidence_symmetry():
+    """A centered grating at normal incidence is mirror-symmetric: order m
+    and order -m carry identical amplitudes."""
+    layers = [GratingLayer(thickness_nm=72.0, n_ridge=2.343 + 0.586j,
+                           duty=0.5)]
+    res = rcwa_orders(600.0, layers, LAM, pol="tm", n_super=1.5631)
+    np.testing.assert_allclose(res.t, res.t[::-1], atol=1e-12)
+    np.testing.assert_allclose(res.r, res.r[::-1], atol=1e-12)
+
+
+def test_input_validation():
+    with pytest.raises(ValueError):
+        rcwa_orders(400.0, [], LAM, pol="circular")
+    with pytest.raises(ValueError):
+        rcwa_orders(400.0, [], LAM, n_harmonics=10)
+
+
+# ---------------------------------------------------------------------------
+# Stack characterization helpers
+# ---------------------------------------------------------------------------
+
+
+def test_thin_mask_transmission_binary_and_psm():
+    """Binary chrome is opaque (<1% intensity); the 6% MoSi PSM transmits
+    ~6% intensity at ~180 deg relative phase — the values the drawn PSM
+    layout should carry."""
+    t_cr = thin_mask_transmission("binary_cr", LAM)
+    assert abs(t_cr) ** 2 < 0.01
+    t_psm = thin_mask_transmission("att_psm_mosi", LAM)
+    assert 0.03 < abs(t_psm) ** 2 < 0.09
+    phase_deg = np.rad2deg(np.angle(t_psm))
+    assert 150.0 < abs(phase_deg) <= 180.0
+
+
+# ---------------------------------------------------------------------------
+# Imaging bridge: rcwa_effective_mask
+# ---------------------------------------------------------------------------
+
+
+def test_effective_mask_clear_normalization():
+    """duty=0 (no absorber anywhere) must give the unit clear field exactly —
+    the thin-mask normalization convention."""
+    cfg = OpticsConfig(pixel_number=32)
+    field = rcwa_effective_mask(cfg, pitch_px=16, duty=0.0)
+    np.testing.assert_allclose(field, np.ones((32, 32)), atol=1e-6)
+
+
+def test_effective_mask_shape_tiling_and_pol_split():
+    cfg = OpticsConfig(pixel_number=64)
+    te = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16, pol="te")
+    tm = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16, pol="tm")
+    assert te.shape == (64, 64) and te.dtype == np.complex64
+    # rows identical (lines along rows), pattern tiles at the pitch
+    np.testing.assert_allclose(te[0], te[33], atol=0)
+    np.testing.assert_allclose(te[0, :16], te[0, 16:32], atol=0)
+    # TE/TM really differ (the H-V bias source), but share the DC scale
+    assert np.abs(te - tm).max() > 0.01
+    assert abs(np.abs(te.mean()) - np.abs(tm.mean())) < 0.2
+    # axis=0 transposes the pattern
+    t0 = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16, pol="te", axis=0)
+    np.testing.assert_allclose(t0, te.T, atol=0)
+    with pytest.raises(ValueError):
+        rcwa_effective_mask(cfg, pitch_px=17, duty=0.4)
+
+
+# ---------------------------------------------------------------------------
+# First-principles boundary-layer calibration (ops/mask3d bridge)
+# ---------------------------------------------------------------------------
+
+
+def test_boundary_layer_from_rcwa_certifies_fit():
+    """End-to-end M3D calibration with no external EMF tool: the fitted BL
+    must explain most of the rigorous-vs-thin image residual (the report's
+    fit NRMS well under the thin-mask NRMS), and unpolarized illumination
+    must yield an isotropic model (beta_h == beta_v by symmetry)."""
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+
+    cfg = OpticsConfig(pixel_number=32)
+    bl, rep = boundary_layer_from_rcwa(cfg, stack="binary_cr", pitch_px=16,
+                                       illumination_pol="unpolarized",
+                                       steps=60)
+    assert bl.beta_h == bl.beta_v
+    assert abs(bl.beta_v) > 0.1  # a real thick-mask correction, not noise
+    assert rep["fit_nrms"]["avg"] < 0.25 * rep["thin_nrms"]["avg"]
+
+
+@pytest.mark.slow
+def test_boundary_layer_from_rcwa_polarized_hv_split():
+    """x-polarized illumination sees TM across vertical edges and TE across
+    horizontal ones: the calibrated model must carry a genuine H-V split,
+    with both polarizations' fits certified against their RCWA targets."""
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+
+    cfg = OpticsConfig(pixel_number=32)
+    bl, rep = boundary_layer_from_rcwa(cfg, stack="binary_cr", pitch_px=16,
+                                       illumination_pol="x", steps=60)
+    assert abs(bl.beta_h - bl.beta_v) > 1e-3
+    for pol in ("te", "tm"):
+        assert rep["fit_nrms"][pol] < 0.3 * rep["thin_nrms"][pol]
+
+
+def test_effective_mask_tracks_kirchhoff_dc():
+    """The rigorous field's mean transmission is within ~10% (absolute) of
+    the ideal duty-cycle average — edge perturbations are a correction, not
+    a rescale."""
+    cfg = OpticsConfig(pixel_number=64)
+    duty = 7 / 16
+    field = rcwa_effective_mask(cfg, pitch_px=16, duty=duty, pol="te")
+    ideal = (1 - duty) * 1.0 + duty * thin_mask_transmission("binary_cr")
+    assert abs(field.mean() - ideal) < 0.1
