@@ -81,7 +81,8 @@ def _build_mask(args, config):
 def _resolve_aberrations(args):
     """--aberrations reordered from the chosen indexing scheme into the
     OSA-ordered vector the pipeline consumes (in place on args)."""
-    if args.aberrations and getattr(args, "zernike_indexing", "osa") != "osa":
+    if (getattr(args, "aberrations", None)
+            and getattr(args, "zernike_indexing", "osa") != "osa"):
         from .ops.zernike import to_osa_coefficients
 
         args.aberrations = [
@@ -705,6 +706,44 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_m3dcal(args) -> int:
+    """First-principles thick-mask (M3D) calibration: run the in-repo
+    rigorous RCWA solver on a line/space topography of the named absorber
+    stack and fit the boundary-layer model against the rigorously imaged
+    near field. Prints the calibrated (width, beta_h, beta_v) plus the
+    thin-vs-rigorous and corrected-vs-rigorous image residuals — pass the
+    betas to --mask3d-* flags of the imaging commands."""
+    from .ops.mask3d import boundary_layer_from_rcwa
+
+    config = _build_config(args)
+    if config.n % args.pitch:
+        raise SystemExit(f"--pitch {args.pitch} must divide "
+                         f"--pixel-number {config.n}")
+    duty = args.duty if args.duty is not None else (
+        # default: ~half-pitch absorber rounded to an odd pixel count
+        # (exact rasterization; see ops.mask3d.grating_geometry)
+        (2 * (args.pitch // 4) + 1) / args.pitch)
+    t0 = time.perf_counter()
+    bl, report = boundary_layer_from_rcwa(
+        config, stack=args.stack, pitch_px=args.pitch, duty=duty,
+        illumination_pol=args.pol, width_nm=args.width_nm,
+        n_harmonics=args.harmonics, sigma_out=args.sigma_out,
+        steps=args.steps, learning_rate=args.lr)
+    print(json.dumps({
+        "stack": args.stack,
+        "illumination_pol": args.pol,
+        "pitch_px": args.pitch,
+        "duty": round(duty, 6),
+        "width_nm": bl.width_nm,
+        "beta_h": [round(bl.beta_h.real, 6), round(bl.beta_h.imag, 6)],
+        "beta_v": [round(bl.beta_v.real, 6), round(bl.beta_v.imag, 6)],
+        "thin_nrms": {k: round(v, 8) for k, v in report["thin_nrms"].items()},
+        "fit_nrms": {k: round(v, 8) for k, v in report["fit_nrms"].items()},
+        "wall_clock_s": round(time.perf_counter() - t0, 3),
+    }))
+    return 0
+
+
 def cmd_stochastic(args) -> int:
     """Monte-Carlo stochastic printing: aerial image -> photon/acid counting
     trials -> LER/LWR/LCDU + bridge/break defect rates + print-probability
@@ -1161,6 +1200,42 @@ def main(argv=None) -> int:
                        help="initial diffusion length nm (lumped model)")
     p_cal.add_argument("--iters", type=int, default=150)
     p_cal.set_defaults(func=cmd_calibrate)
+
+    p_m3d = sub.add_parser(
+        "m3dcal", help="first-principles thick-mask (boundary-layer) "
+                       "calibration against the in-repo rigorous RCWA solver")
+    for name, kw in (
+        ("--pixel-number", dict(type=int, default=64)),
+        ("--pixel-size", dict(type=float, default=25.0)),
+        ("--wavelength", dict(type=float, default=193.0)),
+        ("--na", dict(type=float, default=0.7)),
+        ("--immersion-index", dict(type=float, default=1.0)),
+        ("--obscuration", dict(type=float, default=0.0)),
+        ("--channel-tol", dict(type=float, default=1e-6)),
+    ):
+        p_m3d.add_argument(name, **kw)
+    p_m3d.add_argument("--stack", default="binary_cr",
+                       choices=["binary_cr", "att_psm_mosi"],
+                       help="absorber stack to solve rigorously")
+    p_m3d.add_argument("--pol", default="unpolarized",
+                       choices=["x", "y", "unpolarized"],
+                       help="illumination polarization (x/y give an H-V "
+                            "split; unpolarized is isotropic by symmetry)")
+    p_m3d.add_argument("--pitch", type=int, default=16,
+                       help="line/space pitch in pixels (must divide "
+                            "--pixel-number)")
+    p_m3d.add_argument("--duty", type=float, default=None,
+                       help="absorber cover fraction (default: ~half pitch "
+                            "rounded to an odd pixel count)")
+    p_m3d.add_argument("--width-nm", type=float, default=8.0,
+                       help="boundary-layer strip width held fixed in the fit")
+    p_m3d.add_argument("--harmonics", type=int, default=31,
+                       help="RCWA retained order count (odd)")
+    p_m3d.add_argument("--sigma-out", type=float, default=0.5,
+                       help="classical calibration source radius")
+    p_m3d.add_argument("--steps", type=int, default=150)
+    p_m3d.add_argument("--lr", type=float, default=0.05)
+    p_m3d.set_defaults(func=cmd_m3dcal)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")
     _add_common(p_socs)

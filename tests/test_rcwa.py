@@ -208,15 +208,17 @@ def test_effective_mask_shape_tiling_and_pol_split():
 # ---------------------------------------------------------------------------
 
 
-def test_boundary_layer_from_rcwa_certifies_fit():
+@pytest.mark.parametrize("stack", ["binary_cr", "att_psm_mosi"])
+def test_boundary_layer_from_rcwa_certifies_fit(stack):
     """End-to-end M3D calibration with no external EMF tool: the fitted BL
     must explain most of the rigorous-vs-thin image residual (the report's
     fit NRMS well under the thin-mask NRMS), and unpolarized illumination
-    must yield an isotropic model (beta_h == beta_v by symmetry)."""
+    must yield an isotropic model (beta_h == beta_v by symmetry). The PSM
+    stack exercises the complex drawn-layout path end to end."""
     from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
 
     cfg = OpticsConfig(pixel_number=32)
-    bl, rep = boundary_layer_from_rcwa(cfg, stack="binary_cr", pitch_px=16,
+    bl, rep = boundary_layer_from_rcwa(cfg, stack=stack, pitch_px=16,
                                        illumination_pol="unpolarized",
                                        steps=60)
     assert bl.beta_h == bl.beta_v
@@ -237,6 +239,24 @@ def test_boundary_layer_from_rcwa_polarized_hv_split():
     assert abs(bl.beta_h - bl.beta_v) > 1e-3
     for pol in ("te", "tm"):
         assert rep["fit_nrms"][pol] < 0.3 * rep["thin_nrms"][pol]
+
+
+def test_cli_m3dcal(capsys):
+    """CLI front-end to the first-principles calibration: prints a JSON
+    report with the calibrated betas and the certification residuals."""
+    import json
+
+    from lithographysimulator_tpu.cli import main
+
+    rc = main(["m3dcal", "--pixel-number", "32", "--pitch", "16",
+               "--steps", "40"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert report["stack"] == "binary_cr"
+    assert report["beta_h"] == report["beta_v"]  # unpolarized -> isotropic
+    # default duty rounds the absorber to an odd pixel count (9 px here)
+    assert report["duty"] == pytest.approx(9 / 16)
+    assert report["fit_nrms"]["avg"] < 0.3 * report["thin_nrms"]["avg"]
 
 
 def test_effective_mask_tracks_kirchhoff_dc():
