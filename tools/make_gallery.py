@@ -288,6 +288,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![stochastic](stochastic.png) | Stochastic resist (round 3): photon/acid counting trials — photon-starved dose roughens edges (LER ~ 1/sqrt(dose)) and breaks features; print-probability bands over 32 trials |
 | ![dp](double_patterning.png) | Double patterning (round 3): 150 nm-pitch grating collapses in a single exposure, prints at full feature count after LELE conflict-graph decomposition |
 | ![inspection](inspection.png) | Inspection (round 3): NILS hotspot detection localizes the weak isolated contact; MRC flags sub-width slivers and tiny islands on a mask |
+| ![m3d](mask3d_rcwa.png) | Thick-mask M3D (round 4): the in-repo rigorous RCWA near field vs the thin mask, and the first-principles boundary-layer calibration closing the image residual ~10× |
 """)
     print("wrote", gallery)
 
@@ -484,6 +485,62 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "inspection.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "inspection.png")
+
+    # 17. Thick-mask (M3D): RCWA rigorous field vs thin mask vs calibrated BL
+    from lithographysimulator_tpu.ops.mask3d import (boundary_layer_from_rcwa,
+                                                     grating_geometry)
+    from lithographysimulator_tpu.ops.rcwa import rcwa_effective_mask
+
+    cfg_m = lt.OpticsConfig(pixel_number=64)
+    pitch, duty = 16, 7 / 16
+    bl_m, rep_m = boundary_layer_from_rcwa(
+        cfg_m, stack="binary_cr", pitch_px=pitch, duty=duty,
+        illumination_pol="unpolarized", steps=120)
+    geom_m = grating_geometry(cfg_m, pitch_px=pitch, duty=duty)
+    rig_te = rcwa_effective_mask(cfg_m, pitch_px=pitch, duty=duty, pol="te")
+    rig_tm = rcwa_effective_mask(cfg_m, pitch_px=pitch, duty=duty, pol="tm")
+    src_m = np.asarray(lt.LightSource(cfg_m, sigma_out=0.5).classical())
+
+    def img_of(g):
+        out = np.asarray(lt.simulate(lt.from_array(g, cfg_m), src_m,
+                                     normalize=True).image)
+        return out / out.max()
+
+    img_rig = 0.5 * (img_of(rig_te) + img_of(rig_tm))
+    img_thin = img_of(np.asarray(geom_m))
+    img_corr = img_of(np.asarray(
+        jax.jit(bl_m.apply, static_argnums=1)(geom_m, cfg_m)))
+    row_m = cfg_m.n // 2
+    x_px = np.arange(2 * pitch)
+    fig, axes = plt.subplots(1, 3, dpi=170, figsize=(11.4, 3.4))
+    axes[0].step(x_px, np.abs(np.asarray(geom_m))[row_m, :2 * pitch],
+                 where="mid", label="thin (drawn)", color="#888888")
+    axes[0].plot(x_px, np.abs(rig_te)[row_m, :2 * pitch], label="RCWA TE")
+    axes[0].plot(x_px, np.abs(rig_tm)[row_m, :2 * pitch], label="RCWA TM")
+    axes[0].set_title("mask near field |t(x)| (68 nm Cr topography)",
+                      fontsize=9)
+    axes[0].set_xlabel("x (px)")
+    axes[0].legend(fontsize=7)
+    axes[1].plot(img_rig[row_m], label="rigorous (RCWA)", color="black")
+    axes[1].plot(img_thin[row_m], "--", label="thin mask")
+    axes[1].plot(img_corr[row_m], ":", label="thin + calibrated BL",
+                 color="#cc3311", lw=2)
+    axes[1].set_title("aerial image center cut", fontsize=9)
+    axes[1].legend(fontsize=7)
+    axes[2].plot((img_thin - img_rig)[row_m] * 100, label="thin − rigorous")
+    axes[2].plot((img_corr - img_rig)[row_m] * 100, label="BL − rigorous",
+                 color="#cc3311")
+    axes[2].set_title(
+        f"image residual ×100 (NRMS {rep_m['thin_nrms']['avg']:.2%} → "
+        f"{rep_m['fit_nrms']['avg']:.2%})", fontsize=9)
+    axes[2].set_xlabel("x (px)")
+    axes[2].legend(fontsize=7)
+    fig.suptitle("first-principles M3D: in-repo RCWA → boundary-layer "
+                 "calibration (no external EMF tool)", fontsize=10)
+    fig.tight_layout()
+    fig.savefig(DOCS / "mask3d_rcwa.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "mask3d_rcwa.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
