@@ -64,11 +64,17 @@ class BoundaryLayer:
     width_nm: float = 8.0
     beta_h: complex = 0.0
     beta_v: complex = 0.0
+    # oblique-incidence (EUV chief-ray shadowing) asymmetry: rising /
+    # falling edges carry beta +- asym (see edge_fields_signed) — the
+    # mechanism behind the thick-mask pattern shift. 0 = symmetric model.
+    beta_h_asym: complex = 0.0
+    beta_v_asym: complex = 0.0
 
     def apply(self, geometry: jnp.ndarray, config: OpticsConfig) -> jnp.ndarray:
         return apply_boundary_layers(
             geometry, config,
-            width_nm=self.width_nm, beta_h=self.beta_h, beta_v=self.beta_v)
+            width_nm=self.width_nm, beta_h=self.beta_h, beta_v=self.beta_v,
+            beta_h_asym=self.beta_h_asym, beta_v_asym=self.beta_v_asym)
 
 
 def _safe_abs(d: jnp.ndarray) -> jnp.ndarray:
@@ -94,6 +100,38 @@ def edge_fields(geometry: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return e_h, e_v
 
 
+def edge_fields_signed(
+    geometry: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`edge_fields` split by step direction: ``(E_h_rise, E_h_fall,
+    E_v_rise, E_v_fall)`` where *rise* means transmission MAGNITUDE
+    increasing along the +axis direction (dark-to-bright going down/right).
+    ``rise + fall`` recovers :func:`edge_fields` (to 1 ulp). The split is
+    what oblique-incidence (EUV chief-ray) shadowing physics needs: the
+    illuminated and shadowed sides of a feature are different edges, so
+    their boundary strips carry different amplitudes — which is exactly a
+    pattern shift, the signature thick-mask EUV effect. Phase-only steps
+    (alternating PSM) have no magnitude direction and split evenly."""
+    g = jnp.asarray(geometry)
+    mag = _safe_abs(g) if jnp.issubdtype(g.dtype, jnp.complexfloating) else g
+    d0 = _safe_abs(g - jnp.roll(g, 1, axis=0))
+    d1 = _safe_abs(g - jnp.roll(g, 1, axis=1))
+    s0 = mag - jnp.roll(mag, 1, axis=0)
+    s1 = mag - jnp.roll(mag, 1, axis=1)
+    rise0, fall0 = 0.5 * (d0 + s0), 0.5 * (d0 - s0)
+    rise1, fall1 = 0.5 * (d1 + s1), 0.5 * (d1 - s1)
+
+    def split(d, axis):
+        return 0.5 * (d + jnp.roll(d, -1, axis=axis))
+
+    return split(rise0, 0), split(fall0, 0), split(rise1, 1), split(fall1, 1)
+
+
+def _static_zero(beta) -> bool:
+    """True only for a literal Python zero (not a traced value)."""
+    return isinstance(beta, (int, float, complex)) and complex(beta) == 0.0
+
+
 def apply_boundary_layers(
     geometry: jnp.ndarray,
     config: OpticsConfig,
@@ -101,6 +139,8 @@ def apply_boundary_layers(
     width_nm,
     beta_h,
     beta_v,
+    beta_h_asym=0.0,
+    beta_v_asym=0.0,
 ) -> jnp.ndarray:
     """Effective complex transmission with BL strips added along edges.
 
@@ -110,10 +150,22 @@ def apply_boundary_layers(
     TPU tunnel (CLAUDE.md), as all callers here do.
     """
     g = jnp.asarray(geometry)
-    e_h, e_v = edge_fields(g)
     scale = jnp.asarray(width_nm, jnp.float32) / jnp.float32(config.pixel_size)
-    pert = scale * (jnp.asarray(beta_h, jnp.complex64) * e_h
-                    + jnp.asarray(beta_v, jnp.complex64) * e_v)
+    if _static_zero(beta_h_asym) and _static_zero(beta_v_asym):
+        # symmetric model (the common path — unchanged arithmetic)
+        e_h, e_v = edge_fields(g)
+        pert = scale * (jnp.asarray(beta_h, jnp.complex64) * e_h
+                        + jnp.asarray(beta_v, jnp.complex64) * e_v)
+        return g.astype(jnp.complex64) + pert
+    # asymmetric model (oblique-incidence shadowing): rising and falling
+    # edges carry beta +- asym respectively
+    e_hr, e_hf, e_vr, e_vf = edge_fields_signed(g)
+    bh = jnp.asarray(beta_h, jnp.complex64)
+    bv = jnp.asarray(beta_v, jnp.complex64)
+    bha = jnp.asarray(beta_h_asym, jnp.complex64)
+    bva = jnp.asarray(beta_v_asym, jnp.complex64)
+    pert = scale * ((bh + bha) * e_hr + (bh - bha) * e_hf
+                    + (bv + bva) * e_vr + (bv - bva) * e_vf)
     return g.astype(jnp.complex64) + pert
 
 
@@ -130,8 +182,12 @@ def fit_boundary_layer(
     steps: int = 200,
     learning_rate: float = 0.02,
     aberrations=None,
+    fit_asym: bool = False,
 ) -> tuple[BoundaryLayer, list[float]]:
     """Calibrate (beta_h, beta_v) against a reference aerial image.
+    ``fit_asym=True`` additionally fits the rising/falling edge asymmetry
+    (beta_h_asym, beta_v_asym) — needed when the reference image carries an
+    oblique-incidence pattern shift (EUV chief-ray shadowing).
 
     The reference image typically comes from a rigorous EMF solver or
     measurement; this fits the 4 real BL degrees of freedom by Adam on the
@@ -161,8 +217,11 @@ def fit_boundary_layer(
         def loss_fn(p):
             beta_h = jax.lax.complex(p["bh_re"], p["bh_im"])
             beta_v = jax.lax.complex(p["bv_re"], p["bv_im"])
+            asym = ({"beta_h_asym": jax.lax.complex(p["ah_re"], p["ah_im"]),
+                     "beta_v_asym": jax.lax.complex(p["av_re"], p["av_im"])}
+                    if "ah_re" in p else {})
             eff = apply_boundary_layers(geometry, config, width_nm=width_nm,
-                                        beta_h=beta_h, beta_v=beta_v)
+                                        beta_h=beta_h, beta_v=beta_v, **asym)
             spectrum = mask_spectrum(eff, config, solver=solver)
             pupil = pupil_function(aberrations, config)
             image = abbe_image_points(spectrum, pupil, shifts, weights,
@@ -175,7 +234,10 @@ def fit_boundary_layer(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, value
 
-    params = {k: jnp.float32(0.0) for k in ("bh_re", "bh_im", "bv_re", "bv_im")}
+    keys = ["bh_re", "bh_im", "bv_re", "bv_im"]
+    if fit_asym:
+        keys += ["ah_re", "ah_im", "av_re", "av_im"]
+    params = {k: jnp.float32(0.0) for k in keys}
     opt_state = optimizer.init(params)
     history: list[float] = []
     for _ in range(steps):
@@ -187,6 +249,10 @@ def fit_boundary_layer(
         width_nm=width_nm,
         beta_h=complex(float(params["bh_re"]), float(params["bh_im"])),
         beta_v=complex(float(params["bv_re"]), float(params["bv_im"])),
+        beta_h_asym=(complex(float(params["ah_re"]), float(params["ah_im"]))
+                     if fit_asym else 0.0),
+        beta_v_asym=(complex(float(params["av_re"]), float(params["av_im"]))
+                     if fit_asym else 0.0),
     )
     return fitted, history
 

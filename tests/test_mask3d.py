@@ -137,6 +137,83 @@ def test_fit_boundary_layer_recovers_parameters():
     assert abs(fitted.beta_v - true.beta_v) < 0.05
 
 
+def test_edge_fields_signed_split():
+    """rise + fall recovers edge_fields; the direction channels put the
+    interior rising edge (dark->bright along +x) on rise only, with the
+    falling response confined to the periodic wraparound."""
+    from lithographysimulator_tpu.ops.mask3d import edge_fields_signed
+
+    g = np.zeros((16, 16), np.float32)
+    g[:, 8:] = 1.0
+    e_h, e_v = edge_fields(jnp.asarray(g))
+    e_hr, e_hf, e_vr, e_vf = map(np.asarray, edge_fields_signed(jnp.asarray(g)))
+    np.testing.assert_allclose(e_hr + e_hf, np.asarray(e_h), atol=1e-6)
+    np.testing.assert_allclose(e_vr + e_vf, np.asarray(e_v), atol=1e-6)
+    assert e_vr[4, 7] == 0.5 and e_vr[4, 8] == 0.5   # interior rise at 7|8
+    assert abs(e_vf[:, 6:10]).max() < 1e-6           # no interior fall
+    assert e_vf[4, 15] == 0.5 and e_vf[4, 0] == 0.5  # wraparound fall
+    # phase-only steps (alt-PSM) have no magnitude direction: even split
+    p = np.ones((16, 16), np.complex64)
+    p[:, 8:] = -1.0
+    _, _, pvr, pvf = map(np.asarray, edge_fields_signed(jnp.asarray(p)))
+    np.testing.assert_allclose(pvr[4, 7], pvf[4, 7], rtol=1e-6)
+
+
+def test_asymmetric_bl_shifts_pattern():
+    """EUV-shadowing signature: a rising/falling edge asymmetry moves the
+    printed line (pattern shift), with direction following the sign of the
+    asymmetry — while the symmetric model leaves the centroid in place."""
+    mask = lines_and_spaces(CFG, line_width_px=4, pitch_px=16)
+    src = _source()
+    x = np.arange(CFG.n)
+
+    def centroid(bl):
+        img = np.asarray(simulate(mask, src, normalize=True, mask3d=bl).image)
+        row = img[CFG.n // 2]
+        row = row.max() - row  # dark line -> positive mass at the feature
+        row = np.where(np.abs(x - 8) <= 6, row, 0.0)  # isolate one line
+        return float((x * row).sum() / row.sum())
+
+    c_sym = centroid(BoundaryLayer(width_nm=12.5, beta_h=-0.3, beta_v=-0.3))
+    c_pos = centroid(BoundaryLayer(width_nm=12.5, beta_h=-0.3, beta_v=-0.3,
+                                   beta_v_asym=0.5))
+    c_neg = centroid(BoundaryLayer(width_nm=12.5, beta_h=-0.3, beta_v=-0.3,
+                                   beta_v_asym=-0.5))
+    c_thin = centroid(BoundaryLayer(width_nm=0.0))
+    assert abs(c_sym - c_thin) < 0.02          # symmetric: no shift
+    assert (c_pos - c_sym) > 0.05              # asym moves the line...
+    assert abs((c_neg - c_sym) + (c_pos - c_sym)) < 0.02  # ...antisymmetrically
+
+
+def test_fit_boundary_layer_recovers_asymmetry():
+    """fit_asym=True recovers a known rising/falling asymmetry (the EUV
+    calibration path) from zero init."""
+    from lithographysimulator_tpu.ops.abbe import source_points
+
+    mask = demo_bars(CFG)
+    src = _source()
+    pts = source_points(src)
+    pad = (-pts.live_count) % 8
+    shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+    weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+
+    # real-valued truth: the imaginary sector is a near-flat direction of an
+    # in-focus fit (documented in boundary_layer_from_rcwa) — the REAL parts
+    # (CD bias + shadowing shift) are what a single-plane target determines
+    true = BoundaryLayer(width_nm=8.0, beta_h=-0.2, beta_v=-0.25,
+                         beta_v_asym=0.15)
+    target = np.asarray(simulate(mask, src, normalize=True,
+                                 mask3d=true).image)
+    fitted, history = fit_boundary_layer(
+        target, mask.geometry, shifts, weights, CFG, width_nm=8.0,
+        steps=300, learning_rate=0.02, fit_asym=True)
+    assert history[-1] < history[0] * 1e-2
+    assert abs(fitted.beta_v_asym.real - true.beta_v_asym) < 0.05
+    assert abs(fitted.beta_h_asym.real) < 0.05
+    assert abs(fitted.beta_v.real - true.beta_v) < 0.05
+    assert abs(fitted.beta_h.real - true.beta_h) < 0.05
+
+
 def test_mask3d_gradient_flows_to_mask():
     """SMO/OPC through the BL model: the image stays differentiable w.r.t.
     the (continuous) mask with the edge-field nonlinearity in the path."""
