@@ -59,8 +59,10 @@ from .ops.hopkins import (SOCSKernels, principal_channel_rotation,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
 from .ops.perturb import ImagePerturbation, apply_perturbation
-from .ops.mask3d import (BoundaryLayer, apply_boundary_layers,
-                         boundary_layer_from_rcwa, fit_boundary_layer)
+from .ops.mask3d import (BoundaryLayer, EdgeKernelM3D, apply_boundary_layers,
+                         apply_edge_kernel, boundary_layer_from_rcwa,
+                         edge_fields_signed, fit_boundary_layer,
+                         fit_edge_kernel)
 from .ops.rcwa import (GratingLayer, MASK_STACKS, MaskStack, rcwa_effective_mask,
                        rcwa_orders, thin_mask_transmission)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
@@ -99,6 +101,10 @@ __all__ = [
     "accumulate_intensity",
     "fit_boundary_layer",
     "boundary_layer_from_rcwa",
+    "EdgeKernelM3D",
+    "apply_edge_kernel",
+    "edge_fields_signed",
+    "fit_edge_kernel",
     "GratingLayer",
     "MASK_STACKS",
     "MaskStack",

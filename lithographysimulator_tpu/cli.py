@@ -728,19 +728,36 @@ def cmd_m3dcal(args) -> int:
         config, stack=args.stack, pitch_px=args.pitch, duty=duty,
         illumination_pol=args.pol, width_nm=args.width_nm,
         n_harmonics=args.harmonics, sigma_out=args.sigma_out,
-        steps=args.steps, learning_rate=args.lr)
-    print(json.dumps({
+        steps=args.steps, learning_rate=args.lr,
+        incidence_deg=args.incidence, taps=args.taps)
+    out = {
         "stack": args.stack,
         "illumination_pol": args.pol,
+        "incidence_deg": args.incidence,
         "pitch_px": args.pitch,
         "duty": round(duty, 6),
         "width_nm": bl.width_nm,
-        "beta_h": [round(bl.beta_h.real, 6), round(bl.beta_h.imag, 6)],
-        "beta_v": [round(bl.beta_v.real, 6), round(bl.beta_v.imag, 6)],
         "thin_nrms": {k: round(v, 8) for k, v in report["thin_nrms"].items()},
         "fit_nrms": {k: round(v, 8) for k, v in report["fit_nrms"].items()},
         "wall_clock_s": round(time.perf_counter() - t0, 3),
-    }))
+    }
+
+    def _c(z):
+        return [round(z.real, 6), round(z.imag, 6)]
+
+    if args.taps > 0:
+        out["model"] = f"edge_kernel_k{bl.k}"
+        out["taps_v_rise"] = [_c(c) for c in bl.taps_v_rise]
+        out["taps_v_fall"] = [_c(c) for c in bl.taps_v_fall]
+        out["taps_h_rise"] = [_c(c) for c in bl.taps_h_rise]
+        out["taps_h_fall"] = [_c(c) for c in bl.taps_h_fall]
+    else:
+        out["model"] = "boundary_layer"
+        out["beta_h"] = _c(bl.beta_h)
+        out["beta_v"] = _c(bl.beta_v)
+        if args.incidence:
+            out["beta_v_asym"] = _c(bl.beta_v_asym)
+    print(json.dumps(out))
     return 0
 
 
@@ -1215,8 +1232,17 @@ def main(argv=None) -> int:
     ):
         p_m3d.add_argument(name, **kw)
     p_m3d.add_argument("--stack", default="binary_cr",
-                       choices=["binary_cr", "att_psm_mosi"],
-                       help="absorber stack to solve rigorously")
+                       choices=["binary_cr", "att_psm_mosi", "euv_ta"],
+                       help="absorber stack to solve rigorously (euv_ta is "
+                            "reflective: TaBN on a 40x Mo/Si mirror)")
+    p_m3d.add_argument("--incidence", type=float, default=0.0,
+                       help="illumination tilt across the lines in degrees "
+                            "(EUV chief ray ~6); non-zero turns on the "
+                            "shadowing-asymmetry fit")
+    p_m3d.add_argument("--taps", type=int, default=0,
+                       help="fit the multi-tap EdgeKernelM3D with offsets "
+                            "-taps..+taps instead of the 1-px boundary "
+                            "layer (use >=1 for EUV stacks)")
     p_m3d.add_argument("--pol", default="unpolarized",
                        choices=["x", "y", "unpolarized"],
                        help="illumination polarization (x/y give an H-V "

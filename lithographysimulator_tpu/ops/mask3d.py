@@ -44,6 +44,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import OpticsConfig
 
@@ -167,6 +168,158 @@ def apply_boundary_layers(
     pert = scale * ((bh + bha) * e_hr + (bh - bha) * e_hf
                     + (bv + bva) * e_vr + (bv - bva) * e_vf)
     return g.astype(jnp.complex64) + pert
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeKernelM3D:
+    """Generalized (multi-tap) thick-mask edge model — the "wide boundary
+    layer". :class:`BoundaryLayer` is the K=0 special case.
+
+    Each edge ORIENTATION (h/v) and step DIRECTION (rise/fall by
+    transmission magnitude, :func:`edge_fields_signed`) carries its own
+    complex tap vector over pixel offsets −K..K along the step axis; the
+    added field is ``(width_nm / pixel_size) · Σ_o taps[o] ·
+    shift_o(edge strips)``. Hashable (jit-static), consumed by every
+    imaging path through the same ``.apply`` duck type as BoundaryLayer.
+
+    Why it exists: at EUV the absorber is ~4.4λ tall, so the rigorous
+    reflected near field differs from the thin mask over SEVERAL pixels
+    around each edge and strongly by side (chief-ray shadowing). On the
+    6° rigorous fixture the 1-px BoundaryLayer floors at ~11% image NRMS;
+    K=1 reaches ~1.2% and K=2 ~0.1% (tests/test_mask3d.py,
+    tests/test_rcwa.py)."""
+
+    width_nm: float = 8.0
+    taps_h_rise: tuple = (0j,)
+    taps_h_fall: tuple = (0j,)
+    taps_v_rise: tuple = (0j,)
+    taps_v_fall: tuple = (0j,)
+
+    def __post_init__(self):
+        lens = {len(self.taps_h_rise), len(self.taps_h_fall),
+                len(self.taps_v_rise), len(self.taps_v_fall)}
+        if len(lens) != 1 or (next(iter(lens)) % 2) == 0:
+            raise ValueError("tap vectors must share one odd length")
+
+    @property
+    def k(self) -> int:
+        return (len(self.taps_v_rise) - 1) // 2
+
+    def apply(self, geometry: jnp.ndarray, config: OpticsConfig) -> jnp.ndarray:
+        return apply_edge_kernel(
+            geometry, config, width_nm=self.width_nm,
+            taps_h_rise=self.taps_h_rise, taps_h_fall=self.taps_h_fall,
+            taps_v_rise=self.taps_v_rise, taps_v_fall=self.taps_v_fall)
+
+
+def apply_edge_kernel(
+    geometry: jnp.ndarray,
+    config: OpticsConfig,
+    *,
+    width_nm,
+    taps_h_rise,
+    taps_h_fall,
+    taps_v_rise,
+    taps_v_fall,
+) -> jnp.ndarray:
+    """Effective complex transmission under the multi-tap edge model. Tap
+    vectors may be tuples of Python complex (static) or traced complex
+    arrays (the calibration path); the tap count is trace-static either
+    way. Offsets run along the step axis (vertical edges shift along x,
+    horizontal along y); complex math — run under jit on the tunnel."""
+    g = jnp.asarray(geometry)
+    e_hr, e_hf, e_vr, e_vf = edge_fields_signed(g)
+    scale = jnp.asarray(width_nm, jnp.float32) / jnp.float32(config.pixel_size)
+
+    def conv(field, taps, axis):
+        k = (len(taps) - 1) // 2
+        out = jnp.zeros_like(g, dtype=jnp.complex64)
+        for i, off in enumerate(range(-k, k + 1)):
+            tap = jnp.asarray(taps[i], jnp.complex64)
+            out = out + tap * jnp.roll(field, off, axis=axis)
+        return out
+
+    pert = scale * (conv(e_hr, taps_h_rise, 0) + conv(e_hf, taps_h_fall, 0)
+                    + conv(e_vr, taps_v_rise, 1) + conv(e_vf, taps_v_fall, 1))
+    return g.astype(jnp.complex64) + pert
+
+
+def fit_edge_kernel(
+    target_image: jnp.ndarray,
+    geometry,
+    shifts,
+    weights,
+    config: OpticsConfig,
+    *,
+    k: int = 1,
+    width_nm: float = 8.0,
+    solver: str = "gau23",
+    chunk: int = 8,
+    steps: int = 200,
+    learning_rate: float = 0.02,
+    aberrations=None,
+) -> tuple[EdgeKernelM3D, list[float]]:
+    """Calibrate an :class:`EdgeKernelM3D` (4·(2k+1) complex taps) against
+    a reference aerial image — the multi-tap analog of
+    :func:`fit_boundary_layer`, same Adam-through-the-imaging-stack loop.
+    Edge orientations absent from the calibration pattern simply receive
+    zero gradient and keep zero taps."""
+    import optax
+
+    from ..models.pupil import pupil_function
+    from .abbe import abbe_image_points
+    from .fraunhofer import mask_spectrum
+
+    if aberrations is None:
+        aberrations = jnp.zeros((1,), jnp.float32)
+    aberrations = jnp.asarray(aberrations, jnp.float32)
+    geometry = jnp.asarray(geometry)
+    target = jnp.asarray(target_image, jnp.float32)
+    target = target / jnp.maximum(jnp.max(target), 1e-30)
+    n_taps = 2 * int(k) + 1
+
+    optimizer = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(params, opt_state, geometry, target, aberrations, shifts, weights):
+        def loss_fn(p):
+            taps = jax.lax.complex(p[..., 0], p[..., 1])  # (4, n_taps)
+            eff = apply_edge_kernel(
+                geometry, config, width_nm=width_nm,
+                taps_h_rise=taps[0], taps_h_fall=taps[1],
+                taps_v_rise=taps[2], taps_v_fall=taps[3])
+            spectrum = mask_spectrum(eff, config, solver=solver)
+            pupil = pupil_function(aberrations, config)
+            image = abbe_image_points(spectrum, pupil, shifts, weights,
+                                      config, solver=solver, chunk=chunk,
+                                      normalize=True)
+            image = image / jnp.maximum(jnp.max(image), 1e-30)
+            return jnp.mean((image - target) ** 2)
+
+        value, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, value
+
+    params = jnp.zeros((4, n_taps, 2), jnp.float32)
+    opt_state = optimizer.init(params)
+    history: list[float] = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, geometry, target,
+                                       aberrations, jnp.asarray(shifts),
+                                       jnp.asarray(weights))
+        history.append(float(loss))
+    # read the float params back FIRST: eager complex math on device
+    # arrays dies on the TPU tunnel
+    host = np.asarray(params)
+    taps = host[..., 0] + 1j * host[..., 1]
+    fitted = EdgeKernelM3D(
+        width_nm=width_nm,
+        taps_h_rise=tuple(complex(c) for c in taps[0]),
+        taps_h_fall=tuple(complex(c) for c in taps[1]),
+        taps_v_rise=tuple(complex(c) for c in taps[2]),
+        taps_v_fall=tuple(complex(c) for c in taps[3]),
+    )
+    return fitted, history
 
 
 def fit_boundary_layer(
@@ -303,6 +456,8 @@ def boundary_layer_from_rcwa(
     chunk: int = 8,
     steps: int = 150,
     learning_rate: float = 0.05,
+    incidence_deg: float = 0.0,
+    taps: int = 0,
 ) -> tuple[BoundaryLayer, dict]:
     """Calibrate the BL model from first principles — no external EMF tool.
 
@@ -331,6 +486,22 @@ def boundary_layer_from_rcwa(
     thick-mask best-focus shift) can land either way between runs/backends.
     Fits that need the focus-shift sign should extend the target to a
     through-focus pair (``fit_boundary_layer`` accepts ``aberrations``).
+
+    ``incidence_deg`` tilts the illumination across the (vertical) lines —
+    the EUV chief-ray geometry when used with the reflective ``euv_ta``
+    stack. A non-zero tilt turns on the asymmetric fit: the returned model
+    carries ``beta_v_asym`` (rising/falling vertical-edge split), which
+    reproduces the shadowing pattern shift. ``beta_h_asym`` stays 0: a tilt
+    along x shadows horizontal edges symmetrically; calibrate each azimuth
+    by rotating the layout if the scanner slit needs both.
+
+    ``taps > 0`` fits the multi-tap :class:`EdgeKernelM3D` instead (offsets
+    −taps..+taps per edge side) and returns it — required at EUV, where the
+    near-field perturbation spans several pixels and the 1-px strip model
+    floors an order of magnitude above the kernel model (see
+    :class:`EdgeKernelM3D`). Horizontal-edge taps are the mirror-
+    symmetrized vertical fit (exact at normal incidence; strips the
+    tilt-axis shadowing, which horizontal edges do not see).
     """
     import numpy as np
 
@@ -346,11 +517,13 @@ def boundary_layer_from_rcwa(
     src = np.asarray(LightSource(config, sigma_out=sigma_out).classical())
     shifts, weights, _ = padded_source_arrays(src, chunk)
 
-    t_thin = thin_mask_transmission(stack, config.wavelength)
+    t_thin = thin_mask_transmission(stack, config.wavelength,
+                                    incidence_deg=incidence_deg)
     if abs(t_thin) < 0.02:
         t_thin = 0.0  # binary: draw the standard opaque layout
     geom = grating_geometry(config, pitch_px=pitch_px, duty=duty,
                             transmission=t_thin, axis=1)
+    fit_asym = incidence_deg != 0.0
 
     def imaged(geometry) -> np.ndarray:
         # host arrays go through from_array (complex uploads as re/im
@@ -369,7 +542,8 @@ def boundary_layer_from_rcwa(
     for pol in ("te", "tm"):
         rig = rcwa_effective_mask(
             config, pitch_px=pitch_px, duty=duty, stack=stack, pol=pol,
-            axis=1, magnification=magnification, n_harmonics=n_harmonics)
+            axis=1, magnification=magnification, n_harmonics=n_harmonics,
+            incidence_deg=incidence_deg)
         targets[pol] = imaged(rig)
 
     def nrms(a, b):
@@ -380,10 +554,16 @@ def boundary_layer_from_rcwa(
     fit_targets = ({"avg": 0.5 * (targets["te"] + targets["tm"])}
                    if illumination_pol == "unpolarized" else targets)
     for key, target in fit_targets.items():
-        bl, hist = fit_boundary_layer(
-            target, geom, shifts, weights, config, width_nm=width_nm,
-            solver=solver, chunk=chunk, steps=steps,
-            learning_rate=learning_rate)
+        if taps > 0:
+            bl, hist = fit_edge_kernel(
+                target, geom, shifts, weights, config, k=taps,
+                width_nm=width_nm, solver=solver, chunk=chunk, steps=steps,
+                learning_rate=learning_rate)
+        else:
+            bl, hist = fit_boundary_layer(
+                target, geom, shifts, weights, config, width_nm=width_nm,
+                solver=solver, chunk=chunk, steps=steps,
+                learning_rate=learning_rate, fit_asym=fit_asym)
         fits[key] = bl
         # apply under jit: eager complex arithmetic dies on the TPU tunnel
         corrected = imaged(jax.jit(bl.apply, static_argnums=1)(geom, config))
@@ -391,16 +571,53 @@ def boundary_layer_from_rcwa(
         report["fit_nrms"][key] = nrms(corrected, target)
         report["history"][key] = hist
 
-    if illumination_pol == "unpolarized":
+    if taps > 0:
+        result = _edge_kernel_from_fits(fits, illumination_pol, width_nm)
+    # the fitted asymmetry lives on the calibration grating's vertical
+    # edges only (the tilt is across them; see the docstring)
+    elif illumination_pol == "unpolarized":
         beta = fits["avg"].beta_v
-        result = BoundaryLayer(width_nm=width_nm, beta_h=beta, beta_v=beta)
+        result = BoundaryLayer(width_nm=width_nm, beta_h=beta, beta_v=beta,
+                               beta_v_asym=fits["avg"].beta_v_asym)
     elif illumination_pol == "x":
         result = BoundaryLayer(width_nm=width_nm,
                                beta_h=fits["te"].beta_v,
-                               beta_v=fits["tm"].beta_v)
+                               beta_v=fits["tm"].beta_v,
+                               beta_v_asym=fits["tm"].beta_v_asym)
     else:
         result = BoundaryLayer(width_nm=width_nm,
                                beta_h=fits["tm"].beta_v,
-                               beta_v=fits["te"].beta_v)
+                               beta_v=fits["te"].beta_v,
+                               beta_v_asym=fits["te"].beta_v_asym)
     report["fits"] = fits
     return result, report
+
+
+def _symmetrized_taps(fit: EdgeKernelM3D) -> tuple[tuple, tuple]:
+    """(rise, fall) horizontal-edge tap vectors from a vertical-edge fit:
+    the mirror x → −x maps a rising edge at offset o to a falling edge at
+    −o, so the incidence-symmetric part is the average of the two — what a
+    horizontal edge (unshadowed by an x-tilt) should carry. At normal
+    incidence this is exact (the fit already satisfies rise[o] == fall[−o]
+    up to optimizer noise); at oblique incidence it strips the shadowing
+    asymmetry, which belongs to the tilt axis only."""
+    vr, vf = fit.taps_v_rise, fit.taps_v_fall
+    sym = tuple(0.5 * (vr[i] + vf[len(vf) - 1 - i]) for i in range(len(vr)))
+    return sym, sym[::-1]
+
+
+def _edge_kernel_from_fits(fits: dict, illumination_pol: str,
+                           width_nm: float) -> EdgeKernelM3D:
+    """Assemble the full (h, v) edge kernel from vertical-edge fits, with
+    the same TE/TM-to-orientation mapping as the BoundaryLayer path."""
+    if illumination_pol == "unpolarized":
+        v_fit = h_fit = fits["avg"]
+    elif illumination_pol == "x":
+        v_fit, h_fit = fits["tm"], fits["te"]
+    else:
+        v_fit, h_fit = fits["te"], fits["tm"]
+    h_rise, h_fall = _symmetrized_taps(h_fit)
+    return EdgeKernelM3D(
+        width_nm=width_nm,
+        taps_h_rise=h_rise, taps_h_fall=h_fall,
+        taps_v_rise=v_fit.taps_v_rise, taps_v_fall=v_fit.taps_v_fall)

@@ -313,11 +313,23 @@ class MaskStack:
     ``layers_fn(duty)`` would be overkill: the stack is the list of
     (thickness, ridge index) pairs; the groove is the blank's ambient
     (air in the etched regions), and the blank itself is the superstrate.
+
+    A non-empty ``mirror`` makes the stack REFLECTIVE (EUV): the absorber
+    ``layers`` sit on top of the homogeneous ``mirror`` films (e.g. 40
+    Mo/Si bilayers) over ``n_substrate``, illumination comes from the
+    ``n_blank`` side (vacuum), and the working field is the *reflected*
+    near field normalized to the bare mirror's specular reflection.
     """
 
     layers: tuple[tuple[float, complex], ...]  # (thickness_nm, n_ridge)
     n_blank: complex = 1.5631  # fused silica at 193 nm
     description: str = ""
+    mirror: tuple[tuple[float, complex], ...] = ()  # homogeneous, top-first
+    n_substrate: complex = 1.0
+
+    @property
+    def reflective(self) -> bool:
+        return bool(self.mirror)
 
 
 # Representative production stacks (indices from published 193-nm optical
@@ -335,24 +347,58 @@ MASK_STACKS = {
         layers=((72.0, 2.343 + 0.586j),),
         description="6% MoSi attenuated PSM, 193 nm",
     ),
+    # EUV reticle: ~60 nm TaBN absorber over a 40-bilayer Mo/Si Bragg
+    # mirror (Si 4.17 / Mo 2.76 nm) on Si, vacuum ambient. Indices are
+    # published 13.5-nm optical constants (n = 1-delta + i*beta); the bare
+    # mirror reflects ~73% at the 6 deg chief ray, matching real blanks.
+    "euv_ta": MaskStack(
+        layers=((60.0, 0.9260 + 0.0440j),),
+        n_blank=1.0,
+        mirror=tuple(f for _ in range(40)
+                     for f in ((4.17, 0.9990 + 0.0018j),
+                               (2.76, 0.9238 + 0.0064j))),
+        n_substrate=0.9990 + 0.0018j,
+        description="EUV TaBN absorber on 40x Mo/Si multilayer, 13.5 nm",
+    ),
 }
 
 
 def thin_mask_transmission(stack: MaskStack | str,
-                           wavelength_nm: float = 193.0) -> complex:
+                           wavelength_nm: float = 193.0,
+                           incidence_deg: float = 0.0) -> complex:
     """Complex thin-mask (Kirchhoff) transmission of the stack's absorber:
     the blanket film's amplitude relative to the clear path through the same
     physical distance of air — ~0 for binary chrome, ~0.25·e^{i·pi} for a 6%
     attenuated PSM. This is the value a drawn PSM layout should carry so the
-    thin-mask model and :func:`rcwa_effective_mask` agree away from edges."""
+    thin-mask model and :func:`rcwa_effective_mask` agree away from edges.
+
+    Reflective (EUV) stacks return the blanket absorber's specular
+    REFLECTION relative to the bare multilayer mirror (absorber regions
+    etched to vacuum) — the same normalization the effective reflected
+    near field uses."""
     if isinstance(stack, str):
         stack = MASK_STACKS[stack]
     d_total = sum(th for th, _ in stack.layers)
+    if stack.reflective:
+        film_n = ([nr for _, nr in stack.layers]
+                  + [nm for _, nm in stack.mirror])
+        film_d = ([th for th, _ in stack.layers]
+                  + [th for th, _ in stack.mirror])
+        r_film, _ = transfer_matrix_stack(
+            film_n, film_d, wavelength_nm, n_super=stack.n_blank,
+            n_sub=stack.n_substrate, theta_deg=incidence_deg)
+        clear_n = [1.0 + 0.0j] + [nm for _, nm in stack.mirror]
+        clear_d = [d_total] + [th for th, _ in stack.mirror]
+        r_clear, _ = transfer_matrix_stack(
+            clear_n, clear_d, wavelength_nm, n_super=stack.n_blank,
+            n_sub=stack.n_substrate, theta_deg=incidence_deg)
+        return complex(r_film / r_clear)
     _, t_film = transfer_matrix_stack(
         [nr for _, nr in stack.layers], [th for th, _ in stack.layers],
-        wavelength_nm, n_super=stack.n_blank)
+        wavelength_nm, n_super=stack.n_blank, theta_deg=incidence_deg)
     _, t_clear = transfer_matrix_stack(
-        [1.0 + 0.0j], [d_total], wavelength_nm, n_super=stack.n_blank)
+        [1.0 + 0.0j], [d_total], wavelength_nm, n_super=stack.n_blank,
+        theta_deg=incidence_deg)
     return complex(t_film / t_clear)
 
 
@@ -375,6 +421,7 @@ def rcwa_effective_mask(
     axis: int = 1,
     magnification: float = 4.0,
     n_harmonics: int = 21,
+    incidence_deg: float = 0.0,
 ) -> np.ndarray:
     """Rigorous effective complex transmission of a line/space mask, on the
     simulation grid — a drop-in replacement for the drawn layout on EVERY
@@ -393,6 +440,14 @@ def rcwa_effective_mask(
     ``axis=1``: lines run along rows (vertical lines, transmission varies
     along x). TE then means E ∥ lines (y-polarized). The duty is the
     ABSORBER cover fraction (lines), centered on the period.
+
+    ``incidence_deg`` tilts the illumination in the plane perpendicular to
+    the lines (transverse momentum along +x at the mask). For reflective
+    (EUV) stacks the returned field is the REFLECTED near field normalized
+    to the bare mirror's specular order; at the ~6° chief ray it carries
+    the absorber-shadowing asymmetry (order m ≠ order −m) that prints as
+    the EUV pattern shift — the effect the asymmetric boundary-layer model
+    (:func:`..mask3d.edge_fields_signed`) is calibrated to reproduce.
     """
     n = int(config.pixel_number)
     pitch_px = int(pitch_px)
@@ -402,18 +457,25 @@ def rcwa_effective_mask(
         stack = MASK_STACKS[stack]
 
     period_nm = float(magnification) * pitch_px * float(config.pixel_size)
+    mirror_key = tuple((float(th), complex(nm), complex(nm), 0.0, 0.0)
+                       for th, nm in stack.mirror)
     layers_key = tuple(
         (float(th), complex(nr), complex(1.0), float(duty), 0.0)
-        for th, nr in stack.layers)
+        for th, nr in stack.layers) + mirror_key
     res = _cached_orders(period_nm, layers_key, float(config.wavelength),
-                         pol, complex(stack.n_blank), complex(1.0), 0.0,
+                         pol, complex(stack.n_blank),
+                         complex(stack.n_substrate), float(incidence_deg),
                          int(n_harmonics))
     blank_key = tuple((float(th), complex(nr), complex(1.0), 0.0, 0.0)
-                      for th, nr in stack.layers)
+                      for th, nr in stack.layers) + mirror_key
     blank = _cached_orders(period_nm, blank_key, float(config.wavelength),
-                           pol, complex(stack.n_blank), complex(1.0), 0.0,
+                           pol, complex(stack.n_blank),
+                           complex(stack.n_substrate), float(incidence_deg),
                            int(n_harmonics))
-    t = res.t / blank.t[(len(blank.t) - 1) // 2]
+    if stack.reflective:
+        t = res.r / blank.r[(len(blank.r) - 1) // 2]
+    else:
+        t = res.t / blank.t[(len(blank.t) - 1) // 2]
 
     # Keep only orders below the grid Nyquist; synthesize one period.
     m_max = min((pitch_px - 1) // 2, (len(t) - 1) // 2)

@@ -614,8 +614,10 @@ def simulate(
         "chromatic": (f"{chromatic.shape} E95={chromatic.bandwidth_pm}pm "
                       f"x{chromatic.samples} @ {chromatic.focus_nm_per_pm}"
                       "nm/pm" if chromatic is not None else "monochromatic"),
-        "mask3d": (f"BL(w={mask3d.width_nm}nm, bh={mask3d.beta_h}, "
-                   f"bv={mask3d.beta_v})" if mask3d is not None else "thin"),
+        "mask3d": ("thin" if mask3d is None
+                   else f"BL(w={mask3d.width_nm}nm, bh={mask3d.beta_h}, "
+                        f"bv={mask3d.beta_v})" if hasattr(mask3d, "beta_h")
+                   else f"EdgeKernel(w={mask3d.width_nm}nm, K={mask3d.k})"),
         "wall_clock_s": elapsed,
     }
     if perturb is not None and perturb.active:

@@ -214,6 +214,70 @@ def test_fit_boundary_layer_recovers_asymmetry():
     assert abs(fitted.beta_h.real - true.beta_h) < 0.05
 
 
+def test_edge_kernel_k0_equals_boundary_layer():
+    """EdgeKernelM3D with single taps (beta ± asym) reproduces the
+    asymmetric BoundaryLayer bit-for-bit — it is the K=0 special case."""
+    from lithographysimulator_tpu.ops.mask3d import (EdgeKernelM3D,
+                                                     apply_boundary_layers)
+
+    g = np.asarray(demo_bars(CFG).geometry)
+    bh, bv, av = -0.2 + 0.1j, -0.3 - 0.05j, 0.12 - 0.04j
+    bl_eff = np.asarray(jax.jit(lambda m: apply_boundary_layers(
+        m, CFG, width_nm=8.0, beta_h=bh, beta_v=bv,
+        beta_v_asym=av))(jnp.asarray(g)))
+    ek = EdgeKernelM3D(width_nm=8.0,
+                       taps_h_rise=(bh,), taps_h_fall=(bh,),
+                       taps_v_rise=(bv + av,), taps_v_fall=(bv - av,))
+    ek_eff = np.asarray(jax.jit(ek.apply, static_argnums=1)(jnp.asarray(g),
+                                                            CFG))
+    np.testing.assert_allclose(ek_eff, bl_eff, atol=1e-7)
+
+
+def test_edge_kernel_validation():
+    from lithographysimulator_tpu.ops.mask3d import EdgeKernelM3D
+
+    with np.testing.assert_raises(ValueError):
+        EdgeKernelM3D(taps_h_rise=(0j, 0j))  # even length
+    with np.testing.assert_raises(ValueError):
+        EdgeKernelM3D(taps_h_rise=(0j, 0j, 0j), taps_v_rise=(0j,))
+
+
+def test_fit_edge_kernel_explains_multitap_target():
+    """A target rendered with a known K=1 kernel is fit to image-space
+    agreement far below the thin-mask residual (parameter identity is not
+    asserted: tap bases overlap through the band limit)."""
+    from lithographysimulator_tpu.ops.abbe import source_points
+    from lithographysimulator_tpu.ops.mask3d import (EdgeKernelM3D,
+                                                     fit_edge_kernel)
+
+    mask = demo_bars(CFG)
+    src = _source()
+    pts = source_points(src)
+    pad = (-pts.live_count) % 8
+    shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+    weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+
+    true = EdgeKernelM3D(width_nm=8.0,
+                         taps_h_rise=(0.05j, -0.2 + 0.1j, 0.1),
+                         taps_h_fall=(0.1, -0.2 - 0.05j, 0.05j),
+                         taps_v_rise=(0.02, -0.3, 0.15),
+                         taps_v_fall=(0.15, -0.25, 0.02))
+    target = np.asarray(simulate(mask, src, normalize=True,
+                                 mask3d=true).image)
+    fitted, history = fit_edge_kernel(
+        target, mask.geometry, shifts, weights, CFG, k=1, width_nm=8.0,
+        steps=300, learning_rate=0.02)
+    assert fitted.k == 1
+    corrected = np.asarray(simulate(mask, src, normalize=True,
+                                    mask3d=fitted).image)
+    thin = np.asarray(simulate(mask, src, normalize=True).image)
+    err_fit = np.sqrt(np.mean((corrected / corrected.max()
+                               - target / target.max()) ** 2))
+    err_thin = np.sqrt(np.mean((thin / thin.max()
+                                - target / target.max()) ** 2))
+    assert err_fit < 0.05 * err_thin
+
+
 def test_mask3d_gradient_flows_to_mask():
     """SMO/OPC through the BL model: the image stays differentiable w.r.t.
     the (continuous) mask with the edge-field nonlinearity in the path."""

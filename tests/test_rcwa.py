@@ -173,6 +173,59 @@ def test_thin_mask_transmission_binary_and_psm():
 
 
 # ---------------------------------------------------------------------------
+# Reflective (EUV) stacks
+# ---------------------------------------------------------------------------
+
+
+def test_euv_multilayer_mirror_reflectivity():
+    """The 40x Mo/Si Bragg mirror reflects ~70-75% at the 6 deg chief ray —
+    the real-blank number — and RCWA's homogeneous-limit specular amplitude
+    matches the analytic transfer matrix at machine precision."""
+    stack = MASK_STACKS["euv_ta"]
+    r_ref, _ = transfer_matrix_stack(
+        [n for _, n in stack.mirror], [d for d, _ in stack.mirror], 13.5,
+        pol="te", n_super=1.0, n_sub=stack.n_substrate, theta_deg=6.0)
+    assert 0.68 < abs(r_ref) ** 2 < 0.76
+    layers = [GratingLayer(thickness_nm=d, n_ridge=2.0, n_groove=n, duty=0.0)
+              for d, n in stack.mirror]
+    res = rcwa_orders(100.0, layers, 13.5, pol="te", n_super=1.0,
+                      n_sub=stack.n_substrate, theta_deg=6.0, n_harmonics=5)
+    mid = (len(res.orders) - 1) // 2
+    assert abs(res.r[mid] - r_ref) < 1e-11
+
+
+def test_euv_thin_mask_reflectance():
+    """Blanket TaBN over the mirror reflects ~1-3% relative to the bare
+    mirror — absorber contrast, the value the drawn EUV layout carries."""
+    t = thin_mask_transmission("euv_ta", 13.5, incidence_deg=6.0)
+    assert 0.005 < abs(t) ** 2 < 0.04
+
+
+def test_euv_effective_mask_shadowing_asymmetry():
+    """The reflected near field is mirror-symmetric at normal incidence and
+    strongly left/right asymmetric at the 6 deg chief ray (absorber
+    shadowing) — the physics behind the EUV pattern shift. Clear masks
+    normalize to exactly 1 regardless of incidence."""
+    cfg = OpticsConfig(pixel_number=64, wavelength=13.5, na=0.33,
+                       pixel_size=4.0)
+    clear = rcwa_effective_mask(cfg, pitch_px=16, duty=0.0, stack="euv_ta",
+                                incidence_deg=6.0)
+    np.testing.assert_allclose(clear, np.ones((64, 64)), atol=1e-6)
+
+    def profile(deg):
+        f = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16,
+                                stack="euv_ta", pol="te", incidence_deg=deg)
+        return np.abs(f[0, :16])
+
+    def mirror_asym(row):
+        # reflect about the absorber center (x = 0, periodic)
+        return float(np.abs(row - np.roll(row[::-1], 1)).max())
+
+    assert mirror_asym(profile(0.0)) < 1e-9
+    assert mirror_asym(profile(6.0)) > 0.3
+
+
+# ---------------------------------------------------------------------------
 # Imaging bridge: rcwa_effective_mask
 # ---------------------------------------------------------------------------
 
@@ -257,6 +310,31 @@ def test_cli_m3dcal(capsys):
     # default duty rounds the absorber to an odd pixel count (9 px here)
     assert report["duty"] == pytest.approx(9 / 16)
     assert report["fit_nrms"]["avg"] < 0.3 * report["thin_nrms"]["avg"]
+
+
+def test_euv_edge_kernel_calibration():
+    """EUV end-to-end: at the 6° chief ray the 1-px boundary layer cannot
+    explain the rigorous image (shadowed near field spans several pixels),
+    but the multi-tap edge kernel closes the residual by >10×, carries a
+    genuine rise/fall (shadowing) split on the vertical edges, and hands
+    horizontal edges the mirror-symmetrized taps."""
+    from lithographysimulator_tpu.ops.mask3d import (EdgeKernelM3D,
+                                                     boundary_layer_from_rcwa)
+
+    cfg = OpticsConfig(pixel_number=32, wavelength=13.5, na=0.33,
+                       pixel_size=4.0)
+    ek, rep = boundary_layer_from_rcwa(
+        cfg, stack="euv_ta", pitch_px=16, illumination_pol="unpolarized",
+        steps=300, incidence_deg=6.0, taps=1)
+    assert isinstance(ek, EdgeKernelM3D) and ek.k == 1
+    assert rep["fit_nrms"]["avg"] < 0.1 * rep["thin_nrms"]["avg"]
+    # shadowing: rising and falling vertical edges differ materially
+    diff = max(abs(r - f) for r, f in zip(ek.taps_v_rise,
+                                          ek.taps_v_fall[::-1]))
+    assert diff > 0.05
+    # horizontal edges: symmetrized (h_rise is h_fall mirrored)
+    for i in range(3):
+        assert ek.taps_h_rise[i] == ek.taps_h_fall[2 - i]
 
 
 def test_effective_mask_tracks_kirchhoff_dc():
