@@ -289,6 +289,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![dp](double_patterning.png) | Double patterning (round 3): 150 nm-pitch grating collapses in a single exposure, prints at full feature count after LELE conflict-graph decomposition |
 | ![inspection](inspection.png) | Inspection (round 3): NILS hotspot detection localizes the weak isolated contact; MRC flags sub-width slivers and tiny islands on a mask |
 | ![m3d](mask3d_rcwa.png) | Thick-mask M3D (round 4): the in-repo rigorous RCWA near field vs the thin mask, and the first-principles boundary-layer calibration closing the image residual ~10× |
+| ![euv](euv_m3d.png) | EUV M3D (round 4): TaBN / 40× Mo-Si reticle at the 6° chief ray — rigorous shadowing (pattern shift) captured by the multi-tap edge-kernel model |
 """)
     print("wrote", gallery)
 
@@ -541,6 +542,69 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "mask3d_rcwa.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "mask3d_rcwa.png")
+
+    # 18. EUV: chief-ray shadowing + the multi-tap edge-kernel model
+    from lithographysimulator_tpu.ops.rcwa import thin_mask_transmission
+
+    cfg_e = lt.OpticsConfig(pixel_number=32, wavelength=13.5, na=0.33,
+                            pixel_size=4.0)
+    ek, rep_e = boundary_layer_from_rcwa(
+        cfg_e, stack="euv_ta", pitch_px=16, illumination_pol="unpolarized",
+        steps=300, incidence_deg=6.0, taps=1)
+    geom_e = grating_geometry(
+        cfg_e, pitch_px=16, duty=7 / 16,
+        transmission=thin_mask_transmission("euv_ta", 13.5, 6.0))
+    src_e = np.asarray(lt.LightSource(cfg_e, sigma_out=0.5).classical())
+
+    def img_e(g):
+        out = np.asarray(lt.simulate(lt.from_array(np.asarray(g), cfg_e),
+                                     src_e, normalize=True).image)
+        return out / out.max()
+
+    rig_imgs = [img_e(rcwa_effective_mask(cfg_e, pitch_px=16, duty=7 / 16,
+                                          stack="euv_ta", pol=p,
+                                          incidence_deg=6.0))
+                for p in ("te", "tm")]
+    rig_img = 0.5 * (rig_imgs[0] + rig_imgs[1])
+    thin_img_e = img_e(np.asarray(geom_e))
+    corr_img_e = img_e(np.asarray(
+        jax.jit(ek.apply, static_argnums=1)(geom_e, cfg_e)))
+    nf0 = np.abs(rcwa_effective_mask(cfg_e, pitch_px=16, duty=7 / 16,
+                                     stack="euv_ta", pol="te",
+                                     incidence_deg=0.0)[0, :32])
+    nf6 = np.abs(rcwa_effective_mask(cfg_e, pitch_px=16, duty=7 / 16,
+                                     stack="euv_ta", pol="te",
+                                     incidence_deg=6.0)[0, :32])
+    rr = cfg_e.n // 2
+    fig, axes = plt.subplots(1, 3, dpi=170, figsize=(11.4, 3.4))
+    axes[0].plot(nf0, label="normal incidence", color="#888888")
+    axes[0].plot(nf6, label="6° chief ray", color="#cc3311")
+    axes[0].set_title("EUV reflected near field |r(x)|: shadowing breaks "
+                      "the mirror symmetry", fontsize=8.5)
+    axes[0].set_xlabel("x (px)")
+    axes[0].legend(fontsize=7)
+    axes[1].plot(rig_img[rr], label="rigorous (RCWA @6°)", color="black")
+    axes[1].plot(thin_img_e[rr], "--", label="thin mask")
+    axes[1].plot(corr_img_e[rr], ":", label="edge kernel K=1",
+                 color="#cc3311", lw=2)
+    axes[1].set_title("aerial image cut: the line prints SHIFTED "
+                      "(pattern shift)", fontsize=8.5)
+    axes[1].legend(fontsize=7)
+    axes[2].plot((thin_img_e - rig_img)[rr] * 100, label="thin − rigorous")
+    axes[2].plot((corr_img_e - rig_img)[rr] * 100,
+                 label="edge kernel − rigorous", color="#cc3311")
+    axes[2].set_title(
+        f"residual ×100 (NRMS {rep_e['thin_nrms']['avg']:.1%} → "
+        f"{rep_e['fit_nrms']['avg']:.2%})", fontsize=8.5)
+    axes[2].set_xlabel("x (px)")
+    axes[2].legend(fontsize=7)
+    fig.suptitle("EUV M3D: TaBN / 40× Mo-Si reticle at the 6° chief ray — "
+                 "rigorous shadowing captured by the multi-tap edge kernel",
+                 fontsize=10)
+    fig.tight_layout()
+    fig.savefig(DOCS / "euv_m3d.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "euv_m3d.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
