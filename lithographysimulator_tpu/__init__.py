@@ -62,9 +62,9 @@ from .ops.perturb import ImagePerturbation, apply_perturbation
 from .ops.mask3d import (BoundaryLayer, EdgeKernelM3D, apply_boundary_layers,
                          apply_edge_kernel, boundary_layer_from_rcwa,
                          edge_fields_signed, fit_boundary_layer,
-                         fit_edge_kernel)
+                         fit_edge_kernel, model_from_json, model_to_json)
 from .ops.rcwa import (GratingLayer, MASK_STACKS, MaskStack, rcwa_effective_mask,
-                       rcwa_orders, thin_mask_transmission)
+                       rcwa_orders, resolve_stack, thin_mask_transmission)
 from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
                         tiled_socs_image_field, tiled_socs_image_scan,
                         tiled_socs_image_stream)
@@ -105,11 +105,14 @@ __all__ = [
     "apply_edge_kernel",
     "edge_fields_signed",
     "fit_edge_kernel",
+    "model_from_json",
+    "model_to_json",
     "GratingLayer",
     "MASK_STACKS",
     "MaskStack",
     "rcwa_effective_mask",
     "rcwa_orders",
+    "resolve_stack",
     "thin_mask_transmission",
     "contact_holes",
     "StochasticResist",

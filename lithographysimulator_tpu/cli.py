@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -134,10 +135,21 @@ def _add_common(p: argparse.ArgumentParser):
                         "e.g. '-0.2+0.1j'")
     p.add_argument("--mask3d-beta-v", type=complex, default=0j,
                    help="complex strip transmission on vertical edges")
+    p.add_argument("--m3d", metavar="FILE", default=None,
+                   help="calibrated M3D model JSON from 'm3dcal --out' "
+                        "(boundary layer incl. asymmetry, or multi-tap edge "
+                        "kernel); overrides the scalar --mask3d-* flags")
 
 
 def _build_mask3d(args):
-    """BoundaryLayer from CLI flags, or None when the model is off."""
+    """M3D model from CLI flags, or None when the model is off: a full
+    calibrated model file (--m3d, from m3dcal) wins over the scalar
+    BoundaryLayer flags."""
+    m3d_file = getattr(args, "m3d", None)
+    if m3d_file:
+        from .ops.mask3d import model_from_json
+
+        return model_from_json(m3d_file)
     width = getattr(args, "mask3d_width", 0.0)
     bh = getattr(args, "mask3d_beta_h", 0j)
     bv = getattr(args, "mask3d_beta_v", 0j)
@@ -329,7 +341,8 @@ def cmd_focus(args) -> int:
     stack_ab = focus_stack_aberrations(base, defocus.astype(np.float32))
     run = compiled_focus_stack(
         config, chunk=args.chunk, normalize=True,
-        max_abs_shift=int(np.abs(np.asarray(shifts)).max()))
+        max_abs_shift=int(np.abs(np.asarray(shifts)).max()),
+        mask3d=_build_mask3d(args))
     t0 = time.perf_counter()
     stack = np.asarray(run(mask.geometry, stack_ab, shifts, weights))
     elapsed = time.perf_counter() - t0
@@ -365,7 +378,8 @@ def cmd_smo(args) -> int:
     source = _build_source(args, config)
     shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk * 8)
     problem = SMOProblem(config=config, chunk=args.chunk,
-                         mask_steepness=args.steepness)
+                         mask_steepness=args.steepness,
+                         mask3d=_build_mask3d(args))
     ab = np.asarray(args.aberrations if args.aberrations else [0.0], np.float32)
 
     # jitted: forward's complex math (spectrum/pupil) dies eagerly on the
@@ -374,8 +388,18 @@ def cmd_smo(args) -> int:
     def fwd(params, aberr, sh, w):
         return forward(params, aberr, sh, w, problem)
 
-    target = fwd(init_params(problem, target_mask.geometry), ab,
-                 shifts, weights)
+    # With an M3D model the TARGET image is the thin-mask (design-intent)
+    # print; the optimizer then pre-compensates the topography by running
+    # its own forward THROUGH the model (M3D-aware ILT).
+    thin_problem = (problem if problem.mask3d is None
+                    else dataclasses.replace(problem, mask3d=None))
+
+    @jax.jit
+    def fwd_thin(params, aberr, sh, w):
+        return forward(params, aberr, sh, w, thin_problem)
+
+    target = fwd_thin(init_params(problem, target_mask.geometry), ab,
+                      shifts, weights)
     start = np.full((config.n, config.n), 0.4, np.float32)
     t0 = time.perf_counter()
     if args.forward == "socs":
@@ -451,6 +475,7 @@ def cmd_fem(args) -> int:
         warm_start=not args.no_warm_start,
         hotspot_nils=args.hotspot_nils,
         pv_bands=args.pv_bands is not None,
+        mask3d=_build_mask3d(args),
     )
     elapsed = time.perf_counter() - t0
     report = {
@@ -535,7 +560,8 @@ def cmd_opc(args) -> int:
 
         img = tiled_focus_images(mask_big, tile_config, source, [0.0],
                                  rank=args.rank, halo=args.halo,
-                                 polarization=polarization)[0]
+                                 polarization=polarization,
+                                 mask3d=_build_mask3d(args))[0]
         profile = (img / img.max()) > resist.threshold
         out = pattern_fidelity(profile.astype(np.float32), target,
                                tile_config)
@@ -550,7 +576,7 @@ def cmd_opc(args) -> int:
         target, tile_config, source, resist=resist, halo=args.halo,
         steps=args.steps, learning_rate=args.lr, rank=args.rank,
         sweeps=args.sweeps, polarization=polarization,
-        chromatic=_build_chromatic(args))
+        chromatic=_build_chromatic(args), mask3d=_build_mask3d(args))
     elapsed = time.perf_counter() - t0
     report = {
         "big_n": big_n, "tile_n": tile_config.n, "steps": args.steps,
@@ -711,9 +737,10 @@ def cmd_m3dcal(args) -> int:
     rigorous RCWA solver on a line/space topography of the named absorber
     stack and fit the boundary-layer model against the rigorously imaged
     near field. Prints the calibrated (width, beta_h, beta_v) plus the
-    thin-vs-rigorous and corrected-vs-rigorous image residuals — pass the
-    betas to --mask3d-* flags of the imaging commands."""
-    from .ops.mask3d import boundary_layer_from_rcwa
+    thin-vs-rigorous and corrected-vs-rigorous image residuals — feed the
+    result back to the imaging commands with --m3d FILE (written by --out;
+    the stdout line is the same JSON) or the scalar --mask3d-* flags."""
+    from .ops.mask3d import boundary_layer_from_rcwa, model_to_json
 
     config = _build_config(args)
     if config.n % args.pitch:
@@ -724,40 +751,32 @@ def cmd_m3dcal(args) -> int:
         # (exact rasterization; see ops.mask3d.grating_geometry)
         (2 * (args.pitch // 4) + 1) / args.pitch)
     t0 = time.perf_counter()
-    bl, report = boundary_layer_from_rcwa(
-        config, stack=args.stack, pitch_px=args.pitch, duty=duty,
-        illumination_pol=args.pol, width_nm=args.width_nm,
-        n_harmonics=args.harmonics, sigma_out=args.sigma_out,
-        steps=args.steps, learning_rate=args.lr,
-        incidence_deg=args.incidence, taps=args.taps)
-    out = {
+    try:
+        bl, report = boundary_layer_from_rcwa(
+            config, stack=args.stack, pitch_px=args.pitch, duty=duty,
+            illumination_pol=args.pol, width_nm=args.width_nm,
+            n_harmonics=args.harmonics, sigma_out=args.sigma_out,
+            steps=args.steps, learning_rate=args.lr,
+            incidence_deg=args.incidence, taps=args.taps)
+    except ValueError as exc:
+        # e.g. the stack/wavelength mismatch guard (ops.rcwa.resolve_stack)
+        raise SystemExit(f"m3dcal: {exc}") from None
+    out = model_to_json(bl)
+    out.update({
         "stack": args.stack,
         "illumination_pol": args.pol,
         "incidence_deg": args.incidence,
         "pitch_px": args.pitch,
         "duty": round(duty, 6),
-        "width_nm": bl.width_nm,
         "thin_nrms": {k: round(v, 8) for k, v in report["thin_nrms"].items()},
         "fit_nrms": {k: round(v, 8) for k, v in report["fit_nrms"].items()},
         "wall_clock_s": round(time.perf_counter() - t0, 3),
-    }
-
-    def _c(z):
-        return [round(z.real, 6), round(z.imag, 6)]
-
-    if args.taps > 0:
-        out["model"] = f"edge_kernel_k{bl.k}"
-        out["taps_v_rise"] = [_c(c) for c in bl.taps_v_rise]
-        out["taps_v_fall"] = [_c(c) for c in bl.taps_v_fall]
-        out["taps_h_rise"] = [_c(c) for c in bl.taps_h_rise]
-        out["taps_h_fall"] = [_c(c) for c in bl.taps_h_fall]
-    else:
-        out["model"] = "boundary_layer"
-        out["beta_h"] = _c(bl.beta_h)
-        out["beta_v"] = _c(bl.beta_v)
-        if args.incidence:
-            out["beta_v_asym"] = _c(bl.beta_v_asym)
-    print(json.dumps(out))
+    })
+    line = json.dumps(out)
+    if getattr(args, "out", None):
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
     return 0
 
 
@@ -877,7 +896,8 @@ def cmd_resist3d(args) -> int:
     stack_ab = focus_stack_aberrations(base, film_defocus.astype(np.float32))
     run = compiled_focus_stack(
         config, chunk=args.chunk, normalize=True,
-        max_abs_shift=int(np.abs(np.asarray(shifts)).max()))
+        max_abs_shift=int(np.abs(np.asarray(shifts)).max()),
+        mask3d=_build_mask3d(args))
     t0 = time.perf_counter()
     stack = run(mask.geometry, stack_ab, shifts, weights)
     profile = np.asarray(dr.develop_profile_binary(
@@ -1261,6 +1281,9 @@ def main(argv=None) -> int:
                        help="classical calibration source radius")
     p_m3d.add_argument("--steps", type=int, default=150)
     p_m3d.add_argument("--lr", type=float, default=0.05)
+    p_m3d.add_argument("--out", default=None, metavar="FILE",
+                       help="also write the result JSON to FILE — feed it "
+                            "to the imaging commands' --m3d flag")
     p_m3d.set_defaults(func=cmd_m3dcal)
 
     p_socs = sub.add_parser("socs", help="build + cache SOCS kernels")

@@ -49,6 +49,7 @@ def tiled_focus_images(
     warm_power_iters: int = 0,
     perturb=None,
     progress_cb=None,
+    mask3d=None,
 ) -> np.ndarray:
     """(F, M, M) full-chip aerial images through focus: per plane, one SOCS
     build for the defocused pupil and one tiled stitch. The host loop over
@@ -115,7 +116,7 @@ def tiled_focus_images(
                 halo=halo, engine=engine,
                 tiles_per_dispatch=tiles_per_dispatch,
                 polarization=polarization, apodize=apodize,
-                chromatic=chromatic)
+                chromatic=chromatic, mask3d=mask3d)
             if perturb is not None and perturb.active:
                 from .simulate import _compiled_perturb
 
@@ -156,11 +157,12 @@ def tiled_focus_images(
         if window_fn is not None:
             img = tiled_socs_image_stream(
                 window_fn, big_n, socs, tile_config, halo=halo,
-                engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+                engine=engine, tiles_per_dispatch=tiles_per_dispatch,
+                mask3d=mask3d)
         else:
             img = tiled_socs_image(
                 mask_big, socs, tile_config, halo=halo, engine=engine,
-                tiles_per_dispatch=tiles_per_dispatch)
+                tiles_per_dispatch=tiles_per_dispatch, mask3d=mask3d)
         if perturb is not None and perturb.active:
             from .simulate import _compiled_perturb
 
@@ -205,6 +207,7 @@ def tiled_fem(
     hotspot_nils: float | None = None,
     perturb=None,
     pv_bands: bool = False,
+    mask3d=None,
 ) -> dict:
     """Full-chip focus-exposure matrix -> process window, in one call.
     Accepts a streaming ``window_fn`` + ``big_n`` in place of ``mask_big``,
@@ -254,6 +257,7 @@ def tiled_fem(
         field_aberrations=field_aberrations, field_points=field_points,
         field_blend=field_blend, polarization=polarization, apodize=apodize,
         chromatic=chromatic, warm_start=warm_start, perturb=perturb,
+        mask3d=mask3d,
         progress_cb=(None if progress_cb is None
                      else lambda f: progress_cb(0.8 * f)))
     scale = max(float(stack.max()), 1e-30)
@@ -402,6 +406,7 @@ def tiled_stochastic(
     psd: bool = False,
     psd_row_step: int | None = None,
     progress_cb=None,
+    mask3d=None,
 ) -> dict:
     """Full-chip stochastic printing: one tiled aerial image, then the
     Monte-Carlo photon/acid ensemble over the WHOLE stitched raster.
@@ -426,7 +431,7 @@ def tiled_stochastic(
         base_aberrations=base_aberrations, rank=rank, halo=halo,
         tiles_per_dispatch=tiles_per_dispatch, window_fn=window_fn,
         big_n=big_n, polarization=polarization, apodize=apodize,
-        chromatic=chromatic,
+        chromatic=chromatic, mask3d=mask3d,
         progress_cb=(None if progress_cb is None
                      else lambda f: progress_cb(0.6 * f)))[0]
     out = stochastic_ensemble(np.asarray(image), tile_config, model,
@@ -478,6 +483,7 @@ def orc_check(
     epe_spec_nm: float | None = None,
     axis: int = 1,
     process_corners: dict | None = None,
+    mask3d=None,
 ) -> dict:
     """OPC verification (ORC): ONE full-chip deck over a candidate mask.
 
@@ -506,7 +512,7 @@ def orc_check(
     image = tiled_focus_images(
         mask_big, tile_config, source_map, [0.0], rank=rank, halo=halo,
         tiles_per_dispatch=tiles_per_dispatch, polarization=polarization,
-        chromatic=chromatic, perturb=perturb)[0]
+        chromatic=chromatic, perturb=perturb, mask3d=mask3d)[0]
     norm = image / max(float(image.max()), 1e-30)
     profile = np.asarray(resist.develop_binary(norm, tile_config,
                                                normalize=False))
@@ -543,7 +549,7 @@ def orc_check(
             tiles_per_dispatch=tiles_per_dispatch,
             polarization=polarization, chromatic=chromatic,
             perturb=perturb, target_geometry=target, cd_axis=axis,
-            pv_bands=True)
+            pv_bands=True, mask3d=mask3d)
         pv = fem["pv"]
         out["pv"] = {k: v for k, v in pv.items()
                      if k not in ("outer", "inner", "band")}
@@ -639,6 +645,7 @@ def tiled_meef(
     polarization=None,
     apodize: bool = True,
     chromatic=None,
+    mask3d=None,
 ) -> float:
     """Full-chip MEEF: d(printed CD)/d(mask CD) with the biased mask imaged
     through the tiled path (kernels built once, reused for both biases;
@@ -655,7 +662,8 @@ def tiled_meef(
     def image_fn(geometry):
         return tiled_socs_image(
             np.asarray(geometry, np.float32), socs, tile_config, halo=halo,
-            engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+            engine=engine, tiles_per_dispatch=tiles_per_dispatch,
+            mask3d=mask3d)
 
     return meef(mask_big, image_fn, tile_config, resist, bias_px=bias_px)
 
@@ -675,6 +683,7 @@ def tiled_meef_map(
     polarization=None,
     apodize: bool = True,
     chromatic=None,
+    mask3d=None,
 ) -> dict:
     """Per-feature full-chip MEEF + per-region map
     (:func:`..models.resist.meef_table` through the tiled imager — kernels
@@ -692,7 +701,8 @@ def tiled_meef_map(
     def image_fn(geometry):
         return tiled_socs_image(
             np.asarray(geometry, np.float32), socs, tile_config, halo=halo,
-            engine=engine, tiles_per_dispatch=tiles_per_dispatch)
+            engine=engine, tiles_per_dispatch=tiles_per_dispatch,
+            mask3d=mask3d)
 
     return meef_table(mask_big, image_fn, tile_config, resist,
                       bias_px=bias_px, map_blocks=map_blocks)

@@ -79,7 +79,7 @@ def through_focus_images(
 @functools.lru_cache(maxsize=8)
 def compiled_focus_stack(config: OpticsConfig, chunk: int = 4,
                          normalize: bool = False, solver: Solver = "gau23",
-                         max_abs_shift: int | None = None):
+                         max_abs_shift: int | None = None, mask3d=None):
     """Cached jitted (geometry, aberration-stack, shifts, weights) -> (F, n,
     n) focal-stack pipeline, spectrum included. CLI/host callers MUST go
     through this on the TPU tunnel: eager complex math (mask_spectrum's
@@ -89,6 +89,8 @@ def compiled_focus_stack(config: OpticsConfig, chunk: int = 4,
 
     @jax.jit
     def run(geometry, aberrations_stack, shifts, weights):
+        if mask3d is not None:
+            geometry = mask3d.apply(geometry, config)
         spectrum = mask_spectrum(geometry, config)
         return through_focus_images(
             spectrum, aberrations_stack, shifts, weights, config,

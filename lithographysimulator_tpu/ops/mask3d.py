@@ -621,3 +621,81 @@ def _edge_kernel_from_fits(fits: dict, illumination_pol: str,
         width_nm=width_nm,
         taps_h_rise=h_rise, taps_h_fall=h_fall,
         taps_v_rise=v_fit.taps_v_rise, taps_v_fall=v_fit.taps_v_fall)
+
+
+# ---------------------------------------------------------------------------
+# JSON round trip: m3dcal writes, imaging commands read
+# ---------------------------------------------------------------------------
+
+
+def _c_pair(z) -> list:
+    return [float(complex(z).real), float(complex(z).imag)]
+
+
+def model_to_json(model) -> dict:
+    """Serializable dict for a calibrated M3D model — the contract between
+    ``m3dcal --out`` and the imaging commands' ``--m3d`` flag. Complex
+    numbers become [re, im] pairs (JSON has no complex type)."""
+    if isinstance(model, EdgeKernelM3D):
+        return {
+            "model": f"edge_kernel_k{model.k}",
+            "width_nm": float(model.width_nm),
+            "taps_v_rise": [_c_pair(c) for c in model.taps_v_rise],
+            "taps_v_fall": [_c_pair(c) for c in model.taps_v_fall],
+            "taps_h_rise": [_c_pair(c) for c in model.taps_h_rise],
+            "taps_h_fall": [_c_pair(c) for c in model.taps_h_fall],
+        }
+    if isinstance(model, BoundaryLayer):
+        out = {
+            "model": "boundary_layer",
+            "width_nm": float(model.width_nm),
+            "beta_h": _c_pair(model.beta_h),
+            "beta_v": _c_pair(model.beta_v),
+        }
+        if model.beta_h_asym or model.beta_v_asym:
+            out["beta_h_asym"] = _c_pair(model.beta_h_asym)
+            out["beta_v_asym"] = _c_pair(model.beta_v_asym)
+        return out
+    raise TypeError(f"not an M3D model: {type(model).__name__}")
+
+
+def model_from_json(obj) -> "BoundaryLayer | EdgeKernelM3D":
+    """Rebuild a :class:`BoundaryLayer` / :class:`EdgeKernelM3D` from the
+    ``m3dcal`` output JSON (a dict, a JSON string, or a file path). Extra
+    keys (the calibration report: NRMS tables, stack name, timings) are
+    ignored, so the whole m3dcal stdout line round-trips."""
+    import json as _json
+    import os as _os
+
+    if isinstance(obj, (str, _os.PathLike)):
+        s = _os.fspath(obj)
+        if _os.path.exists(s):
+            with open(s) as fh:
+                obj = _json.load(fh)
+        else:
+            obj = _json.loads(s)
+    if not isinstance(obj, dict) or "model" not in obj:
+        raise ValueError("expected an m3dcal JSON object with a 'model' key")
+
+    def _z(pair) -> complex:
+        return complex(float(pair[0]), float(pair[1]))
+
+    kind = str(obj["model"])
+    width = float(obj.get("width_nm", 8.0))
+    if kind.startswith("edge_kernel"):
+        return EdgeKernelM3D(
+            width_nm=width,
+            taps_v_rise=tuple(_z(p) for p in obj["taps_v_rise"]),
+            taps_v_fall=tuple(_z(p) for p in obj["taps_v_fall"]),
+            taps_h_rise=tuple(_z(p) for p in obj["taps_h_rise"]),
+            taps_h_fall=tuple(_z(p) for p in obj["taps_h_fall"]),
+        )
+    if kind == "boundary_layer":
+        return BoundaryLayer(
+            width_nm=width,
+            beta_h=_z(obj.get("beta_h", (0.0, 0.0))),
+            beta_v=_z(obj.get("beta_v", (0.0, 0.0))),
+            beta_h_asym=_z(obj.get("beta_h_asym", (0.0, 0.0))),
+            beta_v_asym=_z(obj.get("beta_v_asym", (0.0, 0.0))),
+        )
+    raise ValueError(f"unknown M3D model kind {kind!r}")

@@ -326,6 +326,12 @@ class MaskStack:
     description: str = ""
     mirror: tuple[tuple[float, complex], ...] = ()  # homogeneous, top-first
     n_substrate: complex = 1.0
+    # The wavelength the refractive indices were tabulated at. Optical
+    # constants are strongly dispersive (Cr at 193 nm vs 13.5 nm differ by
+    # integer factors), so running a named stack at the wrong config
+    # wavelength is silent garbage: resolve_stack() guards against it.
+    # None (custom stacks) disables the check.
+    design_wavelength_nm: float | None = None
 
     @property
     def reflective(self) -> bool:
@@ -340,12 +346,14 @@ MASK_STACKS = {
     "binary_cr": MaskStack(
         layers=((20.0, 1.965 + 1.201j), (68.0, 0.842 + 1.647j)),
         description="Binary chrome-on-glass (CrOx ARC / Cr), 193 nm",
+        design_wavelength_nm=193.0,
     ),
     # ~72 nm MoSi 6% attenuated PSM (thickness at the pi-phase point:
     # (n-1) k0 d ~ pi; T ~ 6%, relative phase ~175 deg vs the clear path)
     "att_psm_mosi": MaskStack(
         layers=((72.0, 2.343 + 0.586j),),
         description="6% MoSi attenuated PSM, 193 nm",
+        design_wavelength_nm=193.0,
     ),
     # EUV reticle: ~60 nm TaBN absorber over a 40-bilayer Mo/Si Bragg
     # mirror (Si 4.17 / Mo 2.76 nm) on Si, vacuum ambient. Indices are
@@ -359,8 +367,37 @@ MASK_STACKS = {
                                (2.76, 0.9238 + 0.0064j))),
         n_substrate=0.9990 + 0.0018j,
         description="EUV TaBN absorber on 40x Mo/Si multilayer, 13.5 nm",
+        design_wavelength_nm=13.5,
     ),
 }
+
+
+def resolve_stack(stack: "MaskStack | str",
+                  wavelength_nm: float | None = None,
+                  rtol: float = 0.05) -> MaskStack:
+    """Look up a named stack and, when ``wavelength_nm`` is given, verify it
+    sits within ``rtol`` of the stack's ``design_wavelength_nm`` — the
+    tabulated refractive indices are meaningless at other wavelengths (an
+    EUV TaBN stack "run" at 193 nm produces a confidently wrong near
+    field). Raises ValueError naming the fix (set the config wavelength, or
+    build a custom :class:`MaskStack` with indices for your wavelength)."""
+    if isinstance(stack, str):
+        try:
+            stack = MASK_STACKS[stack]
+        except KeyError:
+            raise ValueError(
+                f"unknown mask stack {stack!r}; available: "
+                f"{sorted(MASK_STACKS)}") from None
+    lam0 = stack.design_wavelength_nm
+    if wavelength_nm is not None and lam0 is not None:
+        if abs(float(wavelength_nm) - lam0) > rtol * lam0:
+            raise ValueError(
+                f"stack {stack.description!r} carries optical constants "
+                f"tabulated at {lam0} nm but the configured wavelength is "
+                f"{float(wavelength_nm)} nm; set OpticsConfig.wavelength to "
+                f"{lam0} (CLI: --wavelength {lam0}) or supply a custom "
+                f"MaskStack with indices for your wavelength")
+    return stack
 
 
 def thin_mask_transmission(stack: MaskStack | str,
@@ -376,8 +413,7 @@ def thin_mask_transmission(stack: MaskStack | str,
     REFLECTION relative to the bare multilayer mirror (absorber regions
     etched to vacuum) — the same normalization the effective reflected
     near field uses."""
-    if isinstance(stack, str):
-        stack = MASK_STACKS[stack]
+    stack = resolve_stack(stack, wavelength_nm)
     d_total = sum(th for th, _ in stack.layers)
     if stack.reflective:
         film_n = ([nr for _, nr in stack.layers]
@@ -453,8 +489,7 @@ def rcwa_effective_mask(
     pitch_px = int(pitch_px)
     if pitch_px <= 0 or n % pitch_px:
         raise ValueError(f"pitch_px={pitch_px} must divide pixel_number={n}")
-    if isinstance(stack, str):
-        stack = MASK_STACKS[stack]
+    stack = resolve_stack(stack, float(config.wavelength))
 
     period_nm = float(magnification) * pitch_px * float(config.pixel_size)
     mirror_key = tuple((float(th), complex(nm), complex(nm), 0.0, 0.0)

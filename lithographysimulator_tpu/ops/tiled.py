@@ -243,6 +243,7 @@ def tiled_socs_image_field(
     apodize: bool = True,
     chromatic=None,
     blend: str = "linear",
+    mask3d=None,
 ) -> jnp.ndarray:
     """Full-chip image under FIELD-DEPENDENT aberrations: scanner optics
     aberrate differently across the slit/field, so one pupil cannot serve
@@ -339,7 +340,7 @@ def tiled_socs_image_field(
         kernel_sets[(i, j)] = build(jnp.asarray(coeffs), src_dev)[0]
 
     run = _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
-                         spectrum_solver)
+                         spectrum_solver, mask3d)
     out = np.zeros((tiles, tiles, step, step), np.float32)
     for key, members in groups.items():
         socs = kernel_sets[key]
@@ -389,6 +390,7 @@ def tiled_socs_image_scan(
     chunk: int = 4,
     engine: str = "auto",
     spectrum_solver: str = "gau23",
+    mask3d=None,
 ) -> jnp.ndarray:
     """Same as :func:`tiled_socs_image` but with the tile loop inside one
     compiled ``lax.map`` — a single dispatch, best when the whole run fits
@@ -406,7 +408,7 @@ def tiled_socs_image_scan(
                                   indexing="ij"), -1).reshape(-1, 2)
 
     run = _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
-                         spectrum_solver)
+                         spectrum_solver, mask3d)
     cores = run(padded, socs, jnp.asarray(coords))  # (tiles^2, step, step)
     grid = cores.reshape(tiles, tiles, step, step)
     stitched = jnp.concatenate(

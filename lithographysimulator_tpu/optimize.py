@@ -470,7 +470,7 @@ def opc_correct(
 
 @functools.lru_cache(maxsize=8)
 def _compiled_tile_opc_step(config, halo: int, steepness: float,
-                            learning_rate: float, resist_key):
+                            learning_rate: float, resist_key, mask3d=None):
     """One Adam step of the per-tile OPC problem, jitted once and reused for
     every tile of every sweep. The halo ring is FROZEN to ``frozen_tile``
     (the design on sweep 1, corrected neighbors afterwards) so each core
@@ -491,6 +491,9 @@ def _compiled_tile_opc_step(config, halo: int, steepness: float,
 
     def loss_fn(latent, frozen_tile, target_core, socs):
         mask = mask_of(latent, frozen_tile)
+        if mask3d is not None:
+            # M3D-aware full-chip OPC: correct THROUGH the thick-mask model
+            mask = mask3d.apply(mask, config)
         spectrum = mask_spectrum(mask, config, solver="gau23")
         image = socs_image(spectrum, socs, config)
         profile = resist.develop(image, config)
@@ -524,6 +527,7 @@ def opc_correct_tiled(
     apodize: bool = True,
     chromatic=None,
     progress_cb=None,
+    mask3d=None,
 ) -> np.ndarray:
     """Resist-aware OPC on an arbitrarily large layout, tile by tile.
 
@@ -541,7 +545,12 @@ def opc_correct_tiled(
     vector Jones-pupil physics (:func:`..ops.hopkins.randomized_socs_vector`;
     kernels are constants to the optimizer, so differentiability is
     untouched), and ``chromatic`` with the finite-bandwidth polychromatic
-    build — OPC against the image the real laser prints. The reference has
+    build — OPC against the image the real laser prints. ``mask3d`` (a
+    :class:`..ops.mask3d.BoundaryLayer` / ``EdgeKernelM3D``, e.g. from
+    :func:`..ops.mask3d.boundary_layer_from_rcwa`) makes the correction
+    M3D-aware: the forward model images the layout THROUGH the calibrated
+    thick-mask model, so the corrected layout pre-compensates topography
+    effects (EUV shadowing bias included). The reference has
     no OPC at all (README.md:21 roadmap)."""
     from .models.resist import ResistModel
     from .ops.tiled import default_halo, tile_layout
@@ -562,7 +571,7 @@ def opc_correct_tiled(
         np.asarray(aberrations, np.float32),
         np.asarray(source_map, np.float32))[0]
     step, optimizer = _compiled_tile_opc_step(
-        tile_config, halo, mask_steepness, learning_rate, resist_key)
+        tile_config, halo, mask_steepness, learning_rate, resist_key, mask3d)
 
     target_big = np.asarray(target_big, np.float32)
     pad_lo = halo

@@ -383,6 +383,12 @@ class JobRunner:
         (config, source, polarization, rank, halo,
          chromatic) = self._parse_common(body)
         mask = body["mask"]
+        mask3d = None
+        if body.get("m3d") is not None:
+            # calibrated thick-mask model: the m3dcal output JSON object
+            from .ops.mask3d import model_from_json
+
+            mask3d = model_from_json(body["m3d"])
 
         def progress(f):
             if job.cancelled:
@@ -402,7 +408,7 @@ class JobRunner:
             image = tiled_socs_image(
                 np.asarray(mask, np.float32), socs, config, halo=halo,
                 tiles_per_dispatch=int(body.get("tiles_per_dispatch", 8)),
-                progress_cb=progress)
+                mask3d=mask3d, progress_cb=progress)
             return {"image": image,
                     "big_n": int(mask.shape[0]), "rank": int(socs.rank)}
         if job.kind == "fem":
@@ -424,7 +430,7 @@ class JobRunner:
                               if body.get("hotspot_nils") is not None
                               else None),
                 pv_bands=bool(body.get("pv_bands", False)),
-                progress_cb=progress)
+                mask3d=mask3d, progress_cb=progress)
             cdu = dict(result["cdu"] or {})
             cd_map = cdu.pop("cd_map_nm", None)
             out = {
@@ -504,7 +510,7 @@ class JobRunner:
                 seed=int(body.get("seed", 0)),
                 psd=bool(body.get("psd", False)),
                 rank=rank, halo=halo, polarization=polarization,
-                chromatic=chromatic, progress_cb=progress)
+                chromatic=chromatic, mask3d=mask3d, progress_cb=progress)
             return result
 
         # job.kind == "opc"
@@ -517,7 +523,7 @@ class JobRunner:
             sweeps=int(body.get("sweeps", 1)),
             learning_rate=float(body.get("lr", 0.15)),
             polarization=polarization, chromatic=chromatic,
-            progress_cb=progress)
+            mask3d=mask3d, progress_cb=progress)
         return {"mask": np.asarray(corrected),
                 "big_n": int(mask.shape[0])}
 

@@ -337,3 +337,84 @@ def test_tiled_mask3d_matches_global_apply():
     # the tiled path's inherent halo-truncation error (<0.2% here)
     np.testing.assert_allclose(tiled_bl, tiled_eff,
                                rtol=4e-3, atol=1e-3 * float(tiled_eff.max()))
+
+
+def test_model_json_round_trip():
+    """model_to_json / model_from_json is the m3dcal -> imaging contract:
+    both model kinds survive dict, JSON-string, and file round trips, with
+    extra report keys ignored."""
+    import json
+
+    from lithographysimulator_tpu.ops.mask3d import (EdgeKernelM3D,
+                                                     model_from_json,
+                                                     model_to_json)
+
+    bl = BoundaryLayer(width_nm=6.0, beta_h=-0.2 + 0.1j, beta_v=-0.3j,
+                       beta_v_asym=0.04 - 0.02j)
+    ek = EdgeKernelM3D(width_nm=8.0,
+                       taps_v_rise=(0.1j, -0.2 + 0j, 0.05 + 0.01j),
+                       taps_v_fall=(0.02j, 0.1j, 0.2j),
+                       taps_h_rise=(0j, -0.1 + 0.05j, 0j),
+                       taps_h_fall=(0j, -0.1 + 0.05j, 0j))
+    for model in (bl, ek):
+        d = model_to_json(model)
+        assert model_from_json(d) == model
+        assert model_from_json(json.dumps(d)) == model
+        d_report = dict(d, stack="binary_cr", fit_nrms={"avg": 0.001})
+        assert model_from_json(d_report) == model
+
+
+def test_cli_m3dcal_out_and_m3d_flag(tmp_path, capsys):
+    """End-to-end handoff: m3dcal --out writes the calibrated model file,
+    simulate --m3d consumes it, and the resulting image differs from the
+    thin-mask run by exactly the boundary-layer perturbation."""
+    from lithographysimulator_tpu.cli import main
+    from lithographysimulator_tpu.ops.mask3d import model_from_json
+
+    cal = tmp_path / "cal.json"
+    rc = main(["m3dcal", "--pixel-number", "32", "--pitch", "16",
+               "--steps", "30", "--out", str(cal)])
+    assert rc == 0
+    model = model_from_json(str(cal))
+    assert isinstance(model, BoundaryLayer) and model.beta_h != 0
+
+    out_m3d = tmp_path / "m3d.npy"
+    out_thin = tmp_path / "thin.npy"
+    capsys.readouterr()
+    assert main(["simulate", "--pixel-number", "32", "--m3d", str(cal),
+                 "--out", str(out_m3d)]) == 0
+    report = capsys.readouterr().out.splitlines()[0]
+    assert "BL(" in report
+    assert main(["simulate", "--pixel-number", "32",
+                 "--out", str(out_thin)]) == 0
+    img_m3d = np.load(out_m3d, allow_pickle=True).item()["image"] \
+        if out_m3d.exists() and np.load(out_m3d, allow_pickle=True).dtype == object \
+        else np.load(out_m3d)
+    img_thin = np.load(out_thin)
+    assert img_m3d.shape == img_thin.shape
+    assert np.abs(img_m3d - img_thin).max() > 1e-4
+
+
+def test_tiled_metrology_accepts_mask3d():
+    """Full-chip metrology through the calibrated thick-mask model: the
+    mask3d argument must actually reach the tiled imager (focus stack and
+    FEM both), not be silently dropped."""
+    from lithographysimulator_tpu.metrology import tiled_fem, tiled_focus_images
+
+    tile_cfg = OpticsConfig(pixel_number=32)
+    big_n = 64
+    mask_big = np.zeros((big_n, big_n), np.float32)
+    for c in range(8, big_n - 4, 16):
+        mask_big[8:-8, c:c + 5] = 1.0
+    src = _source(tile_cfg)
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.35, beta_v=-0.35 + 0.1j)
+    thin = np.asarray(tiled_focus_images(mask_big, tile_cfg, src, [0.0],
+                                         rank=24))[0]
+    thick = np.asarray(tiled_focus_images(mask_big, tile_cfg, src, [0.0],
+                                          rank=24, mask3d=bl))[0]
+    nrms = np.linalg.norm(thick - thin) / np.linalg.norm(thin)
+    assert nrms > 1e-2  # darkened edge strips change the chip image
+
+    fem = tiled_fem(mask_big, tile_cfg, src, defocus_nm=[0.0], doses=[1.0],
+                    rank=24, target_cd_nm=125.0, mask3d=bl)
+    assert np.isfinite(np.asarray(fem["cd_nm"])).all()

@@ -320,3 +320,52 @@ def test_aberration_retrieval_through_focus_recovers_coefficients():
                         defocus_nm=offsets)
     with pytest.raises(ValueError, match="single-image"):
         fit_aberrations(target, spec, shifts, weights, CFG)
+
+
+def test_m3d_aware_opc_corrects_euv_shadowing_shift():
+    """EUV M3D-aware OPC regression: an asymmetric edge kernel (chief-ray
+    shadowing) shifts the printed pattern; tile OPC run THROUGH the kernel
+    must pre-compensate, beating the uncorrected design printed through the
+    same thick-mask forward."""
+    import jax.numpy as jnp
+
+    from lithographysimulator_tpu import (LightSource, ResistModel,
+                                          pattern_fidelity)
+    from lithographysimulator_tpu.ops.hopkins import randomized_socs
+    from lithographysimulator_tpu.ops.mask3d import EdgeKernelM3D
+    from lithographysimulator_tpu.ops.tiled import tiled_socs_image
+    from lithographysimulator_tpu.optimize import opc_correct_tiled
+
+    tile_cfg = OpticsConfig(pixel_number=32)
+    big_n = 64
+    target = np.zeros((big_n, big_n), np.float32)
+    for c in range(10, big_n - 6, 16):
+        target[6:-6, c:c + 5] = 1.0
+    src = np.asarray(LightSource(tile_cfg, sigma_out=0.5).classical())
+    # rise/fall asymmetry — the EUV shadowing signature the kernel fit
+    # produces at the 6-deg chief ray (magnitudes of that order)
+    ek = EdgeKernelM3D(width_nm=8.0,
+                       taps_v_rise=(0.05j, -0.30 + 0.05j, 0j),
+                       taps_v_fall=(0j, -0.10 + 0.02j, 0.03j),
+                       taps_h_rise=(0.015j, -0.20 + 0.035j, 0.015j),
+                       taps_h_fall=(0.015j, -0.20 + 0.035j, 0.015j))
+    resist = ResistModel(threshold=0.35, steepness=30.0)
+
+    socs = randomized_socs(
+        pupil_function(np.zeros(1, np.float32), tile_cfg),
+        jnp.asarray(src), tile_cfg, rank=24, seed=0)
+
+    def printed(mask_big):
+        img = np.asarray(tiled_socs_image(
+            jnp.asarray(mask_big, jnp.float32), socs, tile_cfg, mask3d=ek))
+        return (img / img.max()) > resist.threshold
+
+    base = pattern_fidelity(printed(target).astype(np.float32), target,
+                            tile_cfg)
+    corrected = opc_correct_tiled(
+        target, tile_cfg, src, resist=resist, steps=40, learning_rate=0.2,
+        rank=24, mask3d=ek)
+    after = pattern_fidelity(printed(np.asarray(corrected)).astype(np.float32),
+                             target, tile_cfg)
+    assert after["iou"] > base["iou"]
+    assert after["mean_epe_nm"] < base["mean_epe_nm"]

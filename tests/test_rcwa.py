@@ -346,3 +346,38 @@ def test_effective_mask_tracks_kirchhoff_dc():
     field = rcwa_effective_mask(cfg, pitch_px=16, duty=duty, pol="te")
     ideal = (1 - duty) * 1.0 + duty * thin_mask_transmission("binary_cr")
     assert abs(field.mean() - ideal) < 0.1
+
+
+def test_stack_wavelength_guard():
+    """Named stacks carry wavelength-specific optical constants: running
+    them at the wrong config wavelength must fail loudly (an EUV TaBN
+    reticle "solved" at 193 nm is confidently wrong, not approximate)."""
+    from lithographysimulator_tpu.ops.rcwa import resolve_stack
+
+    with pytest.raises(ValueError, match="13.5"):
+        resolve_stack("euv_ta", 193.0)
+    with pytest.raises(ValueError, match="193"):
+        resolve_stack("binary_cr", 13.5)
+    with pytest.raises(ValueError, match="available"):
+        resolve_stack("no_such_stack", 193.0)
+    # in-tolerance and unguarded (custom) stacks pass
+    assert resolve_stack("euv_ta", 13.5) is MASK_STACKS["euv_ta"]
+    assert resolve_stack("binary_cr", 193.4).design_wavelength_nm == 193.0
+    custom = MASK_STACKS["binary_cr"].__class__(
+        layers=((60.0, 1.2 + 0.5j),))  # no design wavelength -> no check
+    assert resolve_stack(custom, 157.0) is custom
+
+    # the guard fires on the imaging bridge too (config carries lambda)
+    cfg = OpticsConfig(pixel_number=32)  # 193 nm default
+    with pytest.raises(ValueError, match="wavelength"):
+        rcwa_effective_mask(cfg, pitch_px=16, duty=0.5, stack="euv_ta")
+
+
+def test_cli_m3dcal_wavelength_guard(capsys):
+    """The CLI surfaces the stack/wavelength mismatch as a clean exit with
+    the fix in the message, not a traceback."""
+    from lithographysimulator_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="13.5"):
+        main(["m3dcal", "--pixel-number", "32", "--pitch", "16",
+              "--stack", "euv_ta", "--steps", "5"])

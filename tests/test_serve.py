@@ -686,3 +686,22 @@ def test_router_aggregates_jobs_listing(fleet):
     assert any(j["job_id"] == jid and "backend" in j
                for j in listing["jobs"])
     _poll_job(url, jid)
+
+
+def test_job_tiled_m3d_model(server):
+    """Jobs accept a calibrated M3D model (the m3dcal output JSON object)
+    and image through it — the served image must differ from the thin-mask
+    run and match the local tiled apply."""
+    m3d = {"model": "boundary_layer", "width_nm": 8.0,
+           "beta_h": [-0.3, 0.0], "beta_v": [-0.3, 0.1]}
+    status, payload = _post(server, "/jobs", _job_body("tiled"))
+    assert status == 200
+    thin, _ = _poll_job(server, payload["job_id"])
+    status, payload = _post(server, "/jobs", _job_body("tiled", m3d=m3d))
+    assert status == 200
+    thick, _ = _poll_job(server, payload["job_id"])
+    assert thin["status"] == "done" and thick["status"] == "done", thick
+    a = _decode_array(thin["image"])
+    b = _decode_array(thick["image"])
+    assert np.isfinite(b).all() and b.max() > 0
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) > 1e-2
