@@ -757,7 +757,8 @@ def cmd_m3dcal(args) -> int:
             illumination_pol=args.pol, width_nm=args.width_nm,
             n_harmonics=args.harmonics, sigma_out=args.sigma_out,
             steps=args.steps, learning_rate=args.lr,
-            incidence_deg=args.incidence, taps=args.taps)
+            incidence_deg=args.incidence, taps=args.taps,
+            defocus_nm=tuple(args.defocus or ()))
     except ValueError as exc:
         # e.g. the stack/wavelength mismatch guard (ops.rcwa.resolve_stack)
         raise SystemExit(f"m3dcal: {exc}") from None
@@ -766,6 +767,7 @@ def cmd_m3dcal(args) -> int:
         "stack": args.stack,
         "illumination_pol": args.pol,
         "incidence_deg": args.incidence,
+        "defocus_nm": report["defocus_nm"],
         "pitch_px": args.pitch,
         "duty": round(duty, 6),
         "thin_nrms": {k: round(v, 8) for k, v in report["thin_nrms"].items()},
@@ -1281,6 +1283,12 @@ def main(argv=None) -> int:
                        help="classical calibration source radius")
     p_m3d.add_argument("--steps", type=int, default=150)
     p_m3d.add_argument("--lr", type=float, default=0.05)
+    p_m3d.add_argument("--defocus", type=float, nargs="*", default=None,
+                       metavar="NM",
+                       help="through-focus calibration planes in nm (e.g. "
+                            "-80 0 80); pins the sign of Im(beta) / the "
+                            "best-focus-shift direction that an in-focus-"
+                            "only target leaves weakly determined")
     p_m3d.add_argument("--out", default=None, metavar="FILE",
                        help="also write the result JSON to FILE — feed it "
                             "to the imaging commands' --m3d flag")

@@ -244,6 +244,40 @@ def apply_edge_kernel(
     return g.astype(jnp.complex64) + pert
 
 
+def _fit_imager(config: OpticsConfig, solver: str, chunk: int,
+                stacked: bool, target_shape: tuple):
+    """Shared imaging core of the M3D calibration fits: effective mask ->
+    jointly max-normalized aerial image(s). ``stacked`` selects the
+    through-focus path — aberrations (F, A), output (F, n, n) — and the
+    target shape is validated against it up front (a mismatched pair
+    otherwise broadcasts silently into a meaningless loss)."""
+    from ..models.pupil import pupil_function
+    from .abbe import abbe_image_points
+    from .focus import through_focus_images
+    from .fraunhofer import mask_spectrum
+
+    if stacked != (len(target_shape) == 3):
+        raise ValueError(
+            f"aberrations {'stack' if stacked else 'vector'} needs a "
+            f"{'(F, n, n)' if stacked else '(n, n)'} target, got shape "
+            f"{target_shape}")
+
+    def imaged(eff, aberrations, shifts, weights):
+        spectrum = mask_spectrum(eff, config, solver=solver)
+        if stacked:
+            image = through_focus_images(spectrum, aberrations, shifts,
+                                         weights, config, solver=solver,
+                                         chunk=chunk, normalize=True)
+        else:
+            pupil = pupil_function(aberrations, config)
+            image = abbe_image_points(spectrum, pupil, shifts, weights,
+                                      config, solver=solver, chunk=chunk,
+                                      normalize=True)
+        return image / jnp.maximum(jnp.max(image), 1e-30)
+
+    return imaged
+
+
 def fit_edge_kernel(
     target_image: jnp.ndarray,
     geometry,
@@ -263,11 +297,12 @@ def fit_edge_kernel(
     a reference aerial image — the multi-tap analog of
     :func:`fit_boundary_layer`, same Adam-through-the-imaging-stack loop.
     Edge orientations absent from the calibration pattern simply receive
-    zero gradient and keep zero taps."""
+    zero gradient and keep zero taps.
+
+    A 2-D ``aberrations`` stack (F, A) with a matching (F, n, n) target
+    fits THROUGH FOCUS (see :func:`fit_boundary_layer`)."""
     import optax
 
-    from ..models.pupil import pupil_function
-    from .abbe import abbe_image_points
     from .fraunhofer import mask_spectrum
 
     if aberrations is None:
@@ -276,6 +311,8 @@ def fit_edge_kernel(
     geometry = jnp.asarray(geometry)
     target = jnp.asarray(target_image, jnp.float32)
     target = target / jnp.maximum(jnp.max(target), 1e-30)
+    imaged = _fit_imager(config, solver, chunk, aberrations.ndim == 2,
+                         target.shape)
     n_taps = 2 * int(k) + 1
 
     optimizer = optax.adam(learning_rate)
@@ -288,12 +325,7 @@ def fit_edge_kernel(
                 geometry, config, width_nm=width_nm,
                 taps_h_rise=taps[0], taps_h_fall=taps[1],
                 taps_v_rise=taps[2], taps_v_fall=taps[3])
-            spectrum = mask_spectrum(eff, config, solver=solver)
-            pupil = pupil_function(aberrations, config)
-            image = abbe_image_points(spectrum, pupil, shifts, weights,
-                                      config, solver=solver, chunk=chunk,
-                                      normalize=True)
-            image = image / jnp.maximum(jnp.max(image), 1e-30)
+            image = imaged(eff, aberrations, shifts, weights)
             return jnp.mean((image - target) ** 2)
 
         value, grads = jax.value_and_grad(loss_fn)(params)
@@ -348,13 +380,18 @@ def fit_boundary_layer(
     Strip width is held fixed (width and |beta| are nearly degenerate to
     first order — fit beta at a plausible width instead of both).
 
+    THROUGH-FOCUS fits: pass ``aberrations`` as an (F, A) stack (e.g. from
+    :func:`..ops.focus.focus_stack_aberrations`) and ``target_image`` as the
+    matching (F, n, n) focal stack, jointly normalized. An in-focus image
+    constrains Im β only at second order (its sign — the direction of the
+    thick-mask best-focus shift — is nearly flat in the loss); the ±defocus
+    planes' asymmetry pins it at first order. Both stacks share ONE
+    normalization (their joint max), so through-focus contrast loss stays
+    in the signal.
+
     Returns the fitted :class:`BoundaryLayer` and the loss history.
     """
     import optax
-
-    from ..models.pupil import pupil_function
-    from .abbe import abbe_image_points
-    from .fraunhofer import mask_spectrum
 
     if aberrations is None:
         aberrations = jnp.zeros((1,), jnp.float32)
@@ -362,6 +399,8 @@ def fit_boundary_layer(
     geometry = jnp.asarray(geometry)
     target = jnp.asarray(target_image, jnp.float32)
     target = target / jnp.maximum(jnp.max(target), 1e-30)
+    imaged = _fit_imager(config, solver, chunk, aberrations.ndim == 2,
+                         target.shape)
 
     optimizer = optax.adam(learning_rate)
 
@@ -375,12 +414,7 @@ def fit_boundary_layer(
                     if "ah_re" in p else {})
             eff = apply_boundary_layers(geometry, config, width_nm=width_nm,
                                         beta_h=beta_h, beta_v=beta_v, **asym)
-            spectrum = mask_spectrum(eff, config, solver=solver)
-            pupil = pupil_function(aberrations, config)
-            image = abbe_image_points(spectrum, pupil, shifts, weights,
-                                      config, solver=solver, chunk=chunk,
-                                      normalize=True)
-            image = image / jnp.maximum(jnp.max(image), 1e-30)
+            image = imaged(eff, aberrations, shifts, weights)
             return jnp.mean((image - target) ** 2)
 
         value, grads = jax.value_and_grad(loss_fn)(params)
@@ -458,6 +492,7 @@ def boundary_layer_from_rcwa(
     learning_rate: float = 0.05,
     incidence_deg: float = 0.0,
     taps: int = 0,
+    defocus_nm=(),
 ) -> tuple[BoundaryLayer, dict]:
     """Calibrate the BL model from first principles — no external EMF tool.
 
@@ -481,11 +516,14 @@ def boundary_layer_from_rcwa(
     rasterizes exactly (see :func:`grating_geometry`) — otherwise a 1-px CD
     mismatch between the thin layout and the RCWA topography leaks into β.
 
-    Caveat: an in-focus target determines Re β (the CD bias) strongly but
+    An in-focus target determines Re β (the CD bias) strongly but
     constrains Im β only at second order — its *sign* (the direction of the
     thick-mask best-focus shift) can land either way between runs/backends.
-    Fits that need the focus-shift sign should extend the target to a
-    through-focus pair (``fit_boundary_layer`` accepts ``aberrations``).
+    ``defocus_nm`` (e.g. ``(-80, 0, 80)``) extends the calibration target
+    to a THROUGH-FOCUS stack — the rigorous near field imaged at every
+    plane, jointly normalized — which pins Im β (and the best-focus-shift
+    direction) at first order via the ±defocus asymmetry. Empty (default):
+    the in-focus-only fit. CLI: ``m3dcal --defocus -80 0 80``.
 
     ``incidence_deg`` tilts the illumination across the (vertical) lines —
     the EUV chief-ray geometry when used with the reflective ``euv_ta``
@@ -509,6 +547,7 @@ def boundary_layer_from_rcwa(
     from ..models.source import LightSource
     from ..parallel import padded_source_arrays
     from ..simulate import simulate
+    from .focus import focus_stack_aberrations
     from .rcwa import rcwa_effective_mask, thin_mask_transmission
 
     if illumination_pol not in ("x", "y", "unpolarized"):
@@ -516,6 +555,12 @@ def boundary_layer_from_rcwa(
 
     src = np.asarray(LightSource(config, sigma_out=sigma_out).classical())
     shifts, weights, _ = padded_source_arrays(src, chunk)
+    defocus_nm = (tuple(float(d) for d in
+                        np.atleast_1d(np.asarray(defocus_nm, np.float64)))
+                  if np.size(defocus_nm) else ())
+    stack_ab = (np.asarray(focus_stack_aberrations(
+        np.zeros(5, np.float32), np.asarray(defocus_nm, np.float32)))
+        if defocus_nm else None)
 
     t_thin = thin_mask_transmission(stack, config.wavelength,
                                     incidence_deg=incidence_deg)
@@ -533,8 +578,16 @@ def boundary_layer_from_rcwa(
             mask = Mask(geometry=geometry, config=config)
         else:
             mask = from_array(geometry, config)
-        img = np.asarray(
-            simulate(mask, src, solver=solver, normalize=True).image)
+        if stack_ab is None:
+            img = np.asarray(
+                simulate(mask, src, solver=solver, normalize=True).image)
+        else:
+            # through-focus target: one plane per defocus, ONE joint
+            # normalization (the through-focus contrast loss is signal)
+            img = np.stack([
+                np.asarray(simulate(mask, src, ab, solver=solver,
+                                    normalize=True).image)
+                for ab in stack_ab])
         return img / max(float(img.max()), 1e-30)
 
     thin_img = imaged(geom)
@@ -550,6 +603,7 @@ def boundary_layer_from_rcwa(
         return float(np.sqrt(np.mean((a - b) ** 2)))
 
     fits, report = {}, {"pitch_px": pitch_px, "duty": duty,
+                        "defocus_nm": list(defocus_nm),
                         "thin_nrms": {}, "fit_nrms": {}, "history": {}}
     fit_targets = ({"avg": 0.5 * (targets["te"] + targets["tm"])}
                    if illumination_pol == "unpolarized" else targets)
@@ -558,12 +612,13 @@ def boundary_layer_from_rcwa(
             bl, hist = fit_edge_kernel(
                 target, geom, shifts, weights, config, k=taps,
                 width_nm=width_nm, solver=solver, chunk=chunk, steps=steps,
-                learning_rate=learning_rate)
+                learning_rate=learning_rate, aberrations=stack_ab)
         else:
             bl, hist = fit_boundary_layer(
                 target, geom, shifts, weights, config, width_nm=width_nm,
                 solver=solver, chunk=chunk, steps=steps,
-                learning_rate=learning_rate, fit_asym=fit_asym)
+                learning_rate=learning_rate, fit_asym=fit_asym,
+                aberrations=stack_ab)
         fits[key] = bl
         # apply under jit: eager complex arithmetic dies on the TPU tunnel
         corrected = imaged(jax.jit(bl.apply, static_argnums=1)(geom, config))

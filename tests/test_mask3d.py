@@ -418,3 +418,64 @@ def test_tiled_metrology_accepts_mask3d():
     fem = tiled_fem(mask_big, tile_cfg, src, defocus_nm=[0.0], doses=[1.0],
                     rank=24, target_cd_nm=125.0, mask3d=bl)
     assert np.isfinite(np.asarray(fem["cd_nm"])).all()
+
+
+def test_through_focus_fit_pins_im_beta_sign():
+    """Ground-truth round trip: Im(beta) sets the thick-mask best-focus
+    shift, which an in-focus image constrains only at second order. A
+    through-focus target (the +-defocus asymmetry) recovers the full
+    complex beta — sign of the imaginary part included."""
+    import jax.numpy as jnp
+
+    from lithographysimulator_tpu.ops.focus import (focus_stack_aberrations,
+                                                    through_focus_images)
+    from lithographysimulator_tpu.ops.fraunhofer import mask_spectrum
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    cfg = OpticsConfig(pixel_number=32)
+    geom = np.asarray(lines_and_spaces(cfg, line_width_px=5,
+                                       pitch_px=16).geometry)
+    src = _source(cfg)
+    shifts, weights, _ = padded_source_arrays(src, 8)
+    true = BoundaryLayer(width_nm=8.0, beta_h=-0.25 + 0.15j,
+                         beta_v=-0.25 + 0.15j)
+    stack_ab = np.asarray(focus_stack_aberrations(
+        np.zeros(5, np.float32), np.array([-80.0, 0.0, 80.0], np.float32)))
+
+    @jax.jit
+    def make_target(g):
+        eff = true.apply(g, cfg)
+        spec = mask_spectrum(eff, cfg)
+        img = through_focus_images(spec, stack_ab, shifts, weights, cfg,
+                                   chunk=8, normalize=True)
+        return img / jnp.max(img)
+
+    target = np.asarray(make_target(jnp.asarray(geom)))
+    fitted, hist = fit_boundary_layer(
+        target, geom, shifts, weights, cfg, width_nm=8.0, chunk=8,
+        steps=250, learning_rate=0.03, aberrations=stack_ab)
+    assert hist[-1] < 1e-7
+    assert abs(fitted.beta_v - true.beta_v) < 0.03
+    assert fitted.beta_v.imag > 0.10  # the sign (and magnitude) is pinned
+    # shape mismatch fails loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="target"):
+        fit_boundary_layer(target[0], geom, shifts, weights, cfg,
+                           aberrations=stack_ab, steps=1)
+
+
+def test_rcwa_calibration_through_focus():
+    """First-principles through-focus calibration: the report carries the
+    planes, the fit beats thin-mask on the SAME focal stack, and Im(beta)
+    comes out with a definite sign."""
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+
+    cfg = OpticsConfig(pixel_number=32)
+    bl, rep = boundary_layer_from_rcwa(
+        cfg, stack="binary_cr", pitch_px=16, steps=60,
+        defocus_nm=(-80.0, 0.0, 80.0))
+    assert rep["defocus_nm"] == [-80.0, 0.0, 80.0]
+    assert rep["fit_nrms"]["avg"] < 0.35 * rep["thin_nrms"]["avg"]
+    assert bl.beta_h == bl.beta_v  # unpolarized isotropy preserved
+    assert abs(bl.beta_v.imag) > 1e-3
