@@ -33,10 +33,14 @@ def tiled_socs_image_sharded(
     solver: str = "gau23",
     chunk: int = 4,
     engine: str = "auto",
+    mask3d=None,
 ) -> jnp.ndarray:
     """(M, M) aerial image with tiles distributed over ``mesh``'s 'source'
     axis. The padded mask and SOCS kernels are replicated; each device images
-    its shard of tiles with ``lax.map`` and the cores are all-gathered."""
+    its shard of tiles with ``lax.map`` and the cores are all-gathered.
+    ``mask3d`` (BoundaryLayer / EdgeKernelM3D) applies per window, exactly
+    as on the single-chip tiled path (the stencil is local; wraparound
+    lands in the cropped halo)."""
     big_n = mask_big.shape[-1]
     n = tile_config.n
     if halo is None:
@@ -64,6 +68,8 @@ def tiled_socs_image_sharded(
         def one(c):
             window = jax.lax.dynamic_slice(
                 padded, (c[0] * step, c[1] * step), (n, n))
+            if mask3d is not None:
+                window = mask3d.apply(window, tile_config)
             spectrum = mask_spectrum(window, tile_config)
             img = socs_image(spectrum, socs, tile_config,
                              solver=solver, chunk=chunk, engine=engine)

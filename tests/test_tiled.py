@@ -212,3 +212,19 @@ def test_field_blend_cd_continuity():
     # measured 0.70 nm nearest vs 0.18 nm linear (ratio 0.26): blending cuts
     # the worst bar-to-bar CD jump by well over half
     assert jump_linear < 0.45 * jump_nearest
+
+
+def test_sharded_tiles_mask3d_match_local(big_mask, socs):
+    """Sharded full-chip imaging with a thick-mask model equals the local
+    tiled apply — the production EUV flow over the device mesh."""
+    from lithographysimulator_tpu import BoundaryLayer
+
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.3, beta_v=-0.3 + 0.1j)
+    mesh = source_mesh()
+    a = np.asarray(tiled_socs_image_sharded(big_mask, socs, TILE_CFG, mesh,
+                                            halo=32, mask3d=bl))
+    b = np.asarray(tiled_socs_image(big_mask, socs, TILE_CFG, halo=32,
+                                    mask3d=bl))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5 * b.max())
+    thin = np.asarray(tiled_socs_image(big_mask, socs, TILE_CFG, halo=32))
+    assert np.linalg.norm(b - thin) / np.linalg.norm(thin) > 1e-3
