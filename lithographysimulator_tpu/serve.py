@@ -624,9 +624,17 @@ class LithoService:
         aberr = tuple(float(a) for a in (body.get("aberrations") or ()))
         chromatic = self._parse_chromatic(body.get("chromatic"))
         perturb = self._parse_perturbation(body)
+        mask3d = None
+        if body.get("m3d") is not None:
+            # calibrated thick-mask model (m3dcal JSON object); both model
+            # kinds are frozen dataclasses, so they ride the batching
+            # signature as hashable statics
+            from .ops.mask3d import model_from_json
+
+            mask3d = model_from_json(body["m3d"])
         signature = (config, source_sig, aberr, solver, chunk,
                      bool(body.get("normalize", False)), socs_rank,
-                     polarization, chromatic, perturb)
+                     polarization, chromatic, perturb, mask3d)
         return signature, mask
 
     @staticmethod
@@ -696,7 +704,7 @@ class LithoService:
         from .simulate import simulate_batch
 
         (config, source_sig, aberr, solver, chunk, normalize, socs_rank,
-         polarization, chromatic, perturb) = signature
+         polarization, chromatic, perturb, mask3d) = signature
         source = _source_from_sig(config, source_sig)
         b = len(masks)
         padded_b = 1 << (b - 1).bit_length()  # next power of two
@@ -708,7 +716,7 @@ class LithoService:
             np.asarray(aberr, np.float32) if aberr else None,
             solver=solver, chunk=chunk, normalize=normalize,
             socs_rank=socs_rank, polarization=polarization,
-            chromatic=chromatic, perturb=perturb)
+            chromatic=chromatic, perturb=perturb, mask3d=mask3d)
         return np.asarray(images)[:b]
 
     def _drain_once(self, timeout: float | None = None) -> bool:

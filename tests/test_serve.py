@@ -705,3 +705,23 @@ def test_job_tiled_m3d_model(server):
     b = _decode_array(thick["image"])
     assert np.isfinite(b).all() and b.max() > 0
     assert np.linalg.norm(a - b) / np.linalg.norm(a) > 1e-2
+
+
+def test_simulate_endpoint_m3d(server):
+    """/simulate accepts the calibrated M3D model too (hashable — rides the
+    batching signature); the image differs from the thin-mask response."""
+    mask = np.zeros((48, 48), np.float32)
+    mask[:, 16:26] = 1.0
+    body = {"mask": _encode_array(mask), "pixel_number": 48,
+            "source": {"kind": "classical", "sigma_out": 0.5},
+            "normalize": True}
+    status, thin = _post(server, "/simulate", body)
+    assert status == 200
+    body["m3d"] = {"model": "boundary_layer", "width_nm": 8.0,
+                   "beta_h": [-0.3, 0.0], "beta_v": [-0.3, 0.1]}
+    status, thick = _post(server, "/simulate", body)
+    assert status == 200
+    a = _decode_array(thin["image"])
+    b = _decode_array(thick["image"])
+    assert np.isfinite(b).all()
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) > 1e-2
