@@ -290,6 +290,7 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
 | ![inspection](inspection.png) | Inspection (round 3): NILS hotspot detection localizes the weak isolated contact; MRC flags sub-width slivers and tiny islands on a mask |
 | ![m3d](mask3d_rcwa.png) | Thick-mask M3D (round 4): the in-repo rigorous RCWA near field vs the thin mask, and the first-principles boundary-layer calibration closing the image residual ~10× |
 | ![euv](euv_m3d.png) | EUV M3D (round 4): TaBN / 40× Mo-Si reticle at the 6° chief ray — rigorous shadowing (pattern shift) captured by the multi-tap edge-kernel model |
+| ![m3dtf](m3d_through_focus.png) | Through-focus M3D calibration (round 4): an in-focus-only fit leaves Im β loose; ±defocus targets pin it and the thick-mask best-focus shift |
 """)
     print("wrote", gallery)
 
@@ -605,6 +606,87 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     fig.savefig(DOCS / "euv_m3d.png", bbox_inches="tight")
     plt.close(fig)
     print("wrote", DOCS / "euv_m3d.png")
+
+    # 19. Through-focus M3D calibration: pinning the best-focus shift
+    from lithographysimulator_tpu.ops.focus import focus_stack_aberrations
+
+    cfg_f = lt.OpticsConfig(pixel_number=32)
+    sweep = np.linspace(-120.0, 120.0, 9)
+    sweep_ab = np.asarray(focus_stack_aberrations(
+        np.zeros(5, np.float32), sweep.astype(np.float32)))
+    bl_if, _ = boundary_layer_from_rcwa(cfg_f, stack="binary_cr",
+                                        pitch_px=16, steps=120)
+    bl_tf, _ = boundary_layer_from_rcwa(cfg_f, stack="binary_cr",
+                                        pitch_px=16, steps=120,
+                                        defocus_nm=(-80.0, 0.0, 80.0))
+    geom_f = grating_geometry(cfg_f, pitch_px=16, duty=9 / 16,
+                              transmission=0.0)
+    src_f = np.asarray(lt.LightSource(cfg_f, sigma_out=0.5).classical())
+
+    def stack_of(g):
+        imgs = np.stack([
+            np.asarray(lt.simulate(lt.from_array(np.asarray(g), cfg_f),
+                                   src_f, ab, normalize=True).image)
+            for ab in sweep_ab])
+        return imgs / imgs.max()
+
+    rig_stack = 0.5 * sum(
+        stack_of(rcwa_effective_mask(cfg_f, pitch_px=16, duty=9 / 16,
+                                     stack="binary_cr", pol=p))
+        for p in ("te", "tm"))
+    rig_stack = rig_stack / rig_stack.max()
+    thin_stack = stack_of(np.asarray(geom_f))
+    if_stack = stack_of(np.asarray(
+        jax.jit(bl_if.apply, static_argnums=1)(geom_f, cfg_f)))
+    tf_stack = stack_of(np.asarray(
+        jax.jit(bl_tf.apply, static_argnums=1)(geom_f, cfg_f)))
+
+    def per_plane_nrms(s):
+        return np.sqrt(np.mean((s - rig_stack) ** 2, axis=(1, 2)))
+
+    def focus_asymmetry(s):
+        # ||image(+d) - image(-d)|| per defocus magnitude: a thin mask is
+        # exactly focus-symmetric (zero), a thick mask is not — this
+        # first-order signal is what pins Im β in the through-focus fit
+        half = len(sweep) // 2
+        return 100 * np.asarray([
+            np.sqrt(np.mean((s[half + i] - s[half - i]) ** 2))
+            for i in range(1, half + 1)])
+
+    fig, axes = plt.subplots(1, 2, dpi=170, figsize=(8.2, 3.4))
+    axes[0].plot(sweep, 100 * per_plane_nrms(thin_stack), "--",
+                 label="thin mask", color="#888888")
+    axes[0].plot(sweep, 100 * per_plane_nrms(if_stack),
+                 label=f"BL, in-focus fit (Im β={bl_if.beta_v.imag:+.2f})",
+                 color="#4477aa")
+    axes[0].plot(sweep, 100 * per_plane_nrms(tf_stack),
+                 label=f"BL, through-focus fit (Im β={bl_tf.beta_v.imag:+.2f})",
+                 color="#cc3311")
+    axes[0].set_xlabel("defocus (nm)")
+    axes[0].set_ylabel("image NRMS vs rigorous (%)")
+    axes[0].set_title("an in-focus-only fit leaves Im β loose —\n"
+                      "the error grows off focus", fontsize=8.5)
+    axes[0].legend(fontsize=7)
+    dmag = sweep[len(sweep) // 2 + 1:]
+    axes[1].plot(dmag, focus_asymmetry(rig_stack), "k",
+                 label="rigorous (RCWA)")
+    axes[1].plot(dmag, focus_asymmetry(thin_stack), "--",
+                 label="thin mask (exactly symmetric)", color="#888888")
+    axes[1].plot(dmag, focus_asymmetry(tf_stack), ":", lw=2,
+                 label="BL, through-focus fit", color="#cc3311")
+    axes[1].set_xlabel("|defocus| (nm)")
+    axes[1].set_ylabel("||img(+d) − img(−d)|| ×100")
+    axes[1].set_title("the thick mask breaks focus symmetry —\n"
+                      "the first-order signal that pins Im β",
+                      fontsize=8.5)
+    axes[1].legend(fontsize=7)
+    fig.suptitle("Through-focus M3D calibration (m3dcal --defocus): "
+                 "pinning Im β and the best-focus-shift direction",
+                 fontsize=10)
+    fig.tight_layout()
+    fig.savefig(DOCS / "m3d_through_focus.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "m3d_through_focus.png")
 
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
