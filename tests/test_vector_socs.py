@@ -273,11 +273,11 @@ def test_serve_parses_jones_polarization():
         "polarization": [[1.0, 0.0], [0.0, 1.0]],  # circular-ish Jones
     }
     sig, _ = svc._parse(body)
-    # [-3]: polarization slot ([-2] chromatic, [-1] perturbation)
-    assert sig[-3] == (1.0 + 0.0j, 1.0j)
+    # [-4]: polarization slot ([-3] chromatic, [-2] perturbation, [-1] m3d)
+    assert sig[-4] == (1.0 + 0.0j, 1.0j)
     body["polarization"] = "unpolarized"
     sig, _ = svc._parse(body)
-    assert sig[-3] == "unpolarized"
+    assert sig[-4] == "unpolarized"
     body["polarization"] = [0.0, 0.0]
     with pytest.raises(ValueError, match="zero Jones"):
         svc._parse(body)
