@@ -58,6 +58,9 @@ from .ops.hopkins import (SOCSKernels, principal_channel_rotation,
                           randomized_socs_chromatic, randomized_socs_components,
                           randomized_socs_vector, socs_image,
                           tcc_eigensystem)
+from .ops.filmstack import (WaferStack, film_component_multipliers,
+                            film_depth_factors, open_frame_profile,
+                            substrate_reflectance, underlayer_sweep)
 from .ops.perturb import ImagePerturbation, apply_perturbation
 from .ops.mask3d import (BoundaryLayer, EdgeKernelM3D, apply_boundary_layers,
                          apply_edge_kernel, boundary_layer_from_rcwa,
@@ -72,7 +75,8 @@ from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
 from .ops.zernike import (fringe_index_to_mn, noll_index_to_mn,
                           osa_index_to_mn, to_osa_coefficients,
                           wavefront_error, zernike_basis)
-from .simulate import SimulationResult, simulate, simulate_batch
+from .simulate import (SimulationResult, film_stack_images, simulate,
+                       simulate_batch)
 
 __version__ = "0.1.0"
 
@@ -147,6 +151,13 @@ __all__ = [
     "DepthResist",
     "matmul_compensated",
     "simulate_batch",
+    "WaferStack",
+    "film_component_multipliers",
+    "film_depth_factors",
+    "film_stack_images",
+    "open_frame_profile",
+    "substrate_reflectance",
+    "underlayer_sweep",
     "tiled_fem",
     "tiled_focus_images",
     "tiled_meef",

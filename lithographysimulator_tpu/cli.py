@@ -865,9 +865,13 @@ def cmd_stochastic(args) -> int:
 
 
 def cmd_resist3d(args) -> int:
-    """3-D resist development: through-film focal stack -> latent image
-    (absorption + substrate standing waves + PEB diffusion) -> eikonal front
-    propagation (lateral etch / undercut) -> 3-D profile + summary stats."""
+    """3-D resist development: through-film exposure -> latent image ->
+    eikonal front propagation (lateral etch / undercut) -> 3-D profile +
+    summary stats. Two exposure fidelities: the default separable model
+    (focal stack x analytic absorption/standing-wave profile) and, with
+    ``--film``, the rigorous electromagnetic image IN the resist
+    (:mod:`.ops.filmstack`: per-angle TE/TM thin-film interference over an
+    actual substrate/BARC stack — exact through-depth defocus included)."""
     from .models.resist import DepthResist, MackResist
     from .ops.focus import compiled_focus_stack, focus_stack_aberrations
     from .parallel import padded_source_arrays
@@ -875,33 +879,58 @@ def cmd_resist3d(args) -> int:
     config = _build_config(args)
     mask = _build_mask(args, config)
     source = _build_source(args, config)
+    if args.film and args.reflectivity:
+        print("error: --reflectivity is the separable model's knob; with "
+              "--film the actual substrate/BARC stack sets the reflected "
+              "wave (use --substrate/--barc)", file=sys.stderr)
+        return 2
     dr = DepthResist(
         mack=MackResist(thickness_nm=args.thickness, develop_s=args.develop_s),
         nz=args.nz,
         absorbance_per_um=args.absorbance,
         substrate_reflectivity=args.reflectivity,
         peb_diffusion_nm=args.peb,
+        n_resist=args.n_resist,
         wavelength_nm=config.wavelength,
         surface_rate_factor=args.surface_rate_factor,
         inhibition_depth_nm=args.inhibition_depth,
         lateral_rate_factor=args.lateral_rate_factor,
         lateral_surface_factor=args.lateral_surface_factor,
     )
-    shifts, weights, _ = padded_source_arrays(np.asarray(source), args.chunk)
     base = np.asarray(args.aberrations if args.aberrations else [0.0] * 5,
                       np.float32)
-    # Entry 4 of --aberrations is the user's focus setting (nm); the film's
-    # per-slab defocus offsets ride on top of it (focus_stack_aberrations
-    # REPLACES entry 4, so it must be folded in here, not left in `base`).
-    best_focus = float(base[4]) if base.shape[0] > 4 else 0.0
-    film_defocus = dr.film_defocus_nm(best_focus_nm=best_focus)
-    stack_ab = focus_stack_aberrations(base, film_defocus.astype(np.float32))
-    run = compiled_focus_stack(
-        config, chunk=args.chunk, normalize=True,
-        max_abs_shift=int(np.abs(np.asarray(shifts)).max()),
-        mask3d=_build_mask3d(args))
     t0 = time.perf_counter()
-    stack = run(mask.geometry, stack_ab, shifts, weights)
+    if args.film:
+        from .ops.filmstack import MATERIALS_193, WaferStack
+        from .simulate import film_stack_images
+
+        under = (((float(args.barc), complex(*args.barc_n)),)
+                 if args.barc > 0 else ())
+        wafer = WaferStack.from_resist(
+            dr, under_layers=under,
+            n_substrate=MATERIALS_193[args.substrate])
+        polarization = None if args.polarization == "scalar" else args.polarization
+        stack = film_stack_images(
+            mask, np.asarray(source), base, config=config, wafer_stack=wafer,
+            resist=dr, polarization=polarization, chunk=args.chunk,
+            normalize=True, mask3d=_build_mask3d(args))
+        dr = dr.rigorous()  # exposure stack already carries absorption
+    else:
+        shifts, weights, _ = padded_source_arrays(
+            np.asarray(source), args.chunk)
+        # Entry 4 of --aberrations is the user's focus setting (nm); the
+        # film's per-slab defocus offsets ride on top of it
+        # (focus_stack_aberrations REPLACES entry 4, so it must be folded
+        # in here, not left in `base`).
+        best_focus = float(base[4]) if base.shape[0] > 4 else 0.0
+        film_defocus = dr.film_defocus_nm(best_focus_nm=best_focus)
+        stack_ab = focus_stack_aberrations(base,
+                                           film_defocus.astype(np.float32))
+        run = compiled_focus_stack(
+            config, chunk=args.chunk, normalize=True,
+            max_abs_shift=int(np.abs(np.asarray(shifts)).max()),
+            mask3d=_build_mask3d(args))
+        stack = run(mask.geometry, stack_ab, shifts, weights)
     profile = np.asarray(dr.develop_profile_binary(
         stack, args.dose, pixel_size_nm=config.pixel_size))  # 1 = removed
     elapsed = time.perf_counter() - t0
@@ -916,6 +945,7 @@ def cmd_resist3d(args) -> int:
     print(json.dumps({
         "nz": dr.nz,
         "thickness_nm": dr.mack.thickness_nm,
+        "exposure": "film" if args.film else "separable",
         "cleared_fraction": float(profile.mean()),
         "through_print_fraction": float(profile.min(axis=0).mean()),
         "undercut_voxels": undercut,
@@ -1144,6 +1174,28 @@ def main(argv=None) -> int:
                             "the resist top as a fraction of bulk")
     p_r3d.add_argument("--peb", type=float, default=0.0,
                        help="post-exposure-bake diffusion length (nm)")
+    p_r3d.add_argument("--film", action="store_true",
+                       help="rigorous electromagnetic image IN the resist: "
+                            "per-angle TE/TM thin-film interference over "
+                            "the --substrate/--barc stack (replaces the "
+                            "separable absorption x standing-wave model "
+                            "and the --reflectivity knob)")
+    p_r3d.add_argument("--n-resist", type=float, default=1.71,
+                       help="resist refractive index (real part)")
+    p_r3d.add_argument("--substrate", default="si",
+                       choices=["si", "sio2", "air"],
+                       help="substrate material under the film stack "
+                            "(--film only)")
+    p_r3d.add_argument("--barc", type=float, default=0.0,
+                       help="bottom antireflective coating thickness in nm "
+                            "(0 = none; --film only)")
+    p_r3d.add_argument("--barc-n", type=float, nargs=2,
+                       default=(1.82, 0.39), metavar=("RE", "IM"),
+                       help="BARC complex refractive index")
+    p_r3d.add_argument("--polarization", default="scalar",
+                       choices=["scalar", "x", "y", "unpolarized"],
+                       help="illumination polarization for the --film "
+                            "imager (scalar = TE-Airy image in resist)")
     p_r3d.add_argument("--chunk", type=int, default=4)
     p_r3d.add_argument("--out", default=None, help="3-D profile .npz path")
     p_r3d.add_argument("--plot", default=None, help="cross-section .png path")

@@ -567,6 +567,15 @@ class DepthResist:
     lateral_rate_factor: float = 1.0    # bulk lateral/vertical ratio
     lateral_surface_factor: float = 1.0  # extra lateral suppression at z=0
 
+    def rigorous(self) -> "DepthResist":
+        """A copy with the ANALYTIC depth attenuation disabled — for latent
+        images built by the rigorous film-stack imager
+        (:func:`...simulate.film_stack_images`), whose exposure stack already
+        carries Beer-Lambert absorption and the exact standing waves (so the
+        separable ``depth_profile()`` must not be applied on top)."""
+        return dataclasses.replace(
+            self, absorbance_per_um=0.0, substrate_reflectivity=0.0)
+
     def lateral_factor_profile(self) -> np.ndarray | None:
         """(nz,) lateral/vertical rate ratio at slab depths, or None when
         isotropic (both knobs at 1)."""

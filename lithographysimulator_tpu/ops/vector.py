@@ -67,8 +67,15 @@ def polarization_states(polarization) -> list:
 
 
 @functools.lru_cache(maxsize=16)
-def _vector_factors(config: OpticsConfig, apodize: bool):
-    """Host-side (3, 2, n, n) float64 V(sigma) plus the unit-disk mask."""
+def _vector_basis(config: OpticsConfig):
+    """Host-side float64 pupil-angle basis shared by the Jones pupil and the
+    film-stack image-in-resist factors (:mod:`.filmstack`).
+
+    Returns ``(tx, ty, rx, ry, gamma, sin_t, inside)``: the tangential (TE)
+    and radial (TM) unit vectors on the sigma plane, the focus-cone cosine
+    and sine measured in the image-side medium, and the propagating
+    unit-disk mask.
+    """
     grid = Grid(config)
     sx = grid.sigma[None, :]
     sy = grid.sigma[:, None]
@@ -92,6 +99,14 @@ def _vector_factors(config: OpticsConfig, apodize: bool):
     ty = np.where(rho > 0, sx / safe_rho, 1.0)
     rx = np.where(rho > 0, sx / safe_rho, 1.0)
     ry = np.where(rho > 0, sy / safe_rho, 0.0)
+    return tx, ty, rx, ry, gamma, sin_t, inside
+
+
+@functools.lru_cache(maxsize=16)
+def _vector_factors(config: OpticsConfig, apodize: bool):
+    """Host-side (3, 2, n, n) float64 V(sigma) plus the unit-disk mask."""
+    tx, ty, rx, ry, gamma, sin_t, inside = _vector_basis(config)
+    rho = Grid(config).radius()
     # on-axis point: direction degenerate; V must be identity (x,y), 0 (z)
     v = np.zeros((3, 2, config.n, config.n))
     for p, (tp, rp) in enumerate(((tx, rx), (ty, ry))):

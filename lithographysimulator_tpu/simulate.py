@@ -441,6 +441,113 @@ def _compiled_batch_socs(config: OpticsConfig, chunk: int, normalize: bool,
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_film_pipeline(config: OpticsConfig, solver: str, chunk: int,
+                            normalize: bool, max_abs_shift: int | None,
+                            mask3d=None, engine: str = "auto"):
+    """Rigorous image-in-resist stack: one jitted pipeline producing the
+    (nz, n, n) in-film intensity from per-slab component-pupil multipliers
+    (:func:`..ops.filmstack.film_component_multipliers`). The multipliers
+    arrive as re/im float32 planes (jit *arguments*, not closure captures —
+    complex host->device transfers fail on the TPU tunnel, and closures must
+    not capture large device arrays; see CLAUDE.md)."""
+
+    @functools.partial(jax.jit)
+    def run(geometry, aberrations, shifts, weights, mult_re, mult_im):
+        if mask3d is not None:
+            geometry = mask3d.apply(geometry, config)
+        spectrum = mask_spectrum(geometry, config, solver=solver)
+        pupil = pupil_function(aberrations, config)
+        mult = jax.lax.complex(mult_re, mult_im)  # (nz, C, n, n)
+
+        def slab(mult_z):
+            def comp(total, mult_c):
+                image = abbe_image_points(
+                    spectrum, pupil * mult_c, shifts, weights, config,
+                    solver=solver, chunk=chunk, normalize=normalize,
+                    engine=engine, max_abs_shift=max_abs_shift)
+                return total + image, None
+
+            zero = jnp.zeros(geometry.shape, jnp.float32)
+            total, _ = jax.lax.scan(comp, zero, mult_z)
+            return total
+
+        return jax.lax.map(slab, mult)
+
+    return run
+
+
+def film_stack_images(
+    mask,
+    source_map,
+    aberrations=None,
+    *,
+    config: OpticsConfig | None = None,
+    wafer_stack,
+    depths_nm=None,
+    resist=None,
+    polarization=None,
+    apodize: bool = True,
+    solver: Literal["gau23", "direct"] = "gau23",
+    chunk: int = 4,
+    normalize: bool = True,
+    engine: str = "auto",
+    mask3d=None,
+    block: bool = True,
+) -> jnp.ndarray:
+    """(nz, n, n) rigorous in-film exposure stack — the electromagnetic
+    image **inside** the resist (:mod:`..ops.filmstack`), slab by slab.
+
+    Every plane wave of the Abbe sum refracts into the resist of
+    ``wafer_stack`` and interferes with its reflection off the underlayers/
+    substrate, so Beer-Lambert absorption, polarization-split standing
+    waves, oblique-incidence interference and the exact (non-paraxial)
+    through-depth defocus are all in the stack — feed it to
+    :meth:`..models.resist.DepthResist.develop_profile` (on a
+    ``DepthResist.rigorous()`` instance, so the analytic D(z) attenuation
+    is not double-counted).
+
+    ``depths_nm`` defaults to ``resist.depths_nm`` when a DepthResist is
+    given. ``polarization=None`` = scalar (TE-Airy) image in resist; any
+    Jones spec runs the full vector treatment. ``mask3d`` composes: thick
+    MASK physics at the object side, thick FILM physics at the image side.
+    """
+    from .ops.filmstack import film_component_multipliers
+
+    if config is None:
+        config = mask.config
+    if depths_nm is None:
+        if resist is None:
+            raise ValueError("pass depths_nm or a DepthResist via resist=")
+        depths_nm = resist.depths_nm
+    depths = tuple(float(z) for z in np.atleast_1d(depths_nm))
+    if aberrations is None:
+        aberrations = np.zeros((1,), np.float32)
+    if isinstance(polarization, (list, np.ndarray)):
+        polarization = tuple(complex(v) for v in polarization)
+
+    src_np = np.asarray(source_map)
+    pts = source_points(src_np)
+    pad = (-pts.live_count) % chunk
+    shifts = np.concatenate([pts.shifts, np.zeros((pad, 2), np.int32)])
+    weights = np.concatenate([pts.weights, np.zeros((pad,), np.float32)])
+    max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
+
+    mult = film_component_multipliers(
+        config, wafer_stack, depths, polarization=polarization,
+        apodize=apodize)
+    run = _compiled_film_pipeline(config, solver, chunk, normalize,
+                                  max_abs_shift, mask3d, engine)
+    geometry = mask.geometry if hasattr(mask, "geometry") else jnp.asarray(mask)
+    stack = run(geometry, jnp.asarray(aberrations, jnp.float32),
+                jnp.asarray(shifts), jnp.asarray(weights),
+                jnp.asarray(mult.real, jnp.float32),
+                jnp.asarray(mult.imag, jnp.float32))
+    if block:
+        stack = jax.block_until_ready(stack)
+    return stack
+
+
 def simulate_batch(
     geometries,
     config: OpticsConfig,

@@ -163,6 +163,28 @@ def test_cli_resist3d(tmp_path, capsys):
     assert profile.shape == (4, 32, 32)
 
 
+def test_cli_resist3d_film(tmp_path, capsys):
+    """--film routes through the rigorous image-in-resist (film-stack)
+    exposure; --reflectivity conflicts with it."""
+    from lithographysimulator_tpu.cli import main
+
+    out = tmp_path / "p.npz"
+    rc = main(["resist3d", "--pixel-number", "32", "--source", "classical",
+               "--sigma-out", "0.5", "--mask", "lines", "--nz", "4",
+               "--film", "--substrate", "si", "--barc", "37",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
+    report = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert report["exposure"] == "film"
+    assert 0.0 < report["cleared_fraction"] < 1.0
+    assert np.load(out)["profile"].shape == (4, 32, 32)
+    # conflicting knobs rejected
+    rc = main(["resist3d", "--pixel-number", "32", "--mask", "lines",
+               "--film", "--reflectivity", "0.2"])
+    assert rc == 2
+    capsys.readouterr()
+
+
 def test_cli_vector_polarization(tmp_path, capsys):
     """--polarization routes through the Jones-pupil vector engine; at
     hyper-NA the x- and y-polarized images of an asymmetric mask differ."""
