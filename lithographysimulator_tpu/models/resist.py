@@ -792,7 +792,8 @@ class DepthResist:
 
 
 def swing_curve(thicknesses_nm, resist: "DepthResist", *,
-                dose_hi: float = 64.0, iters: int = 24) -> dict:
+                dose_hi: float = 64.0, iters: int = 24,
+                wafer_stack=None) -> dict:
     """E0 (dose-to-clear) swing curve vs resist film thickness.
 
     Thin-film interference makes the dose needed to clear the film
@@ -803,21 +804,44 @@ def swing_curve(thicknesses_nm, resist: "DepthResist", *,
     dose-to-clear found by bisection on the vertical develop
     (:meth:`DepthResist.cleared_depth_nm` under uniform unit exposure).
 
+    ``wafer_stack`` (a :class:`..ops.filmstack.WaferStack`, resist
+    thickness overridden per sweep point) switches the exposure profile
+    from the analytic D(z) to the rigorous open-frame Airy solution over
+    the actual substrate/BARC films — multiple top-interface reflections,
+    reflection phase, and BARC suppression included.
+
     Returns ``{"thickness_nm", "dose_to_clear", "swing_ratio",
     "period_nm_theory"}``; ``swing_ratio`` = (max - min) / mean of the
-    detrended curve, ~0 for ``substrate_reflectivity`` = 0. No reference
-    counterpart."""
+    detrended curve, ~0 for ``substrate_reflectivity`` = 0 (or, rigorous,
+    an index-matched substrate). No reference counterpart."""
     thicknesses = np.asarray(thicknesses_nm, np.float64)
     doses = []
     flat = jnp.ones((2, 2), jnp.float32)
+    if wafer_stack is not None:
+        from ..config import OpticsConfig
+        from ..ops.filmstack import open_frame_profile
+
+        # minimal config: open_frame_profile only reads wavelength and the
+        # top-medium index from it
+        probe_config = OpticsConfig(pixel_number=8,
+                                    wavelength=resist.wavelength_nm)
     for t_film in thicknesses:
         r = dataclasses.replace(
             resist, mack=dataclasses.replace(resist.mack,
                                              thickness_nm=float(t_film)))
+        if wafer_stack is None:
+            exposure = flat
+        else:
+            stack_t = dataclasses.replace(wafer_stack,
+                                          thickness_nm=float(t_film))
+            profile = open_frame_profile(stack_t, probe_config, r.depths_nm,
+                                         normalize=False)
+            r = r.rigorous()  # profile already carries the attenuation
+            exposure = profile[:, None, None] * flat
 
         def cleared(dose):
             return float(np.asarray(
-                r.cleared_depth_nm(flat, dose, normalize=False))[0, 0])
+                r.cleared_depth_nm(exposure, dose, normalize=False))[0, 0])
 
         lo, hi = 0.0, dose_hi
         if cleared(hi) < t_film - 1e-6:

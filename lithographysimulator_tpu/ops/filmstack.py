@@ -291,16 +291,21 @@ def film_component_multipliers(config: OpticsConfig, stack: WaferStack,
 
 
 def open_frame_profile(stack: WaferStack, config: OpticsConfig,
-                       depths_nm) -> np.ndarray:
-    """|E(z)|^2 of the normal-incidence open-frame exposure, normalized to
-    the resist-top value — the rigorous counterpart of
-    ``DepthResist.depth_profile()`` (and the swing-curve integrand)."""
+                       depths_nm, *, normalize: bool = True) -> np.ndarray:
+    """|E(z)|^2 of the normal-incidence open-frame exposure — the rigorous
+    counterpart of ``DepthResist.depth_profile()`` (and the swing-curve
+    integrand). ``normalize=True`` references the resist-top value (the
+    D(0) = 1 convention); ``normalize=False`` references the incident wave
+    instead, keeping the thickness-dependent coupling efficiency — the term
+    that drives much of the E0 swing curve."""
     a, b, kz_r, _ = film_coefficients(
         stack, np.zeros(()), config.wavelength, pol="te",
         n_top=complex(config.immersion_index))
     k0 = 2.0 * np.pi / config.wavelength
     z = np.atleast_1d(np.asarray(depths_nm, np.float64))
     field = a * np.exp(1j * kz_r * k0 * z) + b * np.exp(-1j * kz_r * k0 * z)
+    if not normalize:
+        return np.abs(field) ** 2
     ref = a + b
     return np.abs(field) ** 2 / max(abs(ref) ** 2, 1e-300)
 

@@ -278,6 +278,34 @@ def test_develop_through_rigorous_stack():
     assert cleared[:, :4].mean() < 0.05  # far field fully intact
 
 
+def test_rigorous_swing_curve():
+    """swing_curve(wafer_stack=...) drives E0 from the rigorous open-frame
+    Airy profile: over silicon the swing oscillates at lambda/(2 n_resist);
+    an index-matched substrate kills it."""
+    import dataclasses
+
+    from lithographysimulator_tpu.models.resist import swing_curve
+
+    n_r = 1.70 + 0.012j
+    dr = DepthResist(mack=MackResist(thickness_nm=300.0, develop_s=30.0),
+                     nz=24, n_resist=n_r.real, wavelength_nm=193.0)
+    on_si = WaferStack(n_resist=n_r, thickness_nm=300.0, n_substrate=SI)
+    thicknesses = np.arange(260.0, 420.0, 4.0)
+    sw = swing_curve(thicknesses, dr, wafer_stack=on_si)
+    assert np.isfinite(sw["dose_to_clear"]).all()
+    assert sw["swing_ratio"] > 0.05
+    d = sw["dose_to_clear"]
+    resid = d - np.polyval(np.polyfit(thicknesses, d, 1), thicknesses)
+    spec = np.abs(np.fft.rfft(resid))
+    freqs = np.fft.rfftfreq(len(resid), d=4.0)
+    peak = freqs[1 + np.argmax(spec[1:])]
+    assert 1.0 / peak == pytest.approx(193.0 / (2.0 * n_r.real), rel=0.2)
+
+    matched = dataclasses.replace(on_si, n_substrate=n_r)
+    sw0 = swing_curve(thicknesses, dr, wafer_stack=matched)
+    assert sw0["swing_ratio"] < 0.2 * sw["swing_ratio"]
+
+
 def test_multiplier_component_count_and_dtype():
     cfg = OpticsConfig(pixel_number=16, na=0.7)
     m = film_component_multipliers(cfg, STACK, [10.0, 75.0])
