@@ -75,8 +75,8 @@ from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
 from .ops.zernike import (fringe_index_to_mn, noll_index_to_mn,
                           osa_index_to_mn, to_osa_coefficients,
                           wavefront_error, zernike_basis)
-from .simulate import (SimulationResult, film_stack_images, simulate,
-                       simulate_batch)
+from .simulate import (SimulationResult, film_socs_kernels, film_socs_stack,
+                       film_stack_images, simulate, simulate_batch)
 
 __version__ = "0.1.0"
 
@@ -154,6 +154,8 @@ __all__ = [
     "WaferStack",
     "film_component_multipliers",
     "film_depth_factors",
+    "film_socs_kernels",
+    "film_socs_stack",
     "film_stack_images",
     "open_frame_profile",
     "substrate_reflectance",

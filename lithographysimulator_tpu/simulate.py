@@ -548,6 +548,122 @@ def film_stack_images(
     return stack
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_film_socs_build(config: OpticsConfig, rank: int,
+                              power_iters: int, warm: bool):
+    """Jitted per-slab film-SOCS build: the slab's component-pupil
+    multipliers ride as re/im f32 planes (tunnel rules) and feed the
+    generic weighted-component summed-TCC build. ``warm=True`` additionally
+    takes the previous slab's Ritz basis — adjacent slabs differ by one
+    thin-film propagation phase, so a warm ``power_iters=0-1`` build
+    converges like a cold default build (same pattern as the focus-sweep
+    warm restarts)."""
+    from .ops.hopkins import randomized_socs_components
+
+    def _build(aberrations, source_map, mult_re, mult_im, init_basis=None):
+        pupil = pupil_function(aberrations, config)
+        comps = jax.lax.complex(mult_re, mult_im) * pupil[None]  # (C, n, n)
+        weights = jnp.ones((comps.shape[0],), jnp.float32)
+        return randomized_socs_components(
+            comps, weights, source_map, config, rank=rank,
+            power_iters=power_iters, init_basis=init_basis,
+            return_basis=True)
+
+    if warm:
+        return jax.jit(_build)
+    return jax.jit(lambda aberrations, source_map, mult_re, mult_im:
+                   _build(aberrations, source_map, mult_re, mult_im))
+
+
+def film_socs_kernels(
+    source_map,
+    aberrations=None,
+    *,
+    config: OpticsConfig,
+    wafer_stack,
+    depths_nm=None,
+    resist=None,
+    polarization=None,
+    apodize: bool = True,
+    rank: int = 64,
+    power_iters: int = 2,
+    warm_iters: int = 1,
+) -> list:
+    """Per-slab SOCS kernel sets for the rigorous image-in-resist — the
+    fast path for repeated in-film imaging (dose/mask sweeps, full-chip
+    3-D resist): build once, then every mask/dose reuses the kernels at
+    :func:`..ops.hopkins.socs_image` cost per slab.
+
+    Each slab's summed TCC stacks the film-modified component pupils
+    (:func:`..ops.filmstack.film_component_multipliers` x the aberrated
+    pupil) through the generic weighted-component build. Slabs are built
+    warm-chained: slab 0 cold at ``power_iters``, each deeper slab
+    restarts from the previous slab's Ritz basis at ``warm_iters`` —
+    adjacent slabs differ only by the intra-film propagation phase.
+    Returns a list of :class:`..ops.hopkins.SOCSKernels`, top slab first;
+    apply with :func:`film_socs_stack`.
+    """
+    from .ops.filmstack import film_component_multipliers
+
+    if depths_nm is None:
+        if resist is None:
+            raise ValueError("pass depths_nm or a DepthResist via resist=")
+        depths_nm = resist.depths_nm
+    depths = tuple(float(z) for z in np.atleast_1d(depths_nm))
+    if aberrations is None:
+        aberrations = np.zeros((1,), np.float32)
+    if isinstance(polarization, (list, np.ndarray)):
+        polarization = tuple(complex(v) for v in polarization)
+    mult = film_component_multipliers(
+        config, wafer_stack, depths, polarization=polarization,
+        apodize=apodize)  # (nz, C, n, n) complex128 host
+    aberr = jnp.asarray(aberrations, jnp.float32)
+    src = jnp.asarray(np.asarray(source_map), jnp.float32)
+    cold = _compiled_film_socs_build(config, rank, power_iters, False)
+    warm = _compiled_film_socs_build(config, rank, warm_iters, True)
+    kernels = []
+    basis = None
+    for z in range(len(depths)):
+        m_re = jnp.asarray(mult[z].real, jnp.float32)
+        m_im = jnp.asarray(mult[z].imag, jnp.float32)
+        if basis is None:
+            socs, basis = cold(aberr, src, m_re, m_im)
+        else:
+            socs, basis = warm(aberr, src, m_re, m_im, basis)
+        kernels.append(socs)
+    return kernels
+
+
+def film_socs_stack(
+    mask,
+    kernels: list,
+    *,
+    config: OpticsConfig | None = None,
+    source_total=None,
+    chunk: int = 4,
+    normalize: bool = True,
+    mask3d=None,
+    block: bool = True,
+) -> jnp.ndarray:
+    """Apply per-slab film-SOCS kernel sets: (nz, n, n) in-film exposure at
+    amortized SOCS cost. One compiled apply serves every slab (kernels are
+    a jit argument). ``source_total`` (sum of source weights) normalizes
+    like the exact path; required when ``normalize=True``."""
+    if config is None:
+        config = mask.config
+    if normalize and source_total is None:
+        raise ValueError("normalize=True needs source_total (sum of source "
+                         "weights) to match the exact path's scaling")
+    run = _compiled_socs_apply(config, chunk, normalize, mask3d)
+    geometry = mask.geometry if hasattr(mask, "geometry") else jnp.asarray(mask)
+    total = jnp.float32(source_total if source_total is not None else 1.0)
+    planes = [run(geometry, socs, total)[0] for socs in kernels]
+    stack = jnp.stack(planes)
+    if block:
+        stack = jax.block_until_ready(stack)
+    return stack
+
+
 def simulate_batch(
     geometries,
     config: OpticsConfig,

@@ -306,6 +306,51 @@ def test_rigorous_swing_curve():
     assert sw0["swing_ratio"] < 0.2 * sw["swing_ratio"]
 
 
+def test_film_socs_matches_exact_stack():
+    """Per-slab film-SOCS kernels reproduce the exact in-film stack at
+    rank-limited accuracy, scalar and vector, with the deep slabs built
+    WARM from the previous slab's Ritz basis."""
+    from lithographysimulator_tpu.simulate import (film_socs_kernels,
+                                                   film_socs_stack)
+
+    cfg = OpticsConfig(pixel_number=32, na=0.85)
+    mask = lt.demo_bars(cfg)
+    src = np.asarray(lt.LightSource(cfg, sigma_out=0.6).classical())
+    dr = DepthResist(mack=MackResist(thickness_nm=150.0), nz=4,
+                     n_resist=1.71, absorbance_per_um=0.5)
+    wafer = WaferStack.from_resist(dr, under_layers=((37.0, BARC),))
+    for pol, tol in ((None, 1e-4), ("unpolarized", 5e-4)):
+        exact = np.asarray(lt.film_stack_images(
+            mask, src, config=cfg, wafer_stack=wafer, resist=dr,
+            polarization=pol, normalize=True))
+        kernels = film_socs_kernels(src, config=cfg, wafer_stack=wafer,
+                                    resist=dr, polarization=pol, rank=48)
+        assert len(kernels) == 4
+        fast = np.asarray(film_socs_stack(
+            mask, kernels, config=cfg, source_total=float(src.sum())))
+        nrms = np.sqrt(np.mean((fast - exact) ** 2)) / exact.max()
+        assert nrms < tol
+
+    # warm-chained deep-slab kernels match an independent cold build
+    k_cold = film_socs_kernels(src, config=cfg, wafer_stack=wafer,
+                               depths_nm=[dr.depths_nm[3]], rank=48)
+    kernels = film_socs_kernels(src, config=cfg, wafer_stack=wafer,
+                                resist=dr, rank=48)
+    img_c = np.asarray(film_socs_stack(
+        mask, k_cold, config=cfg, source_total=float(src.sum())))[0]
+    img_w = np.asarray(film_socs_stack(
+        mask, [kernels[3]], config=cfg, source_total=float(src.sum())))[0]
+    assert np.sqrt(np.mean((img_w - img_c) ** 2)) / img_c.max() < 1e-5
+
+
+def test_film_socs_stack_requires_source_total():
+    from lithographysimulator_tpu.simulate import film_socs_stack
+
+    cfg = OpticsConfig(pixel_number=16)
+    with pytest.raises(ValueError, match="source_total"):
+        film_socs_stack(lt.demo_bars(cfg), [], config=cfg)
+
+
 def test_multiplier_component_count_and_dtype():
     cfg = OpticsConfig(pixel_number=16, na=0.7)
     m = film_component_multipliers(cfg, STACK, [10.0, 75.0])
