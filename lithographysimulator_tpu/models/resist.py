@@ -793,7 +793,7 @@ class DepthResist:
 
 def swing_curve(thicknesses_nm, resist: "DepthResist", *,
                 dose_hi: float = 64.0, iters: int = 24,
-                wafer_stack=None) -> dict:
+                wafer_stack=None, immersion_index: float = 1.0) -> dict:
     """E0 (dose-to-clear) swing curve vs resist film thickness.
 
     Thin-film interference makes the dose needed to clear the film
@@ -808,7 +808,11 @@ def swing_curve(thicknesses_nm, resist: "DepthResist", *,
     thickness overridden per sweep point) switches the exposure profile
     from the analytic D(z) to the rigorous open-frame Airy solution over
     the actual substrate/BARC films — multiple top-interface reflections,
-    reflection phase, and BARC suppression included.
+    reflection phase, and BARC suppression included. ``immersion_index``
+    sets the medium ABOVE the resist for that rigorous path (1.0 air,
+    ~1.44 water): it changes the top-interface Fresnel reflection and
+    therefore the swing amplitude — without it, immersion swing curves
+    would silently be computed for air.
 
     Returns ``{"thickness_nm", "dose_to_clear", "swing_ratio",
     "period_nm_theory"}``; ``swing_ratio`` = (max - min) / mean of the
@@ -824,7 +828,8 @@ def swing_curve(thicknesses_nm, resist: "DepthResist", *,
         # minimal config: open_frame_profile only reads wavelength and the
         # top-medium index from it
         probe_config = OpticsConfig(pixel_number=8,
-                                    wavelength=resist.wavelength_nm)
+                                    wavelength=resist.wavelength_nm,
+                                    immersion_index=float(immersion_index))
     for t_film in thicknesses:
         r = dataclasses.replace(
             resist, mack=dataclasses.replace(resist.mack,

@@ -114,7 +114,10 @@ def edge_fields_signed(
     pattern shift, the signature thick-mask EUV effect. Phase-only steps
     (alternating PSM) have no magnitude direction and split evenly."""
     g = jnp.asarray(geometry)
-    mag = _safe_abs(g) if jnp.issubdtype(g.dtype, jnp.complexfloating) else g
+    # Direction is by |t| for REAL dtypes too: a real alternating PSM stores
+    # the pi phase as a sign, and a +1 -> -1 step has no magnitude direction
+    # (must split evenly), while a 0 -> -1 step is a RISE in |t|.
+    mag = _safe_abs(g)
     d0 = _safe_abs(g - jnp.roll(g, 1, axis=0))
     d1 = _safe_abs(g - jnp.roll(g, 1, axis=1))
     s0 = mag - jnp.roll(mag, 1, axis=0)

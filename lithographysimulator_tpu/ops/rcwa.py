@@ -484,6 +484,19 @@ def rcwa_effective_mask(
     the absorber-shadowing asymmetry (order m ≠ order −m) that prints as
     the EUV pattern shift — the effect the asymmetric boundary-layer model
     (:func:`..mask3d.edge_fields_signed`) is calibrated to reproduce.
+
+    Synthesis convention (mask → wafer image inversion): order m is laid
+    down as ``exp(+2πimx/pitch)``, while under this module's exp(-iωt)
+    convention the Moharam order m (kx_m = n_I sinθ − mλ/Λ) propagates as
+    ``exp(-2πimx/Λ)``. The sign flip IS the scanner's image inversion (a
+    single-telescope projector maps mask x → −x at the wafer; this
+    framework keeps demo parity with the reference by drawing layouts in
+    WAFER coordinates). Consequence at oblique incidence: with
+    ``incidence_deg > 0`` (transverse momentum along +x at the MASK) the
+    shadowing pattern shift appears along **+x at the wafer**. Calibration
+    (:func:`..mask3d` m3dcal) and application share this synthesis, so
+    every consumer is self-consistent; the absolute direction is pinned by
+    ``tests/test_rcwa.py::test_shadow_shift_direction_pinned``.
     """
     n = int(config.pixel_number)
     pitch_px = int(pitch_px)

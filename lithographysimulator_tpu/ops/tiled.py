@@ -56,6 +56,22 @@ def tile_layout(big_n: int, tile_n: int, halo: int):
     return tiles, step
 
 
+def _check_mask3d_halo(mask3d, halo: int) -> None:
+    """Per-window mask3d application is only exact when the apply stencil
+    (1 px for BoundaryLayer, k+1 px for EdgeKernelM3D: edge strips reach 1 px
+    past the step and taps shift them by up to k more) lies inside the
+    cropped halo — otherwise the jnp.roll wraparound from a window edge
+    leaks into the kept tile core."""
+    if mask3d is None:
+        return
+    stencil = getattr(mask3d, "k", 0) + 1
+    if halo < stencil:
+        raise ValueError(
+            f"halo {halo} is smaller than the mask3d apply stencil "
+            f"({stencil} px): per-tile thick-mask application would wrap "
+            f"tap contributions into the kept core. Use halo >= {stencil}.")
+
+
 @functools.lru_cache(maxsize=32)
 def _tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
                    spectrum_solver, mask3d=None):
@@ -117,6 +133,7 @@ def tiled_socs_image(
     if halo is None:
         halo = default_halo(tile_config)
     tiles, step = tile_layout(big_n, n, halo)
+    _check_mask3d_halo(mask3d, halo)
 
     # Pad so every tile window [t*step - halo, t*step - halo + n) is in range.
     pad_lo = halo
@@ -199,6 +216,7 @@ def tiled_socs_image_stream(
     if halo is None:
         halo = default_halo(tile_config)
     tiles, step = tile_layout(big_n, n, halo)
+    _check_mask3d_halo(mask3d, halo)
 
     coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
                                   indexing="ij"), -1).reshape(-1, 2)
@@ -287,6 +305,7 @@ def tiled_socs_image_field(
     if halo is None:
         halo = default_halo(tile_config)
     tiles, step = tile_layout(big_n, n, halo)
+    _check_mask3d_halo(mask3d, halo)
     pad_lo = halo
     pad_hi = tiles * step + halo - big_n + (n - step)
     padded = jnp.pad(jnp.asarray(mask_big, jnp.float32),
@@ -400,6 +419,7 @@ def tiled_socs_image_scan(
     if halo is None:
         halo = default_halo(tile_config)
     tiles, step = tile_layout(big_n, n, halo)
+    _check_mask3d_halo(mask3d, halo)
     pad_lo = halo
     pad_hi = tiles * step + halo - big_n + (n - step)
     padded = jnp.pad(mask_big, ((pad_lo, pad_hi), (pad_lo, pad_hi)))

@@ -385,9 +385,16 @@ class JobRunner:
         mask = body["mask"]
         mask3d = None
         if body.get("m3d") is not None:
-            # calibrated thick-mask model: the m3dcal output JSON object
+            # calibrated thick-mask model: the m3dcal output JSON object.
+            # Dict payloads ONLY: model_from_json also accepts file paths
+            # (a CLI convenience), which over HTTP would let a client make
+            # the server read arbitrary local files.
             from .ops.mask3d import model_from_json
 
+            if not isinstance(body["m3d"], dict):
+                raise ValueError(
+                    "'m3d' must be the m3dcal JSON object (a dict); "
+                    "string/path payloads are not accepted over the API")
             mask3d = model_from_json(body["m3d"])
 
         def progress(f):
@@ -628,9 +635,15 @@ class LithoService:
         if body.get("m3d") is not None:
             # calibrated thick-mask model (m3dcal JSON object); both model
             # kinds are frozen dataclasses, so they ride the batching
-            # signature as hashable statics
+            # signature as hashable statics. Dict payloads ONLY — the
+            # path-loading convenience of model_from_json must not be
+            # reachable from an HTTP client (arbitrary server-side reads).
             from .ops.mask3d import model_from_json
 
+            if not isinstance(body["m3d"], dict):
+                raise ValueError(
+                    "'m3d' must be the m3dcal JSON object (a dict); "
+                    "string/path payloads are not accepted over the API")
             mask3d = model_from_json(body["m3d"])
         signature = (config, source_sig, aberr, solver, chunk,
                      bool(body.get("normalize", False)), socs_rank,

@@ -360,3 +360,25 @@ def test_multiplier_component_count_and_dtype():
     assert mv.shape[:2] == (2, 6)
     mx = film_component_multipliers(cfg, STACK, [10.0], polarization="x")
     assert mx.shape[:2] == (1, 3)
+
+
+def test_swing_curve_immersion_index():
+    """swing_curve(immersion_index=...) sets the medium above the resist on
+    the rigorous path (advisor fix: it was silently air). Water (n~1.44) is
+    closer index-matched to the resist than air, so (a) more dose couples in
+    (E0 drops) and (b) the top-interface reflection — one of the two mirrors
+    of the swing etalon — weakens, shrinking the swing ratio."""
+    from lithographysimulator_tpu.models.resist import swing_curve
+
+    n_r = 1.70 + 0.012j
+    dr = DepthResist(mack=MackResist(thickness_nm=300.0, develop_s=30.0),
+                     nz=24, n_resist=n_r.real, wavelength_nm=193.0)
+    on_si = WaferStack(n_resist=n_r, thickness_nm=300.0, n_substrate=SI)
+    thicknesses = np.arange(260.0, 420.0, 4.0)
+    air = swing_curve(thicknesses, dr, wafer_stack=on_si)
+    h2o = swing_curve(thicknesses, dr, wafer_stack=on_si,
+                      immersion_index=1.437)
+    assert np.isfinite(air["dose_to_clear"]).all()
+    assert np.isfinite(h2o["dose_to_clear"]).all()
+    assert h2o["dose_to_clear"][0] < 0.75 * air["dose_to_clear"][0]
+    assert h2o["swing_ratio"] < 0.9 * air["swing_ratio"]

@@ -157,6 +157,17 @@ def test_edge_fields_signed_split():
     p[:, 8:] = -1.0
     _, _, pvr, pvf = map(np.asarray, edge_fields_signed(jnp.asarray(p)))
     np.testing.assert_allclose(pvr[4, 7], pvf[4, 7], rtol=1e-6)
+    # ... including when the pi phase is stored as a REAL sign (a real
+    # alternating-PSM array): direction is by |t|, not by signed value
+    pr = np.ones((16, 16), np.float32)
+    pr[:, 8:] = -1.0
+    _, _, rvr, rvf = map(np.asarray, edge_fields_signed(jnp.asarray(pr)))
+    np.testing.assert_allclose(rvr[4, 7], rvf[4, 7], rtol=1e-6)
+    # and a real 0 -> -1 step is a RISE in |t| (not a fall)
+    q = np.zeros((16, 16), np.float32)
+    q[:, 8:] = -1.0
+    _, _, qvr, qvf = map(np.asarray, edge_fields_signed(jnp.asarray(q)))
+    assert qvr[4, 7] > 0.49 and abs(qvf[:, 6:10]).max() < 1e-3
 
 
 def test_asymmetric_bl_shifts_pattern():
@@ -479,3 +490,38 @@ def test_rcwa_calibration_through_focus():
     assert rep["fit_nrms"]["avg"] < 0.35 * rep["thin_nrms"]["avg"]
     assert bl.beta_h == bl.beta_v  # unpolarized isotropy preserved
     assert abs(bl.beta_v.imag) > 1e-3
+
+
+def test_tiled_halo_must_cover_mask3d_stencil():
+    """Tiled paths reject a halo smaller than the mask3d apply stencil
+    (k+1 px for EdgeKernelM3D): per-window application would wrap tap
+    contributions into the kept tile core via jnp.roll."""
+    import pytest
+
+    from lithographysimulator_tpu.ops.mask3d import EdgeKernelM3D
+    from lithographysimulator_tpu.ops.tiled import (_check_mask3d_halo,
+                                                    tiled_socs_image)
+
+    bl = BoundaryLayer(width_nm=8.0, beta_h=-0.2, beta_v=-0.2)
+    ek = EdgeKernelM3D(width_nm=8.0,
+                       taps_h_rise=(0j, -0.2 + 0j, 0j),
+                       taps_h_fall=(0j, -0.2 + 0j, 0j),
+                       taps_v_rise=(0j, -0.2 + 0j, 0j),
+                       taps_v_fall=(0j, -0.2 + 0j, 0j))  # k=1, stencil 2
+    _check_mask3d_halo(None, 0)
+    _check_mask3d_halo(bl, 1)
+    _check_mask3d_halo(ek, 2)
+    with pytest.raises(ValueError, match="stencil"):
+        _check_mask3d_halo(bl, 0)
+    with pytest.raises(ValueError, match="stencil"):
+        _check_mask3d_halo(ek, 1)
+    # and the guard is live on the public entry point
+    from lithographysimulator_tpu.ops.hopkins import randomized_socs
+    from lithographysimulator_tpu.models.pupil import pupil_function
+
+    tile_cfg = OpticsConfig(pixel_number=32)
+    pupil = pupil_function(jnp.zeros(5), tile_cfg)
+    socs = randomized_socs(pupil, _source(tile_cfg), tile_cfg, rank=8)
+    with pytest.raises(ValueError, match="stencil"):
+        tiled_socs_image(jnp.zeros((64, 64), jnp.float32), socs, tile_cfg,
+                         halo=1, mask3d=ek)

@@ -381,3 +381,36 @@ def test_cli_m3dcal_wavelength_guard(capsys):
     with pytest.raises(SystemExit, match="13.5"):
         main(["m3dcal", "--pixel-number", "32", "--pitch", "16",
               "--stack", "euv_ta", "--steps", "5"])
+
+
+def test_shadow_shift_direction_pinned():
+    """Pin the ABSOLUTE direction of the EUV shadowing pattern shift against
+    the tilt sign (the mask->wafer image-inversion convention documented in
+    :func:`rcwa_effective_mask`): order m is synthesized as exp(+2pi i m x /
+    pitch) while Moharam order m propagates as exp(-2pi i m x / pitch) — the
+    flip is the scanner inversion, layouts being drawn in WAFER coordinates.
+    Consequence: ``incidence_deg > 0`` (transverse momentum along +x at the
+    mask) shifts the printed pattern along +x at the wafer, and flipping the
+    tilt mirrors the shift exactly."""
+    cfg = OpticsConfig(pixel_number=64, wavelength=13.5, na=0.33,
+                       pixel_size=4.0)
+
+    def bright_centroid_px(deg):
+        f = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16,
+                                stack="euv_ta", pol="te", incidence_deg=deg)
+        row = np.abs(f[0, :16]) ** 2
+        h1 = (row * np.exp(-2j * np.pi * np.arange(16) / 16)).sum()
+        return np.angle(h1) / (2 * np.pi) * 16  # in (-8, 8]
+
+    # Absorber centered at x=0 -> bright region centered at x = ±8 (the
+    # same periodic point; the phase wraps there).
+    assert abs(abs(bright_centroid_px(0.0)) - 8.0) < 1e-9
+
+    def shift_px(deg):
+        # minimal displacement of the bright centroid from ±8, mod 16
+        return (bright_centroid_px(deg) - 8.0 + 8.0) % 16.0 - 8.0
+
+    plus, minus = shift_px(6.0), shift_px(-6.0)
+    assert plus > 0.5             # pattern moved along +x at the wafer
+    assert minus < -0.5           # mirrored for the mirrored tilt
+    np.testing.assert_allclose(plus, -minus, atol=1e-6)
