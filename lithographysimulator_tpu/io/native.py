@@ -22,10 +22,21 @@ _lib_handle = None
 _native_unavailable = False
 
 
-def _build_library() -> bool:
+def _cache_lib_path() -> Path:
+    """Per-user build location for installs where the checkout's native/
+    directory is read-only (site-packages, system installs)."""
+    import os
+    base = Path(os.environ.get("XDG_CACHE_HOME",
+                               Path.home() / ".cache"))
+    return base / "lithographysimulator_tpu" / "librasterizer.so"
+
+
+def _build_library(target: Path) -> bool:
     try:
+        target.parent.mkdir(parents=True, exist_ok=True)
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SOURCE)],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(target),
+             str(_SOURCE)],
             check=True, capture_output=True, timeout=240,
         )
         return True
@@ -33,17 +44,33 @@ def _build_library() -> bool:
         return False
 
 
+def _resolve_lib_path():
+    """Pick a usable .so: the checkout's, else a user-cache build, else
+    None (callers fall back to the pure-numpy rasterizer)."""
+    if not _SOURCE.exists():
+        return _LIB if _LIB.exists() else None
+    if _LIB.exists() and _SOURCE.stat().st_mtime <= _LIB.stat().st_mtime:
+        return _LIB
+    if _build_library(_LIB):
+        return _LIB
+    cached = _cache_lib_path()
+    if cached.exists() and _SOURCE.stat().st_mtime <= cached.stat().st_mtime:
+        return cached
+    if _build_library(cached):
+        return cached
+    return None
+
+
 def _get_lib():
     global _lib_handle, _native_unavailable
     if _lib_handle is not None or _native_unavailable:
         return _lib_handle
-    if not _LIB.exists() or (_SOURCE.exists()
-                             and _SOURCE.stat().st_mtime > _LIB.stat().st_mtime):
-        if not _SOURCE.exists() or not _build_library():
-            _native_unavailable = True
-            return None
+    lib_path = _resolve_lib_path()
+    if lib_path is None:
+        _native_unavailable = True
+        return None
     try:
-        lib = ctypes.CDLL(str(_LIB))
+        lib = ctypes.CDLL(str(lib_path))
     except OSError:
         _native_unavailable = True
         return None
