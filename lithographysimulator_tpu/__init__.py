@@ -68,9 +68,9 @@ from .ops.mask3d import (BoundaryLayer, EdgeKernelM3D, apply_boundary_layers,
                          fit_edge_kernel, model_from_json, model_to_json)
 from .ops.rcwa import (GratingLayer, MASK_STACKS, MaskStack, rcwa_effective_mask,
                        rcwa_orders, resolve_stack, thin_mask_transmission)
-from .ops.tiled import (array_window_fn, default_halo, tiled_socs_image,
-                        tiled_socs_image_field, tiled_socs_image_scan,
-                        tiled_socs_image_stream)
+from .ops.tiled import (array_window_fn, default_halo, tiled_film_stack,
+                        tiled_socs_image, tiled_socs_image_field,
+                        tiled_socs_image_scan, tiled_socs_image_stream)
 from .ops.vector import polarization_states, vector_abbe_image, vector_pupils
 from .ops.zernike import (fringe_index_to_mn, noll_index_to_mn,
                           osa_index_to_mn, to_osa_coefficients,
@@ -193,6 +193,7 @@ __all__ = [
     "spectrum_direct",
     "spectrum_fft",
     "tcc_eigensystem",
+    "tiled_film_stack",
     "tiled_socs_image",
     "tiled_socs_image_field",
     "tiled_socs_image_scan",

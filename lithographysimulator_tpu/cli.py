@@ -910,10 +910,29 @@ def cmd_resist3d(args) -> int:
             dr, under_layers=under,
             n_substrate=MATERIALS_193[args.substrate])
         polarization = None if args.polarization == "scalar" else args.polarization
-        stack = film_stack_images(
-            mask, np.asarray(source), base, config=config, wafer_stack=wafer,
-            resist=dr, polarization=polarization, chunk=args.chunk,
-            normalize=True, mask3d=_build_mask3d(args))
+        big_n = getattr(args, "big_n", None)
+        if big_n and big_n > config.n:
+            # full-chip: per-slab film-SOCS kernels once, tiles stream
+            # through the fixed-size optics (ops/tiled.tiled_film_stack)
+            from .ops.tiled import tiled_film_stack
+            from .simulate import film_socs_kernels
+
+            big_cfg = dataclasses.replace(config, pixel_number=big_n)
+            mask_big = np.abs(np.asarray(
+                _build_mask(args, big_cfg).geometry, np.float32))
+            kernels = film_socs_kernels(
+                np.asarray(source), base, config=config, wafer_stack=wafer,
+                resist=dr, polarization=polarization, rank=args.rank)
+            stack = tiled_film_stack(
+                mask_big, kernels, config,
+                source_total=float(np.asarray(source).sum()),
+                halo=args.halo, chunk=args.chunk,
+                mask3d=_build_mask3d(args))
+        else:
+            stack = film_stack_images(
+                mask, np.asarray(source), base, config=config,
+                wafer_stack=wafer, resist=dr, polarization=polarization,
+                chunk=args.chunk, normalize=True, mask3d=_build_mask3d(args))
         dr = dr.rigorous()  # exposure stack already carries absorption
     else:
         shifts, weights, _ = padded_source_arrays(
@@ -1197,6 +1216,14 @@ def main(argv=None) -> int:
                        help="illumination polarization for the --film "
                             "imager (scalar = TE-Airy image in resist)")
     p_r3d.add_argument("--chunk", type=int, default=4)
+    p_r3d.add_argument("--big-n", type=int, default=None,
+                       help="full-chip size in px (with --film: tiled "
+                            "per-slab film-SOCS imaging, develop at chip "
+                            "scale; mask kinds rasterize at this size)")
+    p_r3d.add_argument("--rank", type=int, default=64,
+                       help="film-SOCS rank for the tiled --big-n path")
+    p_r3d.add_argument("--halo", type=int, default=None,
+                       help="tile guard band (px) for the --big-n path")
     p_r3d.add_argument("--out", default=None, help="3-D profile .npz path")
     p_r3d.add_argument("--plot", default=None, help="cross-section .png path")
     p_r3d.set_defaults(func=cmd_resist3d)

@@ -399,6 +399,131 @@ def array_window_fn(mask_big, n: int):
     return window_fn
 
 
+@functools.lru_cache(maxsize=16)
+def _film_tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                        spectrum_solver, normalize, total_rank, mask3d=None):
+    """Jitted per-batch tile imager for the film stack: one spectrum per
+    window, then a ``lax.map`` over the per-slab SOCS kernel sets (stacked
+    along a leading nz axis — same rank every slab, see
+    :func:`..simulate.film_socs_kernels`). Kernels ride as jit ARGUMENTS
+    (closure-captured device arrays lower as constants; CLAUDE.md)."""
+    n = tile_config.n
+
+    @jax.jit
+    def tile_batch(padded, kernels_z, eigen_z, source_total, coord_block):
+        def one(c):
+            window = jax.lax.dynamic_slice(
+                padded, (c[0] * step, c[1] * step), (n, n))
+            if mask3d is not None:
+                window = mask3d.apply(window, tile_config)
+            spectrum = mask_spectrum(window, tile_config,
+                                     solver=spectrum_solver)
+
+            def slab(kz):
+                k, e = kz
+                img = socs_image(spectrum, SOCSKernels(k, e, total_rank),
+                                 tile_config, solver=solver, chunk=chunk,
+                                 engine=engine)
+                if normalize:
+                    img = img / jnp.maximum(source_total, 1e-30)
+                return img[halo : halo + step, halo : halo + step]
+
+            return jax.lax.map(slab, (kernels_z, eigen_z))
+
+        return jax.lax.map(one, coord_block)  # (k, nz, step, step)
+
+    return tile_batch
+
+
+def tiled_film_stack(
+    mask_big,
+    kernels: list,
+    tile_config: OpticsConfig,
+    *,
+    source_total=None,
+    normalize: bool = True,
+    halo: int | None = None,
+    solver: str = "gau23",
+    chunk: int = 4,
+    engine: str = "auto",
+    spectrum_solver: str = "gau23",
+    tiles_per_dispatch: int = 8,
+    progress_cb=None,
+    mask3d=None,
+) -> jnp.ndarray:
+    """(nz, M, M) rigorous in-film exposure of an arbitrarily large mask —
+    the full-chip counterpart of :func:`..simulate.film_socs_stack`: each
+    tile window is imaged once per resist slab with that slab's film-SOCS
+    kernel set (:func:`..simulate.film_socs_kernels`), and the halo-free
+    tile cores are stitched per slab.
+
+    The imaging locality argument of :func:`tiled_socs_image` holds per
+    slab unchanged — each slab's summed TCC is a fixed-size optical system
+    whose coherent kernels decay over a few lambda/NA — so one halo serves
+    every depth. Memory stays O(nz * tile^2) per dispatch regardless of
+    chip size; feed the stitched stack to
+    :meth:`..models.resist.DepthResist.develop_profile` (on a
+    ``.rigorous()`` instance) for the full-chip 3-D develop.
+
+    ``normalize=True`` needs ``source_total`` (sum of source weights), the
+    exact-path scaling contract shared with ``film_socs_stack``.
+    (Full-chip analog of the reference's single-field partial-coherence
+    loop, /root/reference/imageformation.py:47-77; the reference has no
+    resist/film or tiling capability — its README.md:19 roadmap.)
+    """
+    if not kernels:
+        raise ValueError("kernels must be a non-empty list of per-slab "
+                         "SOCSKernels (see film_socs_kernels)")
+    if normalize and source_total is None:
+        raise ValueError("normalize=True needs source_total (sum of source "
+                         "weights) to match the exact path's scaling")
+    ranks = {s.kernels.shape for s in kernels}
+    if len(ranks) != 1:
+        raise ValueError(f"per-slab kernel sets must share one shape, got "
+                         f"{sorted(ranks)}")
+    big_n = mask_big.shape[-1]
+    n = tile_config.n
+    if halo is None:
+        halo = default_halo(tile_config)
+    tiles, step = tile_layout(big_n, n, halo)
+    _check_mask3d_halo(mask3d, halo)
+
+    pad_lo = halo
+    pad_hi = tiles * step + halo - big_n + (n - step)
+    padded = jnp.pad(jnp.asarray(mask_big, jnp.float32),
+                     ((pad_lo, pad_hi), (pad_lo, pad_hi)))
+
+    kernels_z = jnp.stack([s.kernels for s in kernels])      # (nz, r, n, n)
+    eigen_z = jnp.stack([s.eigenvalues for s in kernels])    # (nz, r)
+    total_rank = int(kernels[0].total_rank)
+    total_w = jnp.float32(source_total if source_total is not None else 1.0)
+
+    coords = np.stack(np.meshgrid(np.arange(tiles), np.arange(tiles),
+                                  indexing="ij"), -1).reshape(-1, 2)
+    total = len(coords)
+    k = max(1, min(tiles_per_dispatch, total))
+    pad_tiles = (-total) % k
+    if pad_tiles:
+        coords = np.concatenate([coords, np.zeros((pad_tiles, 2), coords.dtype)])
+
+    run = _film_tile_batch_fn(tile_config, halo, step, solver, chunk, engine,
+                              spectrum_solver, normalize, total_rank, mask3d)
+    cores = []
+    n_batches = len(coords) // k
+    for bi, start in enumerate(range(0, len(coords), k)):
+        block = jnp.asarray(coords[start : start + k])
+        cores.append(run(padded, kernels_z, eigen_z, total_w, block))
+        if progress_cb is not None:
+            jax.block_until_ready(cores[-1])
+            progress_cb((bi + 1) / n_batches)
+    cores = jnp.concatenate(cores, axis=0)[:total]  # (tiles^2, nz, step, step)
+    nz = cores.shape[1]
+    grid = cores.reshape(tiles, tiles, nz, step, step)
+    stitched = grid.transpose(2, 0, 3, 1, 4).reshape(
+        nz, tiles * step, tiles * step)
+    return stitched[:, :big_n, :big_n]
+
+
 def tiled_socs_image_scan(
     mask_big: jnp.ndarray,
     socs: SOCSKernels,

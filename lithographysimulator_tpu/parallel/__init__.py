@@ -1,5 +1,6 @@
 from .abbe_sharded import abbe_image_sharded, padded_source_arrays, through_focus_sharded
 from .fem_sharded import fem_cd_matrix_sharded
+from .film_sharded import film_images_sharded, film_stack_sharded
 from .mesh import FOCUS_AXIS, SOURCE_AXIS, focus_source_mesh, source_mesh
 from .socs_build_sharded import (
     randomized_socs_components_sharded,

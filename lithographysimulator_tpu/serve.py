@@ -22,8 +22,13 @@ Endpoints (POST, JSON body; arrays as nested lists or base64 float32):
   ``aberrations``, ``solver``, ``normalize``, ``polarization``. Returns the
   aerial image (base64 float32) + the run report.
 * ``/jobs`` — POST; submit a LONG-RUNNING full-chip job:
-  ``{"kind": "tiled"|"fem"|"opc"|"stochastic"|"lele", ...}`` ->
-  ``{"job_id": ...}``. Jobs run on
+  ``{"kind": "tiled"|"fem"|"opc"|"stochastic"|"lele"|"film", ...}`` ->
+  ``{"job_id": ...}``. The ``film`` kind is the rigorous full-chip
+  image-in-resist: body carries a wafer ``stack`` spec (``n_resist``
+  [re, im] or a MATERIALS_193 name, ``thickness_nm``, ``under_layers``
+  [[d_nm, n], ...], ``n_substrate``) plus ``depths_nm`` (or ``nz``), and
+  the result is the (nz, M, M) ``exposure`` stack streamed as an
+  artifact. Jobs run on
   a dedicated executor thread with live progress; ``/simulate`` traffic
   keeps flowing while a job is in flight (jax serializes device work).
 * ``/jobs`` — GET; summaries of all tracked jobs (id/kind/status/
@@ -63,6 +68,50 @@ import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+def _complex_index(value) -> complex:
+    """A refractive index from the wire: a MATERIALS_193 name, an
+    [re, im] pair, or a bare real number. Dict/str payloads never touch
+    the filesystem (serving-layer rule — see the 'm3d' guard)."""
+    from .ops.filmstack import MATERIALS_193
+
+    if isinstance(value, str):
+        try:
+            return MATERIALS_193[value]
+        except KeyError:
+            raise ValueError(
+                f"unknown material {value!r} (expected one of "
+                f"{sorted(MATERIALS_193)} or an [re, im] pair)") from None
+    if isinstance(value, (list, tuple)):
+        if len(value) != 2:
+            raise ValueError(f"index pair must be [re, im], got {value!r}")
+        return complex(float(value[0]), float(value[1]))
+    return complex(float(value), 0.0)
+
+
+def _parse_wafer_stack(spec: dict):
+    """A :class:`..ops.filmstack.WaferStack` from the film job's ``stack``
+    body field (all-default spec = bare resist on silicon)."""
+    from .ops.filmstack import WaferStack
+
+    if not isinstance(spec, dict):
+        raise ValueError("'stack' must be a JSON object")
+    known = {"n_resist", "thickness_nm", "under_layers", "n_substrate"}
+    unknown = set(spec) - known
+    if unknown:
+        raise ValueError(f"unknown stack fields {sorted(unknown)}")
+    kwargs = {}
+    if "n_resist" in spec:
+        kwargs["n_resist"] = _complex_index(spec["n_resist"])
+    if "thickness_nm" in spec:
+        kwargs["thickness_nm"] = float(spec["thickness_nm"])
+    if "n_substrate" in spec:
+        kwargs["n_substrate"] = _complex_index(spec["n_substrate"])
+    layers = spec.get("under_layers") or ()
+    kwargs["under_layers"] = tuple(
+        (float(d), _complex_index(n)) for d, n in layers)
+    return WaferStack(**kwargs)
 
 
 @functools.lru_cache(maxsize=64)
@@ -198,9 +247,9 @@ class JobRunner:
 
     def submit(self, body: dict) -> dict:
         kind = body.get("kind")
-        if kind not in ("tiled", "fem", "opc", "stochastic", "lele"):
+        if kind not in ("tiled", "fem", "opc", "stochastic", "lele", "film"):
             raise ValueError(f"unknown job kind {kind!r} "
-                             "(expected tiled/fem/opc/stochastic/lele)")
+                             "(expected tiled/fem/opc/stochastic/lele/film)")
         # validate the mask early so submission errors are synchronous 400s
         mask = _decode_array(body["mask"])
         if mask.ndim != 2 or mask.shape[0] != mask.shape[1]:
@@ -497,6 +546,38 @@ class JobRunner:
             for i, m in enumerate(result["masks"]):
                 out[f"mask_{chr(ord('a') + i)}"] = m
             return out
+
+        if job.kind == "film":
+            from .ops.tiled import tiled_film_stack
+            from .simulate import film_socs_kernels
+
+            stack = _parse_wafer_stack(body.get("stack") or {})
+            depths = body.get("depths_nm")
+            if depths is None:
+                nz = int(body.get("nz", 4))
+                if not 1 <= nz <= 64:
+                    raise ValueError(f"nz must be in [1, 64], got {nz}")
+                dz = stack.thickness_nm / nz
+                depths = ((np.arange(nz) + 0.5) * dz).tolist()
+            depths = [float(z) for z in depths]
+            if not depths or len(depths) > 64:
+                raise ValueError("depths_nm must hold 1..64 depths")
+            kernels = film_socs_kernels(
+                source,
+                np.asarray(body.get("aberrations") or [0.0], np.float32),
+                config=config, wafer_stack=stack, depths_nm=depths,
+                polarization=polarization,
+                apodize=bool(body.get("apodize", True)), rank=rank)
+            progress(0.02)  # kernels built; the tile loop reports the rest
+            exposure = tiled_film_stack(
+                np.asarray(mask, np.float32), kernels, config,
+                source_total=float(np.asarray(source).sum()), halo=halo,
+                tiles_per_dispatch=int(body.get("tiles_per_dispatch", 8)),
+                mask3d=mask3d,
+                progress_cb=lambda f: progress(0.02 + 0.98 * f))
+            return {"exposure": exposure, "depths_nm": depths,
+                    "big_n": int(mask.shape[0]),
+                    "rank": int(kernels[0].rank)}
 
         if job.kind == "stochastic":
             from .metrology import tiled_stochastic

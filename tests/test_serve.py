@@ -748,3 +748,69 @@ def test_m3d_path_payloads_rejected(server):
         assert "dict" in final["error"]
     else:
         assert status == 400
+
+
+# ---------------------------------------------------------------------------
+# Film job kind (round 5): full-chip rigorous image-in-resist over the API
+# ---------------------------------------------------------------------------
+
+
+def test_job_film_end_to_end(server):
+    """The 'film' kind returns the (nz, M, M) in-film exposure: slabs are a
+    real depth series (absorption decays the mean; slabs differ), and the
+    wafer stack spec parses material names and [re, im] pairs."""
+    body = _job_body("film", big_n=96, nz=3,
+                     stack={"n_resist": [1.71, 0.02],
+                            "thickness_nm": 120.0,
+                            "under_layers": [[37.0, "barc"]],
+                            "n_substrate": "si"})
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200, payload
+    final, progress = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert final["depths_nm"] == [20.0, 60.0, 100.0]
+    exposure = _decode_array(final["exposure"])
+    assert exposure.shape == (3, 96, 96)
+    assert np.isfinite(exposure).all() and exposure.max() > 0
+    # the stack is a real depth series: standing waves on the Si/BARC
+    # stack swing the slab means by tens of percent (node near mid-film),
+    # which a broadcast 2-D image could never show
+    means = exposure.mean(axis=(1, 2))
+    assert means.std() / means.mean() > 0.05
+    assert all(b >= a for a, b in zip(progress, progress[1:]))
+
+
+def test_job_film_explicit_depths_and_artifact(server, monkeypatch):
+    """Explicit depths_nm are honored and a large exposure stack streams
+    back through the artifact path like every other big job result."""
+    import lithographysimulator_tpu.serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "_INLINE_ARRAY_LIMIT", 1024)
+    body = _job_body("film", big_n=96, depths_nm=[5.0, 95.0],
+                     stack={"thickness_nm": 100.0})
+    status, payload = _post(server, "/jobs", body)
+    assert status == 200, payload
+    final, _ = _poll_job(server, payload["job_id"])
+    assert final["status"] == "done", final
+    assert final["depths_nm"] == [5.0, 95.0]
+    desc = final["exposure"]
+    assert desc["artifact"] == "exposure" and desc["shape"] == [2, 96, 96]
+    arr = serve_mod.fetch_artifact(server, desc["stream_path"])
+    assert arr.shape == (2, 96, 96) and arr.max() > 0
+
+
+def test_job_film_validation(server):
+    """Bad stack specs fail loudly (as job errors — async-kind validation
+    surfaces via status): unknown material, unknown field, bad nz."""
+    for bad in (
+        {"stack": {"n_resist": "unobtanium"}},
+        {"stack": {"resist_index": 1.7}},
+        {"nz": 0},
+        {"depths_nm": []},
+    ):
+        status, payload = _post(server, "/jobs", _job_body("film", **bad))
+        if status == 200:
+            final, _ = _poll_job(server, payload["job_id"])
+            assert final["status"] == "error", (bad, final)
+        else:
+            assert status == 400

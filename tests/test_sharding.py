@@ -395,3 +395,33 @@ def test_stochastic_band_sharded_matches_host():
                                       trial_chunk=32)).mean(axis=0)
     np.testing.assert_allclose(band, host, atol=1e-6)
     assert 0.0 <= band.min() and band.max() <= 1.0
+
+
+def test_film_stack_sharded_matches_local():
+    """Source-psum film stack == single-chip film_stack_images, scalar and
+    vector, including under an M3D boundary layer."""
+    import lithographysimulator_tpu as lt
+    from lithographysimulator_tpu import BoundaryLayer, WaferStack
+    from lithographysimulator_tpu.parallel import film_stack_sharded
+    from lithographysimulator_tpu.parallel.mesh import source_mesh
+
+    cfg = OpticsConfig(pixel_number=32, na=0.85)
+    mask = demo_bars(cfg)
+    src = np.asarray(LightSource(cfg, sigma_out=0.6).classical())
+    wafer = WaferStack(n_resist=1.71 + 0.01j, thickness_nm=120.0,
+                       under_layers=((37.0, 1.82 + 0.39j),))
+    mesh = source_mesh()
+    depths = [20.0, 60.0, 100.0]
+    for pol, m3d in ((None, None),
+                     ("unpolarized", None),
+                     (None, BoundaryLayer(width_nm=8.0, beta_h=-0.2,
+                                          beta_v=-0.2 + 0.05j))):
+        local = np.asarray(lt.film_stack_images(
+            mask, src, config=cfg, wafer_stack=wafer, depths_nm=depths,
+            polarization=pol, mask3d=m3d, normalize=True))
+        sharded = np.asarray(film_stack_sharded(
+            mask, src, config=cfg, wafer_stack=wafer, mesh=mesh,
+            depths_nm=depths, polarization=pol, mask3d=m3d, normalize=True))
+        assert sharded.shape == (3, cfg.n, cfg.n)
+        np.testing.assert_allclose(sharded, local, rtol=1e-5,
+                                   atol=1e-5 * local.max())
