@@ -110,6 +110,20 @@ def main() -> None:
     image = jax.block_until_ready(socs_apply(mask.geometry, socs))
     t_apply = time.perf_counter() - t0
     total = t_build + t_apply
+
+    # Accuracy class of the headline (VERDICT r4 item 4): the rigorous
+    # dropped-tail bound on nRMS vs exact Abbe — trace = w_sum * sum|P|^2,
+    # Cauchy-Schwarz factor sum|M|^2, peak from the image itself (all
+    # scalars computed in-jit; eager complex math dies on the tunnel).
+    _progress("computing SOCS truncation bound scalars")
+    eig_sum = float(np.asarray(jnp.sum(socs.eigenvalues)))
+    r0 = float(np.asarray(jax.jit(
+        lambda a: jnp.sum(jnp.abs(pupil_function(a, cfg)) ** 2))(aberrations)))
+    m2 = float(np.asarray(jax.jit(
+        lambda g: jnp.sum(jnp.abs(mask_spectrum(g, cfg)) ** 2))(mask.geometry)))
+    trace = float(src.sum()) * r0
+    peak_1024 = float(np.asarray(jnp.max(image)))
+    socs_nrms_bound = max(trace - eig_sum, 0.0) * m2 / max(peak_1024, 1e-30)
     # 2.1 GB kernel set, never used again: the 2048^2 Nystrom cold build
     # below peaks ~3 probe blocks (~13.9 GB) and needs the HBM back
     # (holding this OOMed the r4 bench; CLAUDE.md buffer-discipline rule).
@@ -139,6 +153,18 @@ def main() -> None:
     partials = [abbe_int8(*a) for a in seg_args]
     abbe_image_full = jax.block_until_ready(sum(partials))
     abbe_measured = time.perf_counter() - t0
+
+    # Measured spot-check of the truncation bound: the SOCS headline image
+    # vs this exact int8 image (postprocessed onto the same Gau'23 output
+    # grid). Certifies socs_nrms_bound >= measured on hardware every run.
+    from lithographysimulator_tpu.ops.abbe import _postprocess_gau23
+
+    exact_1024 = np.asarray(jax.block_until_ready(
+        jax.jit(lambda im: _postprocess_gau23(im, cfg))(abbe_image_full)))
+    socs_vs_exact_nrms = float(
+        np.sqrt(np.mean((np.asarray(image) - exact_1024) ** 2))
+        / max(np.abs(exact_1024).max(), 1e-30))
+    del exact_1024
 
     # --- Abbe f32 'matmul' engine: MEASURED over all 8 segments ----------
     # (accuracy-over-speed configuration; measured end-to-end like int8,
@@ -345,10 +371,18 @@ def main() -> None:
     sto_image = image / jnp.max(image)
     jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
                                           trials=16, seed=0, trial_chunk=8))
-    t0 = time.perf_counter()
-    jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
-                                          trials=16, seed=1, trial_chunk=8))
-    sto_trials_per_s = 16 / (time.perf_counter() - t0)
+    # Median of 3 timed repetitions (VERDICT r4 item 7: single samples of
+    # this stage swung 1.8x between same-code captures — the dispatch is
+    # ~100 ms, so one tunnel hiccup dominates a single sample). Seeds
+    # differ per rep: identical args can return memoized without executing.
+    sto_times = []
+    for s in (1, 2, 3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
+                                              trials=16, seed=s,
+                                              trial_chunk=8))
+        sto_times.append(time.perf_counter() - t0)
+    sto_trials_per_s = 16 / float(np.median(sto_times))
 
     # the production ensemble path: transfer-lean device summary (sampled
     # cut lines + run counts + band) INCLUDING host readback of all three.
@@ -359,12 +393,17 @@ def main() -> None:
     jax.block_until_ready(exposure_summary(sto_image, cfg, sto_model,
                                            trials=16, seed=0, trial_chunk=8,
                                            row_step=2))
-    t0 = time.perf_counter()
-    rows_b, runs_b, band_b = exposure_summary(
-        sto_image, cfg, sto_model, trials=16, seed=1, trial_chunk=8,
-        row_step=2)
-    np.asarray(rows_b); np.asarray(runs_b); np.asarray(band_b)
-    sto_summary_trials_per_s = 16 / (time.perf_counter() - t0)
+    # Median of 3 (same rationale as above; the ~40 MB summary readback
+    # rides the tunnel, whose transfer rate is the volatile term).
+    sto_sum_times = []
+    for s in (1, 2, 3):
+        t0 = time.perf_counter()
+        rows_b, runs_b, band_b = exposure_summary(
+            sto_image, cfg, sto_model, trials=16, seed=s, trial_chunk=8,
+            row_step=2)
+        np.asarray(rows_b); np.asarray(runs_b); np.asarray(band_b)
+        sto_sum_times.append(time.perf_counter() - t0)
+    sto_summary_trials_per_s = 16 / float(np.median(sto_sum_times))
 
     # --- round 3: lean single-block-peak build, 2048^2 rank 256 ---------
     # The memory-constrained config (standard build would OOM HBM); round-3
@@ -394,6 +433,8 @@ def main() -> None:
         "vs_baseline": round(REFERENCE_BASELINE_S / total, 1),
         "socs_build_s": round(t_build, 4),
         "socs_image_s": round(t_apply, 4),
+        "socs_image_nrms_bound": round(socs_nrms_bound, 9),
+        "socs_1024_vs_exact_nrms": round(socs_vs_exact_nrms, 9),
         "socs_image_amortized_vs_baseline": round(REFERENCE_BASELINE_S / t_apply, 1),
         "abbe_exact_s": round(abbe_measured, 2),
         "abbe_exact_measured": True,
@@ -410,7 +451,9 @@ def main() -> None:
         "chromatic_socs_cold_s": round(t_chromatic_cold, 3),
         "chromatic_socs_channels": cchan,
         "stochastic_device_trials_per_s": round(sto_trials_per_s, 1),
+        "stochastic_device_samples_s": [round(t, 4) for t in sto_times],
         "stochastic_e2e_trials_per_s": round(sto_summary_trials_per_s, 1),
+        "stochastic_e2e_samples_s": [round(t, 4) for t in sto_sum_times],
         "socs_cold_2048_s": round(t_socs_2048, 3),
         "socs_cold_2048_vs_baseline": round(REFERENCE_2048_S / t_socs_2048, 1),
         "socs_lean_2048_rank256_s": round(t_lean_2048, 3),

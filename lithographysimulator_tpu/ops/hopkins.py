@@ -588,7 +588,7 @@ def randomized_socs(
     source_map,
     config: OpticsConfig,
     *,
-    rank: int = 64,
+    rank: int | str = 64,
     oversample: int = 16,
     power_iters: int = 2,
     seed: int = 0,
@@ -599,6 +599,8 @@ def randomized_socs(
     init_basis=None,
     return_basis: bool = False,
     method: str = "rr",
+    tolerance: float | None = None,
+    spectrum=None,
 ) -> SOCSKernels:
     """Top-``rank`` SOCS kernels via matrix-free randomized eigendecomposition
     of the source-side Gram operator. Exact circulant structure; accuracy set
@@ -636,7 +638,29 @@ def randomized_socs(
     build's Ritz basis (see :func:`_warm_omega`; get one by passing
     ``return_basis=True``, which makes this return ``(socs, basis)``).
     Adjacent focal planes / grown ranks converge from a warm basis with
-    ``power_iters=0`` at full accuracy (tests/test_hopkins.py)."""
+    ``power_iters=0`` at full accuracy (tests/test_hopkins.py).
+
+    ``rank='auto'`` (or a ``tolerance``) delegates to the host-side
+    :func:`auto_rank_socs` doubling loop: energy-targeted for ``'auto'``
+    alone, or error-budgeted — smallest rank whose rigorous
+    :func:`socs_image_nrms_bound` meets ``tolerance`` for the mask whose
+    ``spectrum`` is supplied. Host-side only (the selected rank is
+    data-dependent); under jit pass a static int rank instead."""
+    if rank == "auto" or tolerance is not None:
+        if isinstance(pupil, jax.core.Tracer) or isinstance(
+                jnp.asarray(source_map), jax.core.Tracer):
+            raise ValueError(
+                "rank='auto'/tolerance= select a data-dependent rank and "
+                "cannot run under jit; pass a static int rank instead")
+        if init_basis is not None or return_basis:
+            raise ValueError("rank='auto' does not compose with warm-start "
+                             "bases; call auto_rank_socs directly")
+        return auto_rank_socs(
+            pupil, source_map, config, tolerance=tolerance,
+            spectrum=spectrum, oversample=oversample,
+            power_iters=power_iters, seed=seed, probe_chunk=probe_chunk,
+            compensated=compensated, krylov=krylov, lean=lean, method=method)
+    rank = int(rank)
     n = config.n
     if lean == "auto":
         lean = lean_auto(rank + oversample, n) and not krylov \
@@ -1460,6 +1484,34 @@ def _randomized_socs_lean(
     )
 
 
+def tcc_total_trace(pupil, source_map, *, polarization=None,
+                    apodize: bool = True,
+                    config: OpticsConfig | None = None) -> float:
+    """Exact trace of the (scalar or vector) TCC, no decomposition needed:
+    trace(G) = sum_s w_s * R(0) with R(0) = sum |P|^2 for the scalar
+    operator; the polarized operator's trace comes from
+    :func:`vector_tcc_trace` (pass the build's ``polarization``/``apodize``
+    plus ``config``). Eigenvalue units match the Abbe engine's unnormalized
+    source-weight sum, i.e. the units of ``SOCSKernels.eigenvalues``."""
+    if polarization is not None:
+        if config is None:
+            raise ValueError("polarization needs config for the trace")
+        return float(np.asarray(jax.jit(
+            vector_tcc_trace,
+            static_argnames=("config", "polarization", "apodize"))(
+                pupil, source_map, config=config, polarization=polarization,
+                apodize=apodize)))
+    w_sum = float(np.asarray(jnp.sum(jnp.asarray(source_map, jnp.float32))))
+    r0 = float(np.asarray(_field_power(to_device_complex(pupil))))
+    return w_sum * r0
+
+
+@jax.jit
+def _field_power(field):
+    """sum |field|^2 under jit (eager complex math dies on the TPU tunnel)."""
+    return jnp.sum(jnp.abs(field) ** 2).astype(jnp.float32)
+
+
 def socs_energy_captured(socs: SOCSKernels, pupil, source_map, *,
                          polarization=None, apodize: bool = True,
                          config: OpticsConfig | None = None) -> float:
@@ -1471,21 +1523,65 @@ def socs_energy_captured(socs: SOCSKernels, pupil, source_map, *,
     For kernels from :func:`randomized_socs_vector`, pass the same
     ``polarization``/``apodize`` plus ``config`` so the denominator is the
     vector operator's trace (:func:`vector_tcc_trace`)."""
-    if polarization is not None:
-        if config is None:
-            raise ValueError("polarization needs config for the trace")
-        trace = float(np.asarray(jax.jit(
-            vector_tcc_trace,
-            static_argnames=("config", "polarization", "apodize"))(
-                pupil, source_map, config=config, polarization=polarization,
-                apodize=apodize)))
-    else:
-        w_sum = float(np.asarray(jnp.sum(jnp.asarray(source_map, jnp.float32))))
-        r0 = float(np.asarray(jnp.sum(jnp.abs(to_device_complex(pupil)) ** 2)))
-        trace = w_sum * r0
+    trace = tcc_total_trace(pupil, source_map, polarization=polarization,
+                            apodize=apodize, config=config)
     if trace <= 0:
         return 1.0
     return float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
+
+
+def socs_image_nrms_bound(socs: SOCSKernels, spectrum, image, *,
+                          trace: float | None = None, pupil=None,
+                          source_map=None, polarization=None,
+                          apodize: bool = True,
+                          config: OpticsConfig | None = None,
+                          total_weight: float | None = None) -> float:
+    """Rigorous a-priori bound on the truncation error's normalized RMS,
+    nRMS = RMS(I_exact - I_socs) / max(I_exact), from the dropped
+    eigenvalue tail alone — the bench/test accuracy metric, computable
+    without ever running the exact Abbe solver.
+
+    For exact eigenkernels (:func:`tcc_eigensystem`) the pointwise deficit
+    is Delta I(x) = sum_dropped lambda_j |F(phi_j M)(x)|^2 with unit-norm
+    phi_j and the forward-norm inverse DFT (a plain sum, no 1/N^2 —
+    ``ops/fourier.centered_ifft2``; the windowed matmul engines implement
+    the identical transform), so Cauchy-Schwarz gives pointwise
+    ``Delta I <= dropped_trace * ||M||_2^2``. The Gau'23 postprocess
+    (bilinear downscale + zero pad) is a convex average so the sup cannot
+    grow, and Delta I >= 0 makes max(I_exact) >= max(I_socs); hence
+
+        nRMS <= (trace - sum kept lambda) * sum|M|^2 / max(I_socs).
+
+    ``image`` is the SOCS aerial image the bound certifies; if it was
+    normalized by the source-weight sum (``normalize=True`` paths) pass the
+    same ``total_weight`` so the peak is restored to eigenvalue units
+    (nRMS itself is scale-invariant). Pass the exact ``trace`` if already
+    known, else ``pupil``/``source_map`` (+ ``polarization``/``config`` for
+    vector builds) to compute it via :func:`tcc_total_trace`.
+
+    For randomized builds the kept pairs are Ritz approximations: the
+    kept-subspace misfit adds a term that is higher-order in the
+    oversampled / power-iterated residual, while the Ritz values
+    UNDER-estimate the true top eigenvalues (Cauchy interlacing), which
+    over-estimates the dropped trace — in practice the bound holds with
+    margin (tests/test_socs_bound.py verifies bound >= measured across the
+    demo configs). The bound covers SOCS truncation only, not the int8
+    apply engine's ~6e-7 quantization floor."""
+    if trace is None:
+        if pupil is None or source_map is None:
+            raise ValueError("socs_image_nrms_bound needs trace= or "
+                             "pupil=/source_map= to compute it")
+        trace = tcc_total_trace(pupil, source_map, polarization=polarization,
+                                apodize=apodize, config=config)
+    kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
+    dropped = max(trace - kept, 0.0)
+    m2 = float(np.asarray(_field_power(to_device_complex(spectrum))))
+    peak = float(np.asarray(jnp.max(image)))
+    if total_weight is not None:
+        peak = peak * float(total_weight)
+    if peak <= 0:
+        return 0.0 if dropped * m2 == 0 else float("inf")
+    return dropped * m2 / peak
 
 
 def auto_rank_socs(
@@ -1496,15 +1592,41 @@ def auto_rank_socs(
     energy_target: float = 0.999,
     start_rank: int = 32,
     max_rank: int = 512,
+    tolerance: float | None = None,
+    spectrum=None,
+    image_chunk: int = 4,
     **kwargs,
 ) -> SOCSKernels:
     """Build SOCS kernels with the smallest power-of-two-stepped rank whose
     captured energy fraction meets ``energy_target`` (host-side doubling
-    loop; each attempt is one :func:`randomized_socs` build)."""
+    loop; each attempt is one :func:`randomized_socs` build).
+
+    ``tolerance`` switches the stop criterion from the energy fraction to a
+    guaranteed image accuracy: the doubling stops once
+    :func:`socs_image_nrms_bound` — the rigorous dropped-tail bound on
+    nRMS vs the exact Abbe image — is <= ``tolerance`` for the mask whose
+    ``spectrum`` is supplied (required: the bound, unlike the energy
+    fraction, is mask-dependent). Each candidate pays one cheap
+    :func:`socs_image` apply on top of its build. If ``max_rank`` is hit
+    first, the best effort is returned; read the achieved bound back via
+    :func:`socs_image_nrms_bound`."""
+    if tolerance is not None and spectrum is None:
+        raise ValueError("tolerance= needs spectrum= (the image-error bound "
+                         "is mask-dependent); pass mask_spectrum(geometry, "
+                         "config)")
+    trace = tcc_total_trace(pupil, source_map)
     rank = start_rank
+
+    def converged(socs) -> bool:
+        if tolerance is None:
+            kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
+            return trace <= 0 or kept / trace >= energy_target
+        image = socs_image(spectrum, socs, config, chunk=image_chunk)
+        return socs_image_nrms_bound(socs, spectrum, image,
+                                     trace=trace) <= tolerance
+
     socs = randomized_socs(pupil, source_map, config, rank=rank, **kwargs)
-    while (socs_energy_captured(socs, pupil, source_map) < energy_target
-           and rank < max_rank):
+    while not converged(socs) and rank < max_rank:
         rank = min(rank * 2, max_rank)
         socs = randomized_socs(pupil, source_map, config, rank=rank, **kwargs)
     return socs

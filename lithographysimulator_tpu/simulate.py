@@ -305,9 +305,30 @@ _AUTO_ENERGY_TARGET = 0.999
 def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                          aberrations: jnp.ndarray, rank: int | str,
                          polarization=None, apodize: bool = True,
-                         chromatic=None):
+                         chromatic=None, tolerance: float | None = None,
+                         geometry=None, chunk: int = 4,
+                         normalize: bool = False, mask3d=None):
+    """Returns ``(socs, pupil, energy, bound)``. ``tolerance`` switches the
+    auto doubling loop's stop criterion from the 99.9% energy target to the
+    rigorous mask-dependent image-error bound
+    (:func:`..ops.hopkins.socs_image_nrms_bound`) <= tolerance — pass the
+    mask ``geometry`` (the bound needs its spectrum; the cache key then
+    includes it) plus the apply-path ``chunk``/``normalize``/``mask3d`` so
+    the criterion applies share the caller's compiled programs. ``bound``
+    is None unless tolerance mode ran."""
+    if tolerance is not None and geometry is None:
+        raise ValueError("socs tolerance mode needs the mask geometry "
+                         "(the image-error bound is mask-dependent)")
+    if tolerance is not None and rank != "auto":
+        raise ValueError("socs_tolerance composes with socs_rank='auto' "
+                         "only (a pinned rank cannot honor a tolerance)")
+    geo_key = (np.asarray(geometry).tobytes()
+               if tolerance is not None else None)
     key = (config, src_np.tobytes(), np.asarray(aberrations).tobytes(), rank,
-           polarization, apodize, chromatic)
+           polarization, apodize, chromatic, tolerance, geo_key,
+           chunk if tolerance is not None else None,
+           normalize if tolerance is not None else None,
+           mask3d if tolerance is not None else None)
     hit = _SOCS_BUILD_CACHE.get(key)
     if hit is None:
         from .ops.hopkins import lean_auto
@@ -319,6 +340,22 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
             trace = w_sum * float(r0)
             return (float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
                     if trace > 0 else 1.0)
+
+        bound = None
+        if tolerance is not None:
+            from .ops.hopkins import socs_image_nrms_bound
+
+            geo_dev = jnp.asarray(geometry)
+            apply_run = _compiled_socs_apply(config, chunk, normalize, mask3d)
+
+            def bound_of(socs, energy):
+                image, spectrum = apply_run(geo_dev, socs,
+                                            jnp.float32(w_sum))
+                kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
+                trace = kept / energy if energy > 0 else 0.0
+                return socs_image_nrms_bound(
+                    socs, spectrum, image, trace=trace,
+                    total_weight=(w_sum if normalize else None))
 
         # Aberration-independent principal-channel rotation (None when the
         # stack does not compress): shared across every rank doubling.
@@ -362,7 +399,12 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                         config, r, polarization, apodize, chromatic,
                         channel_k)(aberrations, src_dev, rot)
                 energy = energy_of(socs, r0)
-                if energy >= _AUTO_ENERGY_TARGET or r >= max_rank:
+                if tolerance is not None:
+                    bound = bound_of(socs, energy)
+                    done = bound <= tolerance
+                else:
+                    done = energy >= _AUTO_ENERGY_TARGET
+                if done or r >= max_rank:
                     break
                 r = min(r * 2, max_rank)
                 if not keep_basis:
@@ -372,7 +414,7 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                 config, int(rank), polarization, apodize, chromatic,
                 channel_k)(aberrations, src_dev, rot)
             energy = energy_of(socs, r0)
-        hit = (socs, pupil, energy)
+        hit = (socs, pupil, energy, bound)
         if len(_SOCS_BUILD_CACHE) >= _SOCS_BUILD_CACHE_MAX:
             _SOCS_BUILD_CACHE.pop(next(iter(_SOCS_BUILD_CACHE)))
         _SOCS_BUILD_CACHE[key] = hit
@@ -394,7 +436,14 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
             total = jnp.sum(source_map)
             image = jnp.where(total > 0,
                               image / jnp.maximum(total, 1e-30), 0.0)
-        return image, spectrum, pupil
+        # Accounting scalars for the report's accuracy class: kept
+        # eigenvalue sum, pupil power (trace = w_sum * r0), spectrum power
+        # (the Cauchy-Schwarz factor of socs_image_nrms_bound) — computed
+        # in-jit because eager complex math dies on the TPU tunnel.
+        eig_sum = jnp.sum(socs.eigenvalues)
+        r0 = jnp.sum(jnp.abs(pupil) ** 2).astype(jnp.float32)
+        m2 = jnp.sum(jnp.abs(spectrum) ** 2).astype(jnp.float32)
+        return image, spectrum, pupil, eig_sum, r0, m2
 
     return run
 
@@ -700,9 +749,9 @@ def simulate_batch(
     if isinstance(polarization, (list, np.ndarray)):
         polarization = tuple(complex(v) for v in polarization)
     if solver == "socs":
-        socs, _, _ = _socs_kernels_cached(config, src_np, aberrations,
-                                          socs_rank, polarization, apodize,
-                                          chromatic)
+        socs, _, _, _ = _socs_kernels_cached(config, src_np, aberrations,
+                                             socs_rank, polarization, apodize,
+                                             chromatic)
         run = _compiled_batch_socs(config, chunk, normalize, mask3d)
         images = run(geometries, socs, jnp.float32(src_np.sum()))
     else:
@@ -733,6 +782,7 @@ def simulate(
     normalize: bool = False,
     block: bool = True,
     socs_rank: int | str = "auto",
+    socs_tolerance: float | None = None,
     polarization=None,
     apodize: bool = True,
     mask3d=None,
@@ -747,7 +797,13 @@ def simulate(
     'direct' are the exact Abbe solvers. ``socs_rank='auto'`` (default)
     self-tunes the rank to 99.9% captured TCC energy via
     :func:`..ops.hopkins.auto_rank_socs` (build cached per (config, source,
-    aberrations)); pass an int to pin it.
+    aberrations)); pass an int to pin it. ``socs_tolerance`` (with
+    ``socs_rank='auto'``) switches the stop criterion to the rigorous
+    mask-dependent image-error bound
+    (:func:`..ops.hopkins.socs_image_nrms_bound`) <= tolerance, so the
+    image's accuracy class is guaranteed, not just its energy capture.
+    Every SOCS run reports the achieved bound as
+    ``report['socs_image_nrms_bound']``.
 
     ``polarization`` (None = scalar imaging): 'unpolarized', 'x', 'y', or a
     Jones 2-vector — switches to the vector/high-NA Jones-pupil engine
@@ -790,24 +846,52 @@ def simulate(
 
     socs_rank_used = None
     socs_energy = None
+    socs_bound = None
+    if socs_tolerance is not None and (solver != "socs"
+                                       or socs_rank != "auto"):
+        raise ValueError("socs_tolerance needs solver='socs' with "
+                         "socs_rank='auto' (a pinned rank cannot honor a "
+                         "tolerance)")
     if solver == "socs":
+        w_sum = float(src_np.sum())
         if (socs_rank == "auto" or polarization is not None
                 or chromatic is not None):
             # vector/chromatic kernels always go through the cached build
             # (the pinned-rank all-in-one pipeline is scalar monochromatic)
-            socs, pupil, socs_energy = _socs_kernels_cached(
+            socs, pupil, socs_energy, socs_bound = _socs_kernels_cached(
                 config, src_np, aberrations, socs_rank, polarization,
-                apodize, chromatic)
+                apodize, chromatic, tolerance=socs_tolerance,
+                geometry=np.asarray(mask.geometry), chunk=chunk,
+                normalize=normalize, mask3d=mask3d)
             run = _compiled_socs_apply(config, chunk, normalize, mask3d)
             image, spectrum = run(mask.geometry, socs,
                                   jnp.float32(src_np.sum()))
             socs_rank_used = socs.rank
+            if socs_bound is None:
+                # Accuracy class of the run, even without a tolerance: the
+                # rigorous dropped-tail bound, from pieces already in hand
+                # (trace = kept / energy covers scalar, vector, chromatic).
+                from .ops.hopkins import socs_image_nrms_bound
+
+                kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
+                trace = kept / socs_energy if socs_energy > 0 else 0.0
+                socs_bound = socs_image_nrms_bound(
+                    socs, spectrum, image, trace=trace,
+                    total_weight=(w_sum if normalize else None))
         else:
             run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank,
                                           mask3d)
-            image, spectrum, pupil = run(mask.geometry, aberrations,
-                                         jnp.asarray(src_np))
+            image, spectrum, pupil, eig_sum, r0, m2 = run(
+                mask.geometry, aberrations, jnp.asarray(src_np))
             socs_rank_used = int(socs_rank)
+            kept = float(np.asarray(eig_sum))
+            trace = w_sum * float(np.asarray(r0))
+            socs_energy = kept / trace if trace > 0 else 1.0
+            peak = float(np.asarray(jnp.max(image)))
+            if normalize:
+                peak *= w_sum
+            socs_bound = (max(trace - kept, 0.0) * float(np.asarray(m2))
+                          / peak if peak > 0 else 0.0)
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,
@@ -851,6 +935,10 @@ def simulate(
         report["socs_rank"] = socs_rank_used
     if socs_energy is not None:
         report["socs_energy_captured"] = round(float(socs_energy), 6)
+    if socs_bound is not None:
+        report["socs_image_nrms_bound"] = float(socs_bound)
+    if socs_tolerance is not None:
+        report["socs_tolerance"] = float(socs_tolerance)
     return SimulationResult(
         image=image, spectrum=spectrum, pupil=pupil,
         source_map=src_np, report=report,
