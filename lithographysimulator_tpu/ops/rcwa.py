@@ -13,13 +13,18 @@ external EMF tool.
 
 Scope and design:
 
-- Planar (non-conical) diffraction by a stack of lamellar grating layers:
-  period ``Λ``, per-layer complex ridge/groove indices and duty cycles,
-  illuminated from a semi-infinite superstrate (mask blank, e.g. glass) at
-  angle ``theta_deg``, transmitting into a semi-infinite substrate (air).
-  This covers the photomask calibration problem exactly: absorber lines on
-  a blank, TE (E ∥ lines) and TM (E ⊥ lines) — the two polarizations whose
-  difference *is* the H–V bias the BL model's (β_h, β_v) split encodes.
+- Planar (:func:`rcwa_orders`) AND conical (:func:`rcwa_orders_conical`)
+  diffraction by a stack of lamellar grating layers: period ``Λ``,
+  per-layer complex ridge/groove indices and duty cycles, illuminated from
+  a semi-infinite superstrate (mask blank, e.g. glass) at polar angle
+  ``theta_deg`` (and, conically, azimuth ``phi_deg`` between the plane of
+  incidence and the grating vector), transmitting into a semi-infinite
+  substrate (air). This covers the photomask calibration problem exactly:
+  absorber lines on a blank, TE (E ∥ lines) and TM (E ⊥ lines) — the two
+  polarizations whose difference *is* the H–V bias the BL model's
+  (β_h, β_v) split encodes — plus, conically, the EUV chief ray tilted
+  ALONG the lines (azimuth 90°), the horizontal-edge geometry the planar
+  mount cannot represent.
 - Everything is host-side ``numpy`` complex128. RCWA needs a general
   (non-Hermitian) complex eigendecomposition, which JAX only provides on
   CPU and the TPU tunnel not at all — and the oracle runs once per
@@ -52,7 +57,9 @@ import numpy as np
 __all__ = [
     "GratingLayer",
     "RcwaResult",
+    "RcwaConicalResult",
     "rcwa_orders",
+    "rcwa_orders_conical",
     "kirchhoff_orders",
     "transfer_matrix_stack",
     "thin_mask_transmission",
@@ -234,6 +241,200 @@ def rcwa_orders(
     return RcwaResult(orders=orders, r=np.conj(r), t=np.conj(t),
                       eff_r=eff_r.real.astype(np.float64),
                       eff_t=eff_t.real.astype(np.float64))
+
+
+@dataclasses.dataclass(frozen=True)
+class RcwaConicalResult:
+    """Conical-mount diffraction: per-order tangential E-field amplitudes
+    (exp(−iωt) convention, unit incident |E|) plus efficiencies. ``ry/rx``
+    are the reflected Ey/Ex harmonics, ``ty/tx`` transmitted."""
+
+    orders: np.ndarray  # (n_ord,) int, m from -M..M
+    ry: np.ndarray
+    rx: np.ndarray
+    ty: np.ndarray
+    tx: np.ndarray
+    eff_r: np.ndarray
+    eff_t: np.ndarray
+
+    @property
+    def energy(self) -> float:
+        return float(self.eff_r.sum() + self.eff_t.sum())
+
+
+def rcwa_orders_conical(
+    period_nm: float,
+    layers: Sequence[GratingLayer],
+    wavelength_nm: float,
+    *,
+    n_super: complex = 1.0,
+    n_sub: complex = 1.0,
+    theta_deg: float = 0.0,
+    phi_deg: float = 0.0,
+    psi_deg: float = 90.0,
+    n_harmonics: int = 21,
+) -> RcwaConicalResult:
+    """Conical-mount RCWA: the same lamellar stacks as :func:`rcwa_orders`,
+    illuminated with the plane of incidence rotated by azimuth ``phi_deg``
+    away from the grating vector (x). ``psi_deg`` is the polarization angle
+    of the incident E field: 90° = s (E ⊥ plane of incidence, so pure Ey at
+    ``phi_deg=0`` — the planar TE case), 0° = p (E in the plane).
+
+    Formulation: the coupled-wave equations for a 1-D (ε(x)-only) grating at
+    transverse momentum ky ≠ 0 are derived directly from Maxwell's curl
+    equations in the Fourier basis (Moharam/Grann/Pommet/Gaylord, JOSA A 12,
+    1068 (1995), conical mount), keeping the full 2N-coupled tangential
+    system in S = [Sy; Sx] (E-field harmonics) and U = [Ux; Uy] (H-field):
+
+        dS/dz' = j·M1·U,   dU/dz' = j·M2·S,   d²S/dz'² = −M1·M2·S
+
+    with Li's inverse factorization on the ε·Ex product (the only field
+    component discontinuous across the ridge walls). The 2N×2N eigenmodes
+    feed the SAME enhanced-transmittance bottom-up recursion as the planar
+    solver (growing exponentials never inverted). Unlike the classic
+    decoupled-into-two-N-problems presentation, the block form makes no
+    symmetry assumption — it reduces to the planar TE/TM blocks exactly at
+    ``phi_deg=0`` (pinned by tests/test_rcwa_conical.py) and matches the
+    analytic transfer matrix for homogeneous stacks at any azimuth.
+
+    Validation contract (tests/test_rcwa_conical.py): homogeneous stacks
+    reproduce :func:`transfer_matrix_stack` s/p amplitudes at conical
+    incidence to ~1e-10; ``phi_deg=0`` matches :func:`rcwa_orders`
+    efficiencies and TE amplitudes; lossless gratings conserve energy;
+    a centered grating at ``phi_deg=90`` has m ↔ −m symmetric orders (the
+    tilt is along the lines, so nothing shadows across them)."""
+    if n_harmonics < 3 or n_harmonics % 2 == 0:
+        raise ValueError("n_harmonics must be odd and >= 3")
+    n_ord = int(n_harmonics)
+    mm = (n_ord - 1) // 2
+    orders = np.arange(-mm, mm + 1)
+
+    # exp(+jwt) internally: conjugate the physics-convention n + ik indices.
+    nI = np.conj(complex(n_super))
+    nII = np.conj(complex(n_sub))
+    eps_I, eps_II = nI * nI, nII * nII
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    psi = np.deg2rad(psi_deg)
+    lam = float(wavelength_nm)
+
+    # Normalized transverse wavevectors: kx per order, ky common to all.
+    kx = nI.real * np.sin(theta) * np.cos(phi) - orders * lam / float(period_nm)
+    kx = kx.astype(np.complex128)
+    ky = complex(nI.real * np.sin(theta) * np.sin(phi))
+
+    def kz_of(eps: complex) -> np.ndarray:
+        kz = np.sqrt(eps - kx * kx - ky * ky)
+        # exp(+jwt): e^{-j kz z} decays downward for Im kz <= 0; principal
+        # sqrt is right except lossless-evanescent (negative real axis).
+        flip = (np.abs(kz.real) < 1e-12 * np.abs(kz.imag)) & (kz.imag > 0)
+        kz = np.where(flip, -kz, kz)
+        # The exterior admittance matrices carry 1/kz: nudge exact Rayleigh
+        # anomalies off the singularity (no effect on regular orders).
+        return np.where(np.abs(kz) < 1e-9, kz + 1e-9, kz)
+
+    kz_I, kz_II = kz_of(eps_I), kz_of(eps_II)
+    ident = np.eye(n_ord, dtype=np.complex128)
+    ident2 = np.eye(2 * n_ord, dtype=np.complex128)
+    k0 = 2.0 * np.pi / lam
+
+    def z_matrix(eps: complex, kz: np.ndarray) -> np.ndarray:
+        """U = Z S for a DOWNWARD (+z, e^{-j kz z}) plane-wave set: per
+        order, Hx = −[(ε−kx²)Ey + kx·ky·Ex]/kz and Hy = [kx·ky·Ey +
+        (ε−ky²)Ex]/kz (from H = k×E with k·E = 0). Upward waves flip the
+        sign. Block layout matches S = [Sy; Sx], U = [Ux; Uy]."""
+        z = np.zeros((2 * n_ord, 2 * n_ord), np.complex128)
+        z[:n_ord, :n_ord] = np.diag(-(eps - kx * kx) / kz)
+        z[:n_ord, n_ord:] = np.diag(-(kx * ky) / kz)
+        z[n_ord:, :n_ord] = np.diag((kx * ky) / kz)
+        z[n_ord:, n_ord:] = np.diag((eps - ky * ky) / kz)
+        return z
+
+    Z_I = z_matrix(eps_I, kz_I)
+    Z_II = z_matrix(eps_II, kz_II)
+    K = np.diag(kx)
+
+    # Bottom boundary condition: transmitted (downward) waves only.
+    f = ident2
+    g = Z_II.copy()
+    t_chain: list[np.ndarray] = []
+
+    for layer in reversed(list(layers)):
+        er = np.conj(complex(layer.n_ridge)) ** 2
+        eg = np.conj(complex(layer.n_groove)) ** 2
+        eps_f, inv_f = _layer_fourier(er, eg, float(layer.duty),
+                                      float(layer.offset), n_ord)
+        E = _toeplitz(eps_f, n_ord)
+        Einv = np.linalg.inv(E)
+        E11 = np.linalg.inv(_toeplitz(inv_f, n_ord))  # Li: the ε·Ex product
+        KEiK = K @ Einv @ K
+
+        M1 = np.zeros((2 * n_ord, 2 * n_ord), np.complex128)
+        M1[:n_ord, :n_ord] = ident - (ky * ky) * Einv
+        M1[:n_ord, n_ord:] = ky * (Einv @ K)
+        M1[n_ord:, :n_ord] = -ky * (K @ Einv)
+        M1[n_ord:, n_ord:] = -(ident - KEiK)
+
+        M2 = np.zeros((2 * n_ord, 2 * n_ord), np.complex128)
+        M2[:n_ord, :n_ord] = E - K @ K
+        M2[:n_ord, n_ord:] = ky * K
+        M2[n_ord:, :n_ord] = -ky * K
+        M2[n_ord:, n_ord:] = -(E11 - (ky * ky) * ident)
+
+        eig, W = np.linalg.eig(-M1 @ M2)
+        q = np.sqrt(eig)
+        q = np.where(q.real < 0, -q, q)  # decay-down branch
+        q = np.where(np.abs(q) < 1e-8, q + 1e-8, q)
+        # U-field mode matrix: U = (1/j) M1^{-1} dS/dz' → V = −j M1^{-1} W q.
+        V = -1j * np.linalg.solve(M1, W * q[None, :])
+        X = np.exp(-q * k0 * float(layer.thickness_nm))
+
+        WiF = np.linalg.solve(W, f)
+        ViG = np.linalg.solve(V, g)
+        a = 0.5 * (WiF + ViG)   # upward-decaying coefficients
+        b = 0.5 * (WiF - ViG)   # downward-decaying coefficients
+        ab = a @ np.linalg.inv(b)
+        XabX = (X[:, None] * ab) * X[None, :]
+        f = W @ (ident2 + XabX)
+        g = V @ (-ident2 + XabX)
+        t_chain.append(np.linalg.inv(b) * X[None, :])
+
+    # Incident field: unit |E| at polarization psi (90° = s, 0° = p).
+    ux = np.cos(psi) * np.cos(theta) * np.cos(phi) - np.sin(psi) * np.sin(phi)
+    uy = np.cos(psi) * np.cos(theta) * np.sin(phi) + np.sin(psi) * np.cos(phi)
+    s_inc = np.zeros(2 * n_ord, np.complex128)
+    s_inc[mm] = uy
+    s_inc[n_ord + mm] = ux
+
+    # Top matching: S = S_inc + S_r, U = Z_I S_inc − Z_I S_r = (f, g) τ.
+    tau = np.linalg.solve(Z_I @ f + g, 2.0 * (Z_I @ s_inc))
+    r = f @ tau - s_inc
+
+    t = tau
+    for factor in reversed(t_chain):
+        t = factor @ t
+
+    def flux(s: np.ndarray, u: np.ndarray) -> np.ndarray:
+        """Per-order z-Poynting Re(Ex·Hy* − Ey·Hx*) — exact per order in a
+        homogeneous exterior (transverse orthogonality), and safe at
+        evanescent orders (no 1/Re(kz))."""
+        sy, sx = s[:n_ord], s[n_ord:]
+        uxv, uyv = u[:n_ord], u[n_ord:]
+        return (sx * np.conj(uyv) - sy * np.conj(uxv)).real
+
+    u_inc = Z_I @ s_inc
+    u_r = -(Z_I @ r)
+    u_t = Z_II @ t
+    flux_in = float(flux(s_inc, u_inc)[mm])
+    eff_r = -flux(r, u_r) / flux_in
+    eff_t = flux(t, u_t) / flux_in
+
+    # Back to the physics exp(-iwt) convention.
+    return RcwaConicalResult(
+        orders=orders,
+        ry=np.conj(r[:n_ord]), rx=np.conj(r[n_ord:]),
+        ty=np.conj(t[:n_ord]), tx=np.conj(t[n_ord:]),
+        eff_r=eff_r.astype(np.float64), eff_t=eff_t.astype(np.float64))
 
 
 def kirchhoff_orders(duty: float, orders: np.ndarray,
