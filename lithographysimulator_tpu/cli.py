@@ -757,8 +757,8 @@ def cmd_m3dcal(args) -> int:
             illumination_pol=args.pol, width_nm=args.width_nm,
             n_harmonics=args.harmonics, sigma_out=args.sigma_out,
             steps=args.steps, learning_rate=args.lr,
-            incidence_deg=args.incidence, taps=args.taps,
-            defocus_nm=tuple(args.defocus or ()))
+            incidence_deg=args.incidence, azimuth_deg=args.azimuth,
+            taps=args.taps, defocus_nm=tuple(args.defocus or ()))
     except ValueError as exc:
         # e.g. the stack/wavelength mismatch guard (ops.rcwa.resolve_stack)
         raise SystemExit(f"m3dcal: {exc}") from None
@@ -767,6 +767,7 @@ def cmd_m3dcal(args) -> int:
         "stack": args.stack,
         "illumination_pol": args.pol,
         "incidence_deg": args.incidence,
+        "azimuth_deg": args.azimuth,
         "defocus_nm": report["defocus_nm"],
         "pitch_px": args.pitch,
         "duty": round(duty, 6),
@@ -1337,9 +1338,14 @@ def main(argv=None) -> int:
                        help="absorber stack to solve rigorously (euv_ta is "
                             "reflective: TaBN on a 40x Mo/Si mirror)")
     p_m3d.add_argument("--incidence", type=float, default=0.0,
-                       help="illumination tilt across the lines in degrees "
-                            "(EUV chief ray ~6); non-zero turns on the "
-                            "shadowing-asymmetry fit")
+                       help="illumination tilt in degrees (EUV chief ray "
+                            "~6); non-zero turns on the shadowing-asymmetry "
+                            "fit and, with --taps, the direct conical-mount "
+                            "horizontal-edge calibration")
+    p_m3d.add_argument("--azimuth", type=float, default=0.0,
+                       help="tilt direction in the layout plane, degrees "
+                            "from +x (0 = across vertical lines; sweep for "
+                            "across-slit chief-ray rotation models)")
     p_m3d.add_argument("--taps", type=int, default=0,
                        help="fit the multi-tap EdgeKernelM3D with offsets "
                             "-taps..+taps instead of the 1-px boundary "

@@ -494,6 +494,7 @@ def boundary_layer_from_rcwa(
     steps: int = 150,
     learning_rate: float = 0.05,
     incidence_deg: float = 0.0,
+    azimuth_deg: float = 0.0,
     taps: int = 0,
     defocus_nm=(),
 ) -> tuple[BoundaryLayer, dict]:
@@ -528,21 +529,29 @@ def boundary_layer_from_rcwa(
     direction) at first order via the ±defocus asymmetry. Empty (default):
     the in-focus-only fit. CLI: ``m3dcal --defocus -80 0 80``.
 
-    ``incidence_deg`` tilts the illumination across the (vertical) lines —
-    the EUV chief-ray geometry when used with the reflective ``euv_ta``
-    stack. A non-zero tilt turns on the asymmetric fit: the returned model
-    carries ``beta_v_asym`` (rising/falling vertical-edge split), which
-    reproduces the shadowing pattern shift. ``beta_h_asym`` stays 0: a tilt
-    along x shadows horizontal edges symmetrically; calibrate each azimuth
-    by rotating the layout if the scanner slit needs both.
+    ``incidence_deg`` tilts the illumination — the EUV chief-ray geometry
+    when used with the reflective ``euv_ta`` stack. ``azimuth_deg`` points
+    the tilt within the layout plane (degrees from +x; 0, the default,
+    tilts across the vertical lines — the across-slit chief-ray rotation
+    is calibrated by sweeping this). A non-zero tilt turns on the
+    asymmetric fit: the returned model carries ``beta_v_asym``
+    (rising/falling vertical-edge split), which reproduces the shadowing
+    pattern shift. In the 1-px BoundaryLayer model ``beta_h_asym`` stays 0
+    (a tilt along x shadows horizontal edges symmetrically).
 
     ``taps > 0`` fits the multi-tap :class:`EdgeKernelM3D` instead (offsets
     −taps..+taps per edge side) and returns it — required at EUV, where the
     near-field perturbation spans several pixels and the 1-px strip model
     floors an order of magnitude above the kernel model (see
-    :class:`EdgeKernelM3D`). Horizontal-edge taps are the mirror-
-    symmetrized vertical fit (exact at normal incidence; strips the
-    tilt-axis shadowing, which horizontal edges do not see).
+    :class:`EdgeKernelM3D`). Horizontal-edge taps: at normal incidence
+    they are the mirror-symmetrized vertical fit (exact by rotational
+    symmetry); at oblique incidence they are calibrated DIRECTLY against
+    the conical-mount rigorous near field of a horizontal grating
+    (:func:`..rcwa.rcwa_orders_conical` at azimuth ``90 − azimuth_deg``
+    from the horizontal grating vector) — the chief ray traverses the
+    absorber obliquely ALONG those lines, which changes the near field by
+    several percent even though it shadows nothing across them (the
+    mirror-symmetrized approximation missed exactly this).
     """
     import numpy as np
 
@@ -569,9 +578,10 @@ def boundary_layer_from_rcwa(
                                     incidence_deg=incidence_deg)
     if abs(t_thin) < 0.02:
         t_thin = 0.0  # binary: draw the standard opaque layout
-    geom = grating_geometry(config, pitch_px=pitch_px, duty=duty,
-                            transmission=t_thin, axis=1)
     fit_asym = incidence_deg != 0.0
+    # Oblique + multi-tap: calibrate horizontal edges DIRECTLY against the
+    # conical-mount near field (see the docstring) instead of symmetrizing.
+    direct_h = taps > 0 and fit_asym
 
     def imaged(geometry) -> np.ndarray:
         # host arrays go through from_array (complex uploads as re/im
@@ -593,44 +603,78 @@ def boundary_layer_from_rcwa(
                 for ab in stack_ab])
         return img / max(float(img.max()), 1e-30)
 
-    thin_img = imaged(geom)
-    targets = {}
-    for pol in ("te", "tm"):
-        rig = rcwa_effective_mask(
-            config, pitch_px=pitch_px, duty=duty, stack=stack, pol=pol,
-            axis=1, magnification=magnification, n_harmonics=n_harmonics,
-            incidence_deg=incidence_deg)
-        targets[pol] = imaged(rig)
-
     def nrms(a, b):
         return float(np.sqrt(np.mean((a - b) ** 2)))
 
-    fits, report = {}, {"pitch_px": pitch_px, "duty": duty,
-                        "defocus_nm": list(defocus_nm),
-                        "thin_nrms": {}, "fit_nrms": {}, "history": {}}
-    fit_targets = ({"avg": 0.5 * (targets["te"] + targets["tm"])}
-                   if illumination_pol == "unpolarized" else targets)
-    for key, target in fit_targets.items():
-        if taps > 0:
-            bl, hist = fit_edge_kernel(
-                target, geom, shifts, weights, config, k=taps,
-                width_nm=width_nm, solver=solver, chunk=chunk, steps=steps,
-                learning_rate=learning_rate, aberrations=stack_ab)
-        else:
-            bl, hist = fit_boundary_layer(
-                target, geom, shifts, weights, config, width_nm=width_nm,
-                solver=solver, chunk=chunk, steps=steps,
-                learning_rate=learning_rate, fit_asym=fit_asym,
-                aberrations=stack_ab)
-        fits[key] = bl
-        # apply under jit: eager complex arithmetic dies on the TPU tunnel
-        corrected = imaged(jax.jit(bl.apply, static_argnums=1)(geom, config))
-        report["thin_nrms"][key] = nrms(thin_img, target)
-        report["fit_nrms"][key] = nrms(corrected, target)
-        report["history"][key] = hist
+    report = {"pitch_px": pitch_px, "duty": duty,
+              "defocus_nm": list(defocus_nm), "azimuth_deg": azimuth_deg,
+              "thin_nrms": {}, "fit_nrms": {}, "history": {}}
+
+    def calibration_pass(axis: int, azim: float, tag: str) -> dict:
+        """Fit one grating orientation against its rigorous near field:
+        axis=1 (vertical lines, grating vector x) at conical azimuth
+        ``azim`` = the tilt direction itself; axis=0 (horizontal lines,
+        grating vector y) at ``90 − azimuth_deg``. Report keys for the
+        horizontal pass carry an ``h_`` prefix. A pass at exactly 90°
+        (tilt purely ALONG the lines) has a mirror-symmetric near field,
+        so its edge-kernel taps are symmetrized before certification —
+        the fit's rise/fall split is an image-null degeneracy on the
+        calibration grating there, not physics, and shipping it would
+        shift patterns the rigorous field does not shift."""
+        sym_taps = taps > 0 and float(azim) == 90.0
+        geom = grating_geometry(config, pitch_px=pitch_px, duty=duty,
+                                transmission=t_thin, axis=axis)
+        thin_img = imaged(geom)
+        targets = {}
+        for pol in ("te", "tm"):
+            rig = rcwa_effective_mask(
+                config, pitch_px=pitch_px, duty=duty, stack=stack, pol=pol,
+                axis=axis, magnification=magnification,
+                n_harmonics=n_harmonics, incidence_deg=incidence_deg,
+                azimuth_deg=azim)
+            targets[pol] = imaged(rig)
+        fit_targets = ({"avg": 0.5 * (targets["te"] + targets["tm"])}
+                       if illumination_pol == "unpolarized" else targets)
+        axis_fits = {}
+        for key, target in fit_targets.items():
+            if taps > 0:
+                bl, hist = fit_edge_kernel(
+                    target, geom, shifts, weights, config, k=taps,
+                    width_nm=width_nm, solver=solver, chunk=chunk,
+                    steps=steps, learning_rate=learning_rate,
+                    aberrations=stack_ab)
+            else:
+                bl, hist = fit_boundary_layer(
+                    target, geom, shifts, weights, config,
+                    width_nm=width_nm, solver=solver, chunk=chunk,
+                    steps=steps, learning_rate=learning_rate,
+                    fit_asym=fit_asym, aberrations=stack_ab)
+            if sym_taps:
+                # symmetrize the taps of this pass's own edge orientation
+                names = (("taps_h_rise", "taps_h_fall") if axis == 0
+                         else ("taps_v_rise", "taps_v_fall"))
+                tr, tf = getattr(bl, names[0]), getattr(bl, names[1])
+                kk = len(tr)
+                sym = tuple(0.5 * (tr[i] + tf[kk - 1 - i])
+                            for i in range(kk))
+                bl = dataclasses.replace(
+                    bl, **{names[0]: sym, names[1]: sym[::-1]})
+            axis_fits[key] = bl
+            # apply under jit: eager complex arithmetic dies on the tunnel
+            corrected = imaged(
+                jax.jit(bl.apply, static_argnums=1)(geom, config))
+            report["thin_nrms"][tag + key] = nrms(thin_img, target)
+            report["fit_nrms"][tag + key] = nrms(corrected, target)
+            report["history"][tag + key] = hist
+        return axis_fits
+
+    fits = calibration_pass(1, azimuth_deg, "")
+    fits_h = (calibration_pass(0, 90.0 - azimuth_deg, "h_")
+              if direct_h else None)
 
     if taps > 0:
-        result = _edge_kernel_from_fits(fits, illumination_pol, width_nm)
+        result = _edge_kernel_from_fits(fits, illumination_pol, width_nm,
+                                        fits_h=fits_h)
     # the fitted asymmetry lives on the calibration grating's vertical
     # edges only (the tilt is across them; see the docstring)
     elif illumination_pol == "unpolarized":
@@ -648,6 +692,8 @@ def boundary_layer_from_rcwa(
                                beta_v=fits["te"].beta_v,
                                beta_v_asym=fits["te"].beta_v_asym)
     report["fits"] = fits
+    if fits_h is not None:
+        report["fits_h"] = fits_h
     return result, report
 
 
@@ -665,16 +711,29 @@ def _symmetrized_taps(fit: EdgeKernelM3D) -> tuple[tuple, tuple]:
 
 
 def _edge_kernel_from_fits(fits: dict, illumination_pol: str,
-                           width_nm: float) -> EdgeKernelM3D:
-    """Assemble the full (h, v) edge kernel from vertical-edge fits, with
-    the same TE/TM-to-orientation mapping as the BoundaryLayer path."""
+                           width_nm: float,
+                           fits_h: dict | None = None) -> EdgeKernelM3D:
+    """Assemble the full (h, v) edge kernel from per-orientation fits, with
+    the same TE/TM-to-orientation mapping as the BoundaryLayer path. The
+    TE/TM keys are relative to each grating's own lines, so the SAME key
+    selects the matching physical polarization in both passes (e.g.
+    x-polarized light is TM across vertical lines and TE along horizontal
+    ones). Without a horizontal pass (``fits_h`` None — normal incidence),
+    horizontal taps are the mirror-symmetrized vertical fit."""
     if illumination_pol == "unpolarized":
         v_fit = h_fit = fits["avg"]
+        h_key = "avg"
     elif illumination_pol == "x":
         v_fit, h_fit = fits["tm"], fits["te"]
+        h_key = "te"
     else:
         v_fit, h_fit = fits["te"], fits["tm"]
-    h_rise, h_fall = _symmetrized_taps(h_fit)
+        h_key = "tm"
+    if fits_h is not None:
+        h = fits_h[h_key]
+        h_rise, h_fall = h.taps_h_rise, h.taps_h_fall
+    else:
+        h_rise, h_fall = _symmetrized_taps(h_fit)
     return EdgeKernelM3D(
         width_nm=width_nm,
         taps_h_rise=h_rise, taps_h_fall=h_fall,

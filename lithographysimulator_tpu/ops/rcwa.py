@@ -648,6 +648,46 @@ def _cached_orders(period_nm, layers_key, wavelength_nm, pol, n_super, n_sub,
                        n_harmonics=n_harmonics)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_conical(period_nm, layers_key, wavelength_nm, psi_deg, n_super,
+                    n_sub, theta_deg, phi_deg, n_harmonics):
+    layers = [GratingLayer(*args) for args in layers_key]
+    return rcwa_orders_conical(period_nm, layers, wavelength_nm,
+                               n_super=n_super, n_sub=n_sub,
+                               theta_deg=theta_deg, phi_deg=phi_deg,
+                               psi_deg=psi_deg, n_harmonics=n_harmonics)
+
+
+def _conical_scalar_orders(res: RcwaConicalResult, pol: str, reflective: bool,
+                           n_medium: complex, n_inc: complex,
+                           wavelength_nm: float, period_nm: float,
+                           theta_deg: float, phi_deg: float) -> np.ndarray:
+    """Per-order scalar amplitudes from a conical solve, using the SAME
+    field components as the planar bridge — Ey for TE-like, Hy for TM-like
+    (the Hy amplitude carries the order's full |E| magnitude, which is what
+    the scalar imaging stack propagates) — so the conical path reduces to
+    the planar one exactly as the azimuth goes to 0, for both
+    polarizations. Hy is reconstructed from the tangential E amplitudes via
+    the plane-wave admittance of the exit medium (exp(−iωt) convention;
+    reflected sets carry a global −1 that cancels in the blank-normalized
+    ratio)."""
+    ey = res.ry if reflective else res.ty
+    if pol == "te":
+        return ey
+    ex = res.rx if reflective else res.tx
+    theta = np.deg2rad(theta_deg)
+    phi = np.deg2rad(phi_deg)
+    lam = float(wavelength_nm)
+    nr = complex(n_inc).real
+    kx = nr * np.sin(theta) * np.cos(phi) - res.orders * lam / period_nm
+    ky = nr * np.sin(theta) * np.sin(phi)
+    eps = complex(n_medium) ** 2
+    kz = np.sqrt(eps - kx * kx - ky * ky + 0j)
+    kz = np.where(kz.imag < 0, -kz, kz)  # exp(-iwt): decay away from mask
+    kz = np.where(np.abs(kz) < 1e-9, kz + 1e-9, kz)
+    return (kx * ky * ey + (eps - ky * ky) * ex) / kz
+
+
 def rcwa_effective_mask(
     config,
     *,
@@ -659,6 +699,7 @@ def rcwa_effective_mask(
     magnification: float = 4.0,
     n_harmonics: int = 21,
     incidence_deg: float = 0.0,
+    azimuth_deg: float = 0.0,
 ) -> np.ndarray:
     """Rigorous effective complex transmission of a line/space mask, on the
     simulation grid — a drop-in replacement for the drawn layout on EVERY
@@ -678,13 +719,22 @@ def rcwa_effective_mask(
     along x). TE then means E ∥ lines (y-polarized). The duty is the
     ABSORBER cover fraction (lines), centered on the period.
 
-    ``incidence_deg`` tilts the illumination in the plane perpendicular to
-    the lines (transverse momentum along +x at the mask). For reflective
-    (EUV) stacks the returned field is the REFLECTED near field normalized
-    to the bare mirror's specular order; at the ~6° chief ray it carries
-    the absorber-shadowing asymmetry (order m ≠ order −m) that prints as
-    the EUV pattern shift — the effect the asymmetric boundary-layer model
+    ``incidence_deg`` tilts the illumination; ``azimuth_deg`` rotates the
+    plane of that tilt away from the grating vector (0°, the default: tilt
+    ACROSS the lines — the planar mount; 90°: tilt ALONG the lines — the
+    geometry the EUV chief ray presents to HORIZONTAL edges, solved with
+    :func:`rcwa_orders_conical`). For reflective (EUV) stacks the returned
+    field is the REFLECTED near field normalized to the bare mirror's
+    specular order; at the ~6° chief ray across the lines it carries the
+    absorber-shadowing asymmetry (order m ≠ order −m) that prints as the
+    EUV pattern shift — the effect the asymmetric boundary-layer model
     (:func:`..mask3d.edge_fields_signed`) is calibrated to reproduce.
+    Along the lines the orders stay symmetric but the obliquely-traversed
+    absorber still perturbs the near field by several percent — the
+    H-edge correction the conical calibration captures. The conical
+    bridge synthesizes the same per-order field components as the planar
+    one (Ey for TE, Hy for TM), so ``azimuth_deg → 0`` reduces to the
+    planar path continuously for both polarizations.
 
     Synthesis convention (mask → wafer image inversion): order m is laid
     down as ``exp(+2πimx/pitch)``, while under this module's exp(-iωt)
@@ -711,20 +761,48 @@ def rcwa_effective_mask(
     layers_key = tuple(
         (float(th), complex(nr), complex(1.0), float(duty), 0.0)
         for th, nr in stack.layers) + mirror_key
-    res = _cached_orders(period_nm, layers_key, float(config.wavelength),
-                         pol, complex(stack.n_blank),
-                         complex(stack.n_substrate), float(incidence_deg),
-                         int(n_harmonics))
     blank_key = tuple((float(th), complex(nr), complex(1.0), 0.0, 0.0)
                       for th, nr in stack.layers) + mirror_key
-    blank = _cached_orders(period_nm, blank_key, float(config.wavelength),
-                           pol, complex(stack.n_blank),
-                           complex(stack.n_substrate), float(incidence_deg),
-                           int(n_harmonics))
-    if stack.reflective:
-        t = res.r / blank.r[(len(blank.r) - 1) // 2]
+    if float(azimuth_deg) == 0.0:
+        res = _cached_orders(period_nm, layers_key, float(config.wavelength),
+                             pol, complex(stack.n_blank),
+                             complex(stack.n_substrate), float(incidence_deg),
+                             int(n_harmonics))
+        blank = _cached_orders(period_nm, blank_key, float(config.wavelength),
+                               pol, complex(stack.n_blank),
+                               complex(stack.n_substrate),
+                               float(incidence_deg), int(n_harmonics))
+        if stack.reflective:
+            t = res.r / blank.r[(len(blank.r) - 1) // 2]
+        else:
+            t = res.t / blank.t[(len(blank.t) - 1) // 2]
     else:
-        t = res.t / blank.t[(len(blank.t) - 1) // 2]
+        # Conical mount. The incident polarization angle psi is chosen so
+        # the tangential E lies along the lines (pol='te') or across them
+        # ('tm') — the natural continuation of the planar TE/TM split.
+        theta_r = np.deg2rad(float(incidence_deg))
+        phi_r = np.deg2rad(float(azimuth_deg))
+        if pol == "te":
+            psi = np.degrees(np.arctan2(np.cos(theta_r) * np.cos(phi_r),
+                                        np.sin(phi_r)))
+        else:
+            psi = np.degrees(np.arctan2(-np.cos(theta_r) * np.sin(phi_r),
+                                        np.cos(phi_r)))
+        args = (period_nm, float(config.wavelength), float(psi),
+                complex(stack.n_blank), complex(stack.n_substrate),
+                float(incidence_deg), float(azimuth_deg), int(n_harmonics))
+        res = _cached_conical(args[0], layers_key, *args[1:])
+        blank = _cached_conical(args[0], blank_key, *args[1:])
+        n_exit = stack.n_blank if stack.reflective else stack.n_substrate
+        s_res = _conical_scalar_orders(
+            res, pol, stack.reflective, n_exit, stack.n_blank,
+            float(config.wavelength), period_nm, float(incidence_deg),
+            float(azimuth_deg))
+        s_blank = _conical_scalar_orders(
+            blank, pol, stack.reflective, n_exit, stack.n_blank,
+            float(config.wavelength), period_nm, float(incidence_deg),
+            float(azimuth_deg))
+        t = s_res / s_blank[(len(s_blank) - 1) // 2]
 
     # Keep only orders below the grid Nyquist; synthesize one period.
     m_max = min((pitch_px - 1) // 2, (len(t) - 1) // 2)

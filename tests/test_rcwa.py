@@ -316,10 +316,13 @@ def test_euv_edge_kernel_calibration():
     """EUV end-to-end: at the 6° chief ray the 1-px boundary layer cannot
     explain the rigorous image (shadowed near field spans several pixels),
     but the multi-tap edge kernel closes the residual by >10×, carries a
-    genuine rise/fall (shadowing) split on the vertical edges, and hands
-    horizontal edges the mirror-symmetrized taps."""
-    from lithographysimulator_tpu.ops.mask3d import (EdgeKernelM3D,
-                                                     boundary_layer_from_rcwa)
+    genuine rise/fall (shadowing) split on the vertical edges, and — round
+    5 — calibrates horizontal edges DIRECTLY against the conical-mount
+    rigorous near field (tilt along the lines changes the image by ~8%
+    nRMS, which the old mirror-symmetrized-from-vertical taps stripped
+    entirely)."""
+    from lithographysimulator_tpu.ops.mask3d import (
+        EdgeKernelM3D, _symmetrized_taps, boundary_layer_from_rcwa)
 
     cfg = OpticsConfig(pixel_number=32, wavelength=13.5, na=0.33,
                        pixel_size=4.0)
@@ -332,9 +335,67 @@ def test_euv_edge_kernel_calibration():
     diff = max(abs(r - f) for r, f in zip(ek.taps_v_rise,
                                           ek.taps_v_fall[::-1]))
     assert diff > 0.05
-    # horizontal edges: symmetrized (h_rise is h_fall mirrored)
+    # horizontal edges: the along-lines tilt is a real image effect...
+    assert rep["thin_nrms"]["h_avg"] > 0.04
+    # ...which the direct conical fit certifies away (>5x)
+    assert rep["fit_nrms"]["h_avg"] < 0.2 * rep["thin_nrms"]["h_avg"]
+    # the direct taps differ materially from the old approximation
+    sym_r, _ = _symmetrized_taps(rep["fits"]["avg"])
+    assert max(abs(a - b) for a, b in zip(ek.taps_h_rise, sym_r)) > 0.1
+    # tilt exactly along the lines: the near field is mirror-symmetric, so
+    # the shipped h taps must be too (the fit's split there is image-null
+    # degeneracy, not physics)
     for i in range(3):
         assert ek.taps_h_rise[i] == ek.taps_h_fall[2 - i]
+
+
+@pytest.mark.slow
+def test_euv_azimuth_sweep_through_slit():
+    """Across-slit chief-ray rotation (m3dcal --azimuth): sweeping the tilt
+    direction from +x (0°) toward +y moves the shadowing asymmetry from
+    vertical edges onto horizontal ones — at 0° the V edges carry it all
+    (H taps exactly mirror-symmetric, tilt purely along the H lines); at
+    60° the across-H component dominates and the V asymmetry shrinks by
+    the cos(azimuth) projection. Every fit stays certified against its own
+    conical rigorous target."""
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+
+    cfg = OpticsConfig(pixel_number=32, wavelength=13.5, na=0.33,
+                       pixel_size=4.0)
+
+    def asym(r, f):
+        return max(abs(a - b) for a, b in zip(r, f[::-1]))
+
+    results = {}
+    for az in (0.0, 60.0):
+        ek, rep = boundary_layer_from_rcwa(
+            cfg, stack="euv_ta", pitch_px=16,
+            illumination_pol="unpolarized", steps=200, incidence_deg=6.0,
+            taps=1, azimuth_deg=az)
+        assert rep["azimuth_deg"] == az
+        for k in rep["fit_nrms"]:
+            assert rep["fit_nrms"][k] < 0.35 * rep["thin_nrms"][k]
+        results[az] = ek
+    ek0, ek60 = results[0.0], results[60.0]
+    assert asym(ek0.taps_h_rise, ek0.taps_h_fall) == 0.0
+    assert asym(ek0.taps_v_rise, ek0.taps_v_fall) > 0.3
+    assert asym(ek60.taps_h_rise, ek60.taps_h_fall) > 0.2
+    assert (asym(ek60.taps_v_rise, ek60.taps_v_fall)
+            < 0.8 * asym(ek0.taps_v_rise, ek0.taps_v_fall))
+
+
+def test_effective_mask_azimuth_zero_matches_planar():
+    """azimuth_deg=0 routes through the planar solver; an infinitesimal
+    azimuth through the conical one. The bridge synthesizes the same field
+    components (Ey for TE, Hy for TM), so the two must agree for BOTH
+    polarizations — the continuity that makes --azimuth a smooth knob."""
+    cfg = OpticsConfig(pixel_number=64)
+    for pol in ("te", "tm"):
+        planar = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16, pol=pol,
+                                     incidence_deg=5.0)
+        conical = rcwa_effective_mask(cfg, pitch_px=16, duty=7 / 16, pol=pol,
+                                      incidence_deg=5.0, azimuth_deg=1e-6)
+        np.testing.assert_allclose(conical, planar, atol=1e-5)
 
 
 def test_effective_mask_tracks_kirchhoff_dc():
