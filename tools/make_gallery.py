@@ -688,6 +688,52 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
     plt.close(fig)
     print("wrote", DOCS / "m3d_through_focus.png")
 
+    # 20. Line-end / corner M3D residual vs the 2-D rigorous oracle (round 5)
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+    from lithographysimulator_tpu.ops.rcwa2d import (boxes_geometry,
+                                                     rcwa2d_effective_mask)
+    from lithographysimulator_tpu.xfer import to_device_complex
+
+    cfg_le = lt.OpticsConfig(pixel_number=32)
+    src_le = np.asarray(lt.LightSource(cfg_le, sigma_out=0.5).classical())
+    bar = ((4.5 / 16, 3.5 / 16, 11.5 / 16, 12.5 / 16),)
+
+    def img_le(field):
+        if isinstance(field, np.ndarray):
+            geom = to_device_complex(np.ascontiguousarray(
+                field.astype(np.complex128))).astype(jnp.complex64)
+        else:
+            geom = field
+        out = np.asarray(lt.simulate(
+            lt.Mask(geometry=geom, config=cfg_le), src_le,
+            normalize=True).image)
+        return out / out.max()
+
+    rig2d = 0.5 * sum(img_le(rcwa2d_effective_mask(
+        cfg_le, boxes=bar, pitch_x_px=16, pitch_y_px=16, pol=p,
+        mx_max=12, my_max=12)) for p in ("x", "y"))
+    thin_le = boxes_geometry(cfg_le, bar, 16, 16)
+    ek_le, _ = boundary_layer_from_rcwa(
+        cfg_le, stack="binary_cr", pitch_px=16,
+        illumination_pol="unpolarized", steps=150, taps=1)
+    model_le = img_le(jax.jit(ek_le.apply, static_argnums=1)(thin_le,
+                                                             cfg_le))
+    thin_img_le = img_le(thin_le)
+
+    def nrms_le(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    lim = max(np.abs(thin_img_le - rig2d).max(),
+              np.abs(model_le - rig2d).max())
+    save_panels("lineend_2d", [
+        ("rigorous 2-D RCWA aerial image (line-end array)", rig2d),
+        (f"thin-mask residual (NRMS {nrms_le(thin_img_le, rig2d):.2%})",
+         np.abs(thin_img_le - rig2d) / lim),
+        (f"1-D-calibrated kernel residual "
+         f"(NRMS {nrms_le(model_le, rig2d):.2%})",
+         np.abs(model_le - rig2d) / lim),
+    ], ncols=3, cmap="magma")
+
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
     cli_main(["demo", "--out", str(DOCS / "demo.png")])
