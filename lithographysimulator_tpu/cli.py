@@ -953,6 +953,27 @@ def cmd_resist3d(args) -> int:
         stack = run(mask.geometry, stack_ab, shifts, weights)
     profile = np.asarray(dr.develop_profile_binary(
         stack, args.dose, pixel_size_nm=config.pixel_size))  # 1 = removed
+    stochastic = None
+    if getattr(args, "trials", 0):
+        # volumetric stochastic resist on the (nz, n, n) exposure: per-slab
+        # counting statistics -> z-resolved LER/CD + defect rates
+        from .models.stochastic import (StochasticResist,
+                                        stochastic_volume_ensemble)
+
+        model = StochasticResist(
+            dose_photons_per_nm2=args.dose_photons,
+            diffusion_nm=args.peb, threshold=args.sto_threshold)
+        vol = stochastic_volume_ensemble(
+            np.asarray(stack), config, model,
+            dz_nm=dr.mack.thickness_nm / dr.nz, trials=args.trials,
+            seed=args.seed)
+        stochastic = {
+            "trials": vol["trials"],
+            "ler_top_nm": round(vol["ler_top_nm"], 4),
+            "ler_bottom_nm": round(vol["ler_bottom_nm"], 4),
+            "slabs": [{k: (round(v, 5) if isinstance(v, float) else v)
+                       for k, v in s.items()} for s in vol["slabs"]],
+        }
     elapsed = time.perf_counter() - t0
 
     # Undercut voxels: removed, but with intact resist somewhere STRICTLY
@@ -962,7 +983,7 @@ def cmd_resist3d(args) -> int:
         [np.ones_like(profile[:1]),
          np.minimum.accumulate(profile, axis=0)[:-1]])
     undercut = int(np.logical_and(profile > 0.5, above_min < 0.5).sum())
-    print(json.dumps({
+    report = {
         "nz": dr.nz,
         "thickness_nm": dr.mack.thickness_nm,
         "exposure": "film" if args.film else "separable",
@@ -970,7 +991,10 @@ def cmd_resist3d(args) -> int:
         "through_print_fraction": float(profile.min(axis=0).mean()),
         "undercut_voxels": undercut,
         "wall_clock_s": round(elapsed, 3),
-    }))
+    }
+    if stochastic is not None:
+        report["stochastic"] = stochastic
+    print(json.dumps(report))
     if args.out:
         np.savez_compressed(args.out, profile=profile,
                             depths_nm=dr.depths_nm)
@@ -1172,6 +1196,18 @@ def main(argv=None) -> int:
         "resist3d", help="3-D resist develop (eikonal lateral etch)")
     _add_common(p_r3d)
     p_r3d.add_argument("--nz", type=int, default=8)
+    p_r3d.add_argument("--trials", type=int, default=0,
+                       help="volumetric stochastic trials on the (nz, n, n) "
+                            "exposure (0 = off): per-slab photon/acid "
+                            "counting -> z-resolved LER/CD + defect rates "
+                            "in the report's 'stochastic' field")
+    p_r3d.add_argument("--dose-photons", type=float, default=20.0,
+                       help="absorbed photons/nm^2 at relative intensity 1 "
+                            "for --trials (split across the nz slabs)")
+    p_r3d.add_argument("--sto-threshold", type=float, default=0.3,
+                       help="develop threshold of the stochastic model "
+                            "(--trials)")
+    p_r3d.add_argument("--seed", type=int, default=0)
     p_r3d.add_argument("--thickness", type=float, default=100.0,
                        help="resist film thickness (nm)")
     p_r3d.add_argument("--develop-s", type=float, default=30.0)

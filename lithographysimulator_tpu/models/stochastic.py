@@ -139,6 +139,84 @@ class StochasticResist:
         return (self.deterministic_field(image, config)
                 > self.threshold).astype(jnp.float32)
 
+    # -- volumetric (in-film) chain -----------------------------------------
+
+    def _z_blur(self, nz: int, dz_nm: float) -> np.ndarray:
+        """Row-normalized Gaussian acid-diffusion matrix over slab centers
+        (reflecting film boundaries: acid stays in the film, so each row
+        renormalizes rather than leaking)."""
+        z = np.arange(nz, dtype=np.float64) * float(dz_nm)
+        g = np.exp(-0.5 * ((z[:, None] - z[None, :])
+                           / max(self.diffusion_nm, 1e-9)) ** 2)
+        return (g / g.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    def deprotection_volume(self, key, image_stack: jnp.ndarray,
+                            config: OpticsConfig, *,
+                            dz_nm: float) -> jnp.ndarray:
+        """One stochastic (nz, n, n) deprotection VOLUME for one PRNG key —
+        per-slab counting statistics on the rigorous in-film exposure
+        (:func:`...simulate.film_stack_images`).
+
+        The areal photon dose splits across the ``nz`` slabs (each slab
+        absorbs ``dose/nz`` per unit area at relative intensity 1, scaled
+        by the LOCAL rigorous intensity normalized to the stack max), so a
+        thin slab sees proportionally fewer photons and proportionally
+        larger shot noise — the mechanism that makes the dim standing-wave
+        nodes near the resist bottom the stochastic hot spots (footing/
+        bridging live there). PAG depletion saturates per voxel against the
+        per-slab PAG budget. Acid diffusion is 3-D: the usual periodic
+        in-plane FFT blur times a reflecting Gaussian along z over slab
+        centers (``dz_nm`` spacing). ``nz = 1`` reduces EXACTLY to
+        :meth:`deprotection` (same key, same field) — pinned by
+        tests/test_stochastic_volume.py."""
+        stack = jnp.asarray(image_stack)
+        nz = stack.shape[0]
+        rel = stack / jnp.maximum(jnp.max(stack), 1e-30)
+        area = config.pixel_size ** 2
+        slab_dose = self.dose_photons_per_nm2 * area / nz
+        mean_photons = slab_dose * rel
+        if self.noise == "poisson":
+            n_ph = jax.random.poisson(key, mean_photons).astype(jnp.float32)
+        else:
+            n_ph = mean_photons + jnp.sqrt(mean_photons) * jax.random.normal(
+                key, mean_photons.shape, jnp.float32)
+            n_ph = jnp.maximum(n_ph, 0.0)
+        acid = self.quantum_efficiency * n_ph
+        norm = slab_dose * self.quantum_efficiency
+        if self.pag_per_nm2 > 0:
+            pag = self.pag_per_nm2 * area / nz
+            acid = pag * (1.0 - jnp.exp(-acid / pag))
+            norm = pag * (1.0 - np.exp(-norm / pag))
+        depro = acid / norm
+        if self.diffusion_nm > 0:
+            transfer = jnp.asarray(
+                self._diffusion_transfer(stack.shape[-1], config),
+                jnp.complex64)
+            depro = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(depro)
+                                           * transfer[None]))
+            if nz > 1:
+                blur = jnp.asarray(self._z_blur(nz, dz_nm))
+                depro = jnp.einsum("zw,wyx->zyx", blur, depro)
+        return depro
+
+    def deterministic_volume(self, image_stack: jnp.ndarray,
+                             config: OpticsConfig, *,
+                             dz_nm: float) -> jnp.ndarray:
+        """Zero-noise (infinite-dose) limit of :meth:`deprotection_volume`:
+        the jointly-normalized, 3-D-blurred exposure stack."""
+        stack = jnp.asarray(image_stack)
+        nz = stack.shape[0]
+        rel = stack / jnp.maximum(jnp.max(stack), 1e-30)
+        if self.diffusion_nm > 0:
+            transfer = jnp.asarray(
+                self._diffusion_transfer(stack.shape[-1], config),
+                jnp.complex64)
+            rel = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(rel) * transfer[None]))
+            if nz > 1:
+                blur = jnp.asarray(self._z_blur(nz, dz_nm))
+                rel = jnp.einsum("zw,wyx->zyx", blur, rel)
+        return rel
+
 
 _HOST_FIELD_BYTES = 1 << 30  # max bytes of trial fields held at once
 
@@ -232,6 +310,126 @@ def exposure_trials(image, config: OpticsConfig, model: StochasticResist,
     keys = jax.random.split(jax.random.PRNGKey(seed), trials)
     run = _compiled_trials(model, config, binary, trial_chunk)
     return run(jnp.asarray(image), keys)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_volume_summary(model: StochasticResist, config: OpticsConfig,
+                             dz_nm: float, trial_chunk: int, row_step: int,
+                             axis: int):
+    """Cached jitted volumetric-ensemble summary: per trial, the
+    row-sampled continuous deprotection cut lines PER SLAB, the per-slab
+    per-cut-line run counts, and the summed (nz, n, n) contour volume —
+    the 3-D analog of :func:`_compiled_trial_summary`, one compiled
+    program per (model, stack shape, sampling) so repeated ensembles do
+    not re-trace."""
+
+    def run(stack, keys):
+        st = stack if axis == 1 else jnp.transpose(stack, (0, 2, 1))
+
+        def one(k):
+            depro = model.deprotection_volume(k, st, config, dz_nm=dz_nm)
+            contour = depro > model.threshold
+            padded = jnp.pad(contour, ((0, 0), (0, 0), (1, 1)))
+            runs = jnp.sum(
+                (padded[..., 1:].astype(jnp.int8)
+                 - padded[..., :-1].astype(jnp.int8)) == 1,
+                axis=-1).astype(jnp.int32)
+            return depro[:, ::row_step], runs, contour.astype(jnp.float32)
+
+        def chunk_fn(band, kc):
+            rows, runs, contours = jax.vmap(one)(kc)
+            return band + contours.sum(axis=0), (rows, runs)
+
+        m = keys.shape[0]
+        c = min(trial_chunk, m)
+        band0 = jnp.zeros(st.shape, jnp.float32)
+        if m % c:
+            band, (rows, runs) = chunk_fn(band0, keys)
+            return rows, runs, band
+        band, (rows, runs) = jax.lax.scan(
+            chunk_fn, band0, keys.reshape(m // c, c, 2))
+        return (rows.reshape(m, *rows.shape[2:]),
+                runs.reshape(m, *runs.shape[2:]), band)
+
+    return jax.jit(run)
+
+
+def stochastic_volume_ensemble(image_stack, config: OpticsConfig,
+                               model: StochasticResist | None = None, *,
+                               dz_nm: float, trials: int = 32, seed: int = 0,
+                               axis: int = 1, row_step: int | None = None,
+                               trial_chunk: int = 8) -> dict:
+    """Monte-Carlo VOLUMETRIC stochastic printing summary for one rigorous
+    (nz, n, n) in-film exposure stack (:func:`...simulate.film_stack_images`)
+    — the z-resolved analog of :func:`stochastic_ensemble`.
+
+    Per slab: LER/LWR (3σ, nm), LCDU across trials, mean CD, and
+    bridge/break defect rates against that slab's own deterministic
+    contour. Depth-dependent stochastics fall out directly: the dim
+    standing-wave nodes near the resist bottom run at locally lower photon
+    counts AND lower image contrast, so their slabs show elevated LER and
+    bridging (footing) relative to the top — the failure modes a 2-D
+    (single-plane) stochastic model cannot represent. Also returns the
+    (nz, n, n) per-voxel print probability, the volumetric stochastic
+    band; feed its mean contour to the 3-D develop
+    (:meth:`..resist.DepthResist.develop_profile`) machinery for
+    profile-level analyses.
+
+    ``dz_nm`` is the slab spacing of the exposure stack (typically
+    ``resist.mack.thickness_nm / resist.nz``)."""
+    model = model or StochasticResist()
+    stack = np.asarray(image_stack, np.float32)
+    nz, n = stack.shape[0], stack.shape[-1]
+    if row_step is None:
+        row_step = max(1, n // 512)
+    det = np.asarray(jax.jit(functools.partial(
+        model.deterministic_volume, config=config, dz_nm=float(dz_nm)))(
+            jnp.asarray(stack)))
+    run = _compiled_volume_summary(model, config, float(dz_nm),
+                                   min(trial_chunk, trials), row_step, axis)
+    keys = jax.random.split(jax.random.PRNGKey(seed), trials)
+    rows_d, runs_d, band_d = run(jnp.asarray(stack), keys)
+    rows, runs, band = (np.asarray(rows_d), np.asarray(runs_d),
+                        np.asarray(band_d))
+
+    det_or = det if axis == 1 else det.transpose(0, 2, 1)
+    slabs = []
+    for s in range(nz):
+        ref_centers = _reference_centers(det_or[s], config, axis=1,
+                                         threshold=model.threshold,
+                                         row_step=row_step)
+        le, lw, mc = _edge_stats_trials(rows[:, s], config, axis=1,
+                                        threshold=model.threshold,
+                                        row_step=1, ref_centers=ref_centers)
+        stats = _aggregate_edge_stats(le, lw, mc)
+        pad_ref = np.pad(det_or[s] > model.threshold,
+                         ((0, 0), (1, 1))).astype(np.int8)
+        ref_runs = (np.diff(pad_ref, axis=1) == 1).sum(axis=1)
+        live = ref_runs > 0
+        if live.any():
+            cells = int(live.sum()) * trials
+            stats["break_rate"] = float(
+                (runs[:, s][:, live] > ref_runs[None, live]).sum()) / cells
+            stats["bridge_rate"] = float(
+                (runs[:, s][:, live] < ref_runs[None, live]).sum()) / cells
+        else:
+            stats["break_rate"] = stats["bridge_rate"] = 0.0
+        stats["depth_nm"] = s * float(dz_nm)
+        slabs.append(stats)
+
+    prob = band / trials
+    if axis == 0:
+        prob = prob.transpose(0, 2, 1)
+    return {
+        "trials": trials,
+        "nz": nz,
+        "dz_nm": float(dz_nm),
+        "slabs": slabs,
+        "ler_top_nm": slabs[0]["ler_nm"],
+        "ler_bottom_nm": slabs[-1]["ler_nm"],
+        "bridge_rate_bottom": slabs[-1]["bridge_rate"],
+        "print_probability": prob.astype(np.float32),
+    }
 
 
 def _reference_centers(ref_field: np.ndarray, config: OpticsConfig, *,

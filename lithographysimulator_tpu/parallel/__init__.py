@@ -7,6 +7,7 @@ from .socs_build_sharded import (
     randomized_socs_sharded,
 )
 from .socs_sharded import pad_socs_rank, socs_image_sharded
-from .stochastic_sharded import print_probability_sharded
+from .stochastic_sharded import (print_probability_sharded,
+                                print_probability_volume_sharded)
 from .tiled_sharded import tiled_socs_image_sharded
 from .distributed import initialize as initialize_distributed

@@ -67,3 +67,45 @@ def print_probability_sharded(
 
     band = run(jnp.asarray(image), keys)
     return band / total
+
+
+def print_probability_volume_sharded(
+    image_stack,
+    config: OpticsConfig,
+    model: StochasticResist,
+    mesh: Mesh,
+    *,
+    dz_nm: float,
+    trials_per_device: int,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """(nz, n, n) volumetric print-probability band from trial-sharded
+    stochastic exposures of the rigorous in-film stack
+    (:meth:`..models.stochastic.StochasticResist.deprotection_volume`) —
+    the same one-psum collective pattern as
+    :func:`print_probability_sharded`, with the per-voxel probability
+    volume meeting over ICI. Bit-parity with the single-device
+    :func:`..models.stochastic.stochastic_volume_ensemble` band over the
+    same seed is pinned on the 8-virtual-device CPU mesh."""
+    n_dev = mesh.shape[SOURCE_AXIS]
+    total = n_dev * trials_per_device
+    keys = jax.random.split(jax.random.PRNGKey(seed), total)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(SOURCE_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(stack, keys_shard):
+        def one(carry, k):
+            depro = model.deprotection_volume(k, stack, config, dz_nm=dz_nm)
+            return carry + (depro > model.threshold).astype(jnp.float32), None
+
+        zero = jnp.zeros(stack.shape, jnp.float32)
+        local, _ = jax.lax.scan(one, zero, keys_shard)
+        return jax.lax.psum(local, SOURCE_AXIS)
+
+    band = run(jnp.asarray(image_stack), keys)
+    return band / total

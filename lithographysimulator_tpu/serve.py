@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import dataclasses
 import functools
 import json
 import threading
@@ -569,15 +570,46 @@ class JobRunner:
                 polarization=polarization,
                 apodize=bool(body.get("apodize", True)), rank=rank)
             progress(0.02)  # kernels built; the tile loop reports the rest
+            sto_trials = int(body.get("stochastic_trials", 0))
+            tile_top = 1.0 if not sto_trials else 0.85
             exposure = tiled_film_stack(
                 np.asarray(mask, np.float32), kernels, config,
                 source_total=float(np.asarray(source).sum()), halo=halo,
                 tiles_per_dispatch=int(body.get("tiles_per_dispatch", 8)),
                 mask3d=mask3d,
-                progress_cb=lambda f: progress(0.02 + 0.98 * f))
-            return {"exposure": exposure, "depths_nm": depths,
-                    "big_n": int(mask.shape[0]),
-                    "rank": int(kernels[0].rank)}
+                progress_cb=lambda f: progress(0.02 + (tile_top - 0.02) * f))
+            out = {"exposure": exposure, "depths_nm": depths,
+                   "big_n": int(mask.shape[0]),
+                   "rank": int(kernels[0].rank)}
+            if sto_trials:
+                # volumetric stochastic resist on the in-film exposure:
+                # per-slab counting statistics -> z-resolved LER/defects
+                from .models.stochastic import (StochasticResist,
+                                                stochastic_volume_ensemble)
+
+                if not 1 <= sto_trials <= 256:
+                    raise ValueError("stochastic_trials must be in [1, 256]")
+                model = StochasticResist(
+                    dose_photons_per_nm2=float(
+                        body.get("dose_photons", 20.0)),
+                    diffusion_nm=float(body.get("diffusion", 5.0)),
+                    threshold=float(body.get("threshold", 0.3)),
+                    noise=str(body.get("noise", "poisson")))
+                big_cfg = dataclasses.replace(
+                    config, pixel_number=int(mask.shape[0]))
+                dz = (depths[1] - depths[0]) if len(depths) > 1 else (
+                    stack.thickness_nm / len(depths))
+                vol = stochastic_volume_ensemble(
+                    np.asarray(exposure), big_cfg, model, dz_nm=float(dz),
+                    trials=sto_trials, seed=int(body.get("seed", 0)))
+                out["stochastic"] = {
+                    "trials": vol["trials"],
+                    "ler_top_nm": vol["ler_top_nm"],
+                    "ler_bottom_nm": vol["ler_bottom_nm"],
+                    "slabs": vol["slabs"],
+                }
+                progress(1.0)
+            return out
 
         if job.kind == "stochastic":
             from .metrology import tiled_stochastic

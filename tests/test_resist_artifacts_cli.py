@@ -185,6 +185,25 @@ def test_cli_resist3d_film(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_resist3d_film_volumetric_stochastic(capsys):
+    """--film --trials runs the volumetric stochastic resist on the
+    rigorous (nz, n, n) exposure and reports z-resolved per-slab
+    LER/CD/defect statistics (round 5, VERDICT item 5)."""
+    from lithographysimulator_tpu.cli import main
+
+    rc = main(["resist3d", "--pixel-number", "32", "--source", "classical",
+               "--sigma-out", "0.5", "--mask", "lines", "--nz", "3",
+               "--film", "--substrate", "si", "--trials", "6",
+               "--dose-photons", "40"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[0])
+    sto = report["stochastic"]
+    assert sto["trials"] == 6
+    assert len(sto["slabs"]) == 3
+    assert all(set(s) >= {"ler_nm", "mean_cd_nm", "break_rate",
+                          "bridge_rate", "depth_nm"} for s in sto["slabs"])
+
+
 def test_cli_vector_polarization(tmp_path, capsys):
     """--polarization routes through the Jones-pupil vector engine; at
     hyper-NA the x- and y-polarized images of an asymmetric mask differ."""

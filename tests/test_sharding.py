@@ -397,6 +397,34 @@ def test_stochastic_band_sharded_matches_host():
     assert 0.0 <= band.min() and band.max() <= 1.0
 
 
+def test_stochastic_volume_band_sharded_matches_host():
+    """Trial-sharded VOLUMETRIC print-probability == the single-device
+    ensemble's (nz, n, n) band over the same seed (one global key split,
+    sharded over the mesh — bit parity up to f32 sum order)."""
+    from lithographysimulator_tpu.models.stochastic import (
+        StochasticResist, stochastic_volume_ensemble)
+    from lithographysimulator_tpu.parallel import (
+        print_probability_volume_sharded)
+    from lithographysimulator_tpu.parallel.mesh import source_mesh
+
+    cfg = OpticsConfig(pixel_number=32, pixel_size=5.0)
+    rng = np.random.default_rng(1)
+    base = np.abs(np.fft.ifft2(np.fft.fft2(rng.random((32, 32))) *
+                               np.exp(-0.05 * np.arange(32)[:, None])))
+    stack = np.stack([base, 0.7 * base, 0.5 * base]).astype(np.float32)
+    stack = stack / stack.max()
+    model = StochasticResist(dose_photons_per_nm2=8.0, diffusion_nm=6.0,
+                             threshold=0.4)
+    mesh = source_mesh(8)
+    band = np.asarray(print_probability_volume_sharded(
+        stack, cfg, model, mesh, dz_nm=40.0, trials_per_device=2, seed=5))
+    host = stochastic_volume_ensemble(stack, cfg, model, dz_nm=40.0,
+                                      trials=16, seed=5)
+    np.testing.assert_allclose(band, host["print_probability"], atol=1e-6)
+    assert band.shape == stack.shape
+    assert 0.0 <= band.min() and band.max() <= 1.0
+
+
 def test_film_stack_sharded_matches_local():
     """Source-psum film stack == single-chip film_stack_images, scalar and
     vector, including under an M3D boundary layer."""
