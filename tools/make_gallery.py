@@ -734,10 +734,134 @@ Regenerate with `python tools/make_gallery.py` (CPU, deterministic).
          np.abs(model_le - rig2d) / lim),
     ], ncols=3, cmap="magma")
 
+    panel_stochastic_volume()
+    panel_m3d_azimuth()
+
     # regenerate the demo 6-panel via the CLI path
     from lithographysimulator_tpu.cli import main as cli_main
     cli_main(["demo", "--out", str(DOCS / "demo.png")])
 
 
+def panel_stochastic_volume():
+    # 21. Volumetric stochastic resist on the rigorous in-film exposure
+    # (round 5): depth-resolved LER + photon-starved bottom-slab defects
+    cfg_v = lt.OpticsConfig(pixel_number=64)
+    src_v = np.asarray(lt.LightSource(cfg_v, sigma_out=0.5).classical())
+    mask_v = lt.lines_and_spaces(cfg_v, line_width_px=7, pitch_px=16)
+    nz_v = 24
+    dz_v = 300.0 / nz_v
+    depths_v = [dz_v * (i + 0.5) for i in range(nz_v)]
+
+    def exposure(wafer):
+        st = np.asarray(lt.film_stack_images(
+            mask_v, src_v, config=cfg_v, wafer_stack=wafer,
+            depths_nm=depths_v, normalize=True))
+        return st / st.max()
+
+    stack_bare = exposure(lt.WaferStack(n_resist=1.71 + 0.02j,
+                                        thickness_nm=300.0))
+    stack_v = exposure(lt.WaferStack(
+        n_resist=1.71 + 0.04j, thickness_nm=300.0,
+        under_layers=((37.0, 1.82 + 0.39j),)))
+    vol = lt.stochastic_volume_ensemble(
+        stack_v, cfg_v,
+        lt.StochasticResist(dose_photons_per_nm2=6.0, diffusion_nm=4.0,
+                            threshold=0.2),
+        dz_nm=dz_v, trials=24, seed=3)
+    band_v = vol["print_probability"]
+    fig, axes = plt.subplots(1, 5, dpi=170, figsize=(16.5, 3.4))
+    row_v = cfg_v.n // 2
+    for ax, st, ttl in [
+            (axes[0], stack_bare, "in-film exposure x-z, bare Si\n"
+             "(substrate standing waves)"),
+            (axes[1], stack_v, "with BARC + absorption\n"
+             "(swing suppressed, Beer-Lambert decay)")]:
+        ax.imshow(st[:, row_v, :], cmap="inferno", aspect="auto",
+                  extent=[0, cfg_v.n, 300.0, 0.0], vmin=0, vmax=1)
+        ax.set_title(ttl, fontsize=9)
+        ax.set_ylabel("depth (nm)", fontsize=8)
+    ds = [s["depth_nm"] for s in vol["slabs"]]
+    axes[2].plot(ds, [s["ler_nm"] for s in vol["slabs"]], "o-",
+                 color="#b5453c")
+    axes[2].set_title("z-resolved LER (3$\\sigma$)\ngrows toward the "
+                      "photon-starved bottom", fontsize=9)
+    axes[2].set_xlabel("depth (nm)", fontsize=8)
+    axes[2].set_ylabel("LER (nm)", fontsize=8)
+    axes[2].grid(alpha=0.3)
+    for ax, (slab, ttl) in zip(
+            axes[3:], [(0, "print probability, top slab"),
+                       (nz_v - 1, "print probability, bottom slab\n"
+                        "(stochastic footing/bridging)")]):
+        ax.imshow(band_v[slab], cmap="viridis", vmin=0, vmax=1)
+        ax.set_title(ttl, fontsize=9)
+        ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(DOCS / "stochastic_volume.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "stochastic_volume.png")
+
+
+def panel_m3d_azimuth():
+    # 22. Azimuth-resolved EUV M3D (round 5): across-slit chief-ray
+    # rotation moves the shadowing asymmetry from V edges onto H edges
+    from lithographysimulator_tpu.ops.mask3d import boundary_layer_from_rcwa
+
+    cfg_az = lt.OpticsConfig(pixel_number=32, wavelength=13.5, na=0.33,
+                             pixel_size=4.0)
+
+    def tap_asym(rise, fall):
+        return max(abs(a - b) for a, b in zip(rise, fall[::-1]))
+
+    azimuths = [0.0, 20.0, 40.0, 60.0]
+    fits = {}
+    for az in azimuths:
+        ek_az, _ = boundary_layer_from_rcwa(
+            cfg_az, stack="euv_ta", pitch_px=16,
+            illumination_pol="unpolarized", steps=200, incidence_deg=6.0,
+            taps=1, azimuth_deg=az)
+        fits[az] = ek_az
+    v_asym = [tap_asym(fits[a].taps_v_rise, fits[a].taps_v_fall)
+              for a in azimuths]
+    h_asym = [tap_asym(fits[a].taps_h_rise, fits[a].taps_h_fall)
+              for a in azimuths]
+    fig, axes = plt.subplots(1, 3, dpi=170, figsize=(10.5, 3.4))
+    axes[0].plot(azimuths, v_asym, "o-", color="#2d5f8a",
+                 label="vertical edges")
+    axes[0].plot(azimuths, h_asym, "s-", color="#b5453c",
+                 label="horizontal edges")
+    axes[0].set_title("EUV shadowing asymmetry vs chief-ray azimuth\n"
+                      "(6° tilt, TaBN reticle, taps=1)", fontsize=9)
+    axes[0].set_xlabel("azimuth from +x (deg)", fontsize=8)
+    axes[0].set_ylabel("max |rise − mirrored fall| tap gap", fontsize=8)
+    axes[0].legend(fontsize=8)
+    axes[0].grid(alpha=0.3)
+    offs = np.arange(-1, 2)
+    for ax, az in zip(axes[1:], (0.0, 60.0)):
+        ek_az = fits[az]
+        ax.plot(offs, np.abs(np.asarray(ek_az.taps_v_rise)), "o-",
+                color="#2d5f8a", label="V rise")
+        ax.plot(offs, np.abs(np.asarray(ek_az.taps_v_fall))[::-1], "o--",
+                color="#7aa6c9", label="V fall (mirrored)")
+        ax.plot(offs, np.abs(np.asarray(ek_az.taps_h_rise)), "s-",
+                color="#b5453c", label="H rise")
+        ax.plot(offs, np.abs(np.asarray(ek_az.taps_h_fall))[::-1], "s--",
+                color="#d99a94", label="H fall (mirrored)")
+        ax.set_title(f"|edge taps| at azimuth {az:.0f}°", fontsize=9)
+        ax.set_xlabel("tap offset (px)", fontsize=8)
+        ax.set_xticks(offs)
+        ax.legend(fontsize=7)
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(DOCS / "m3d_azimuth.png", bbox_inches="tight")
+    plt.close(fig)
+    print("wrote", DOCS / "m3d_azimuth.png")
+
+
 if __name__ == "__main__":
-    main()
+    # `python tools/make_gallery.py panel_a panel_b` regenerates only the
+    # named panel_* functions; no args regenerates everything.
+    if len(sys.argv) > 1:
+        for name in sys.argv[1:]:
+            globals()[f"panel_{name}"]()
+    else:
+        main()
