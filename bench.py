@@ -79,8 +79,24 @@ def main() -> None:
     src = np.asarray(
         lt.LightSource(cfg, sigma_in=0.4, sigma_out=0.8).quasar(4, -np.pi / 8))
     points = int(src.sum())
-    aberrations = jnp.zeros(1, jnp.float32)
     src_dev = jnp.asarray(src)
+
+    # Anti-memoization nonces: re-dispatching a compiled program with
+    # IDENTICAL argument bytes through the tunnel can return a memoized
+    # result in ~0 s WITHOUT executing (CLAUDE.md; the round-5 run-1
+    # capture measured a 0.0 s chromatic cold build this way). Every
+    # warmed-then-timed dispatch therefore gets a unique tiny piston
+    # coefficient (OSA j=0): a global pupil phase — intensity-invariant
+    # physics, distinct input bytes, so the timed call must execute.
+    _nonce_k = [0]
+
+    def ab_nonce(length: int = 1):
+        _nonce_k[0] += 1
+        v = np.zeros(length, np.float32)
+        v[0] = np.float32(1e-9 * ((time.time_ns() % 997_001) + _nonce_k[0]))
+        return jnp.asarray(v)
+
+    aberrations = ab_nonce()
 
     # --- SOCS pipeline --------------------------------------------------
     # power_iters=1 + method='nystrom' (round 4, tools/exp_nystrom_r4.py):
@@ -99,15 +115,19 @@ def main() -> None:
         return socs_image(mask_spectrum(geom, cfg), socs, cfg, chunk=CHUNK)
 
     _progress("compiling 1024^2 SOCS build")
-    socs = jax.block_until_ready(socs_build(aberrations, src_dev))  # compile
+    socs = jax.block_until_ready(socs_build(ab_nonce(), src_dev))   # compile
     _progress("compiling 1024^2 SOCS apply")
     jax.block_until_ready(socs_apply(mask.geometry, socs))          # compile
 
     t0 = time.perf_counter()
     socs = jax.block_until_ready(socs_build(aberrations, src_dev))
     t_build = time.perf_counter() - t0
+    # a piston nonce cancels inside the TCC, so the warm/timed kernel sets
+    # can round to identical bytes — nonce the apply's geometry scale too
+    # (1e-7 relative, cancels in every normalized consumer)
+    geom_t = mask.geometry * jnp.float32(1.0 + 1e-7)
     t0 = time.perf_counter()
-    image = jax.block_until_ready(socs_apply(mask.geometry, socs))
+    image = jax.block_until_ready(socs_apply(geom_t, socs))
     t_apply = time.perf_counter() - t0
     total = t_build + t_apply
 
@@ -147,7 +167,9 @@ def main() -> None:
                  shifts[k * seg:(k + 1) * seg], weights[k * seg:(k + 1) * seg])
                 for k in range(SEGMENTS)]
     _progress("compiling 1024^2 int8 Abbe segment")
-    jax.block_until_ready(abbe_int8(*seg_args[0]))  # compile (one shape)
+    jax.block_until_ready(abbe_int8(                # compile (one shape);
+        mask.geometry, ab_nonce(),                  # nonce: the timed loop
+        seg_args[0][2], seg_args[0][3]))            # re-runs these args
     _progress("measuring 1024^2 int8 Abbe (8 segments)")
     t0 = time.perf_counter()
     partials = [abbe_int8(*a) for a in seg_args]
@@ -171,7 +193,8 @@ def main() -> None:
     # not extrapolated from one segment — VERDICT r3 item 7)
     abbe_f32 = make_seg("matmul")
     _progress("compiling 1024^2 f32 Abbe segment")
-    jax.block_until_ready(abbe_f32(*seg_args[0]))
+    jax.block_until_ready(abbe_f32(mask.geometry, ab_nonce(),
+                                   seg_args[0][2], seg_args[0][3]))
     _progress("measuring 1024^2 f32 Abbe (8 segments)")
     t0 = time.perf_counter()
     partials_f32 = [abbe_f32(*a) for a in seg_args]
@@ -196,7 +219,8 @@ def main() -> None:
 
     args2 = (mask2.geometry, aberrations, jnp.asarray(src2))
     _progress("compiling 2048^2 SOCS cold pipeline")
-    jax.block_until_ready(socs_cold_2048(*args2))  # compile
+    jax.block_until_ready(socs_cold_2048(mask2.geometry, ab_nonce(),
+                                         args2[2]))  # compile
     t0 = time.perf_counter()
     jax.block_until_ready(socs_cold_2048(*args2))
     t_socs_2048 = time.perf_counter() - t0
@@ -217,7 +241,8 @@ def main() -> None:
 
     a2 = (mask2.geometry, aberrations, shifts2[:seg2], weights2[:seg2])
     _progress("compiling 2048^2 int8 Abbe segment")
-    jax.block_until_ready(abbe_seg_2048(*a2))
+    jax.block_until_ready(abbe_seg_2048(mask2.geometry, ab_nonce(),
+                                        a2[2], a2[3]))
     t0 = time.perf_counter()
     jax.block_until_ready(abbe_seg_2048(*a2))
     t_seg_2048 = time.perf_counter() - t0
@@ -271,7 +296,8 @@ def main() -> None:
             chunk=CHUNK, engine="int8_fast", max_abs_shift=max_shift2)
 
     _progress("compiling 2048^2 int8_fast Abbe segment")
-    jax.block_until_ready(abbe_seg_2048_fast(*a2))
+    jax.block_until_ready(abbe_seg_2048_fast(mask2.geometry, ab_nonce(),
+                                             a2[2], a2[3]))
     t0 = time.perf_counter()
     jax.block_until_ready(abbe_seg_2048_fast(*a2))
     abbe_2048_fast_pts_per_s = seg2 / (time.perf_counter() - t0)
@@ -296,6 +322,9 @@ def main() -> None:
 
     ab_planes = jnp.asarray(np.asarray(focus_stack_aberrations(
         np.zeros(5, np.float32), np.array([0.0, 40.0, 80.0], np.float32))))
+    # unique piston per plane per run (anti-memoization, see ab_nonce)
+    ab_planes = ab_planes.at[:, 0].set(
+        jnp.asarray([float(ab_nonce()[0]) for _ in range(3)], jnp.float32))
     _progress("compiling warm-start builds")
     _, basis = socs_build_basis(ab_planes[0], src_dev)
     jax.block_until_ready(basis)
@@ -325,7 +354,9 @@ def main() -> None:
 
     _progress("compiling 1024^2 polarized SOCS cold")
     argsv = (mask.geometry, ab_planes[0], src_dev)
-    jax.block_until_ready(vector_socs_cold(*argsv, rot_v))
+    argsv_warm = (mask.geometry, ab_planes[0].at[0].set(float(ab_nonce()[0])),
+                  src_dev)
+    jax.block_until_ready(vector_socs_cold(*argsv_warm, rot_v))
     t0 = time.perf_counter()
     jax.block_until_ready(vector_socs_cold(*argsv, rot_v))
     t_vector_cold = time.perf_counter() - t0
@@ -351,7 +382,7 @@ def main() -> None:
         return socs_image(mask_spectrum(geom, cfg), k, cfg, chunk=CHUNK)
 
     _progress("compiling 1024^2 chromatic SOCS cold")
-    jax.block_until_ready(chromatic_socs_cold(*argsv, rot_c))
+    jax.block_until_ready(chromatic_socs_cold(*argsv_warm, rot_c))
     t0 = time.perf_counter()
     jax.block_until_ready(chromatic_socs_cold(*argsv, rot_c))
     t_chromatic_cold = time.perf_counter() - t0
@@ -369,8 +400,22 @@ def main() -> None:
                                  threshold=0.3, pag_per_nm2=5.0)
     _progress("compiling 1024^2 stochastic trials")
     sto_image = image / jnp.max(image)
-    jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
-                                          trials=16, seed=0, trial_chunk=8))
+
+    from lithographysimulator_tpu.models.stochastic import _compiled_trials
+
+    # Per-trial mean probe: block_until_ready does NOT reliably synchronize
+    # through the tunnel (r5 run 1 clocked 0.4 ms for 16 trials at 1024^2),
+    # so the timed region must include a host readback that DEPENDS on the
+    # trials — 16 floats, negligible transfer.
+    @jax.jit
+    def sto_probe(im, keys):
+        run = _compiled_trials(sto_model, cfg, True, 8)
+        return jnp.mean(run(im, keys), axis=(1, 2))
+
+    def sto_keys(s):
+        return jax.random.split(jax.random.PRNGKey(s), 16)
+
+    np.asarray(sto_probe(sto_image, sto_keys(0)))  # compile
     # Median of 3 timed repetitions (VERDICT r4 item 7: single samples of
     # this stage swung 1.8x between same-code captures — the dispatch is
     # ~100 ms, so one tunnel hiccup dominates a single sample). Seeds
@@ -378,9 +423,7 @@ def main() -> None:
     sto_times = []
     for s in (1, 2, 3):
         t0 = time.perf_counter()
-        jax.block_until_ready(exposure_trials(sto_image, cfg, sto_model,
-                                              trials=16, seed=s,
-                                              trial_chunk=8))
+        np.asarray(sto_probe(sto_image, sto_keys(s)))
         sto_times.append(time.perf_counter() - t0)
     sto_trials_per_s = 16 / float(np.median(sto_times))
 
@@ -421,7 +464,8 @@ def main() -> None:
         return socs_image(mask_spectrum(geom, cfg2), k, cfg2, chunk=CHUNK)
 
     _progress("compiling 2048^2 lean rank-256 build")
-    jax.block_until_ready(socs_lean_2048(*args2))
+    jax.block_until_ready(socs_lean_2048(mask2.geometry, ab_nonce(),
+                                         args2[2]))
     t0 = time.perf_counter()
     jax.block_until_ready(socs_lean_2048(*args2))
     t_lean_2048 = time.perf_counter() - t0
