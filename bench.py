@@ -132,18 +132,21 @@ def main() -> None:
     total = t_build + t_apply
 
     # Accuracy class of the headline (VERDICT r4 item 4): the rigorous
-    # dropped-tail bound on nRMS vs exact Abbe — trace = w_sum * sum|P|^2,
-    # Cauchy-Schwarz factor sum|M|^2, peak from the image itself (all
-    # scalars computed in-jit; eager complex math dies on the tunnel).
-    _progress("computing SOCS truncation bound scalars")
-    eig_sum = float(np.asarray(jnp.sum(socs.eigenvalues)))
+    # dropped-tail bound on nRMS vs exact Abbe, via the library's refined
+    # formula (completeness sup + exact tail mean — the raw dropped-trace
+    # sup is vacuous at this scale: 285 in the round-5 run-1 capture).
+    # All complex math stays in-jit; eager complex dies on the tunnel.
+    _progress("computing SOCS truncation bound")
+    from lithographysimulator_tpu.ops.hopkins import socs_image_nrms_bound
+
+    pupil_dev = jax.jit(lambda a: pupil_function(a, cfg))(aberrations)
+    spec_dev = jax.jit(lambda g: mask_spectrum(g, cfg))(geom_t)
     r0 = float(np.asarray(jax.jit(
-        lambda a: jnp.sum(jnp.abs(pupil_function(a, cfg)) ** 2))(aberrations)))
-    m2 = float(np.asarray(jax.jit(
-        lambda g: jnp.sum(jnp.abs(mask_spectrum(g, cfg)) ** 2))(mask.geometry)))
+        lambda p: jnp.sum(jnp.abs(p) ** 2))(pupil_dev)))
     trace = float(src.sum()) * r0
-    peak_1024 = float(np.asarray(jnp.max(image)))
-    socs_nrms_bound = max(trace - eig_sum, 0.0) * m2 / max(peak_1024, 1e-30)
+    socs_nrms_bound = socs_image_nrms_bound(
+        socs, spec_dev, image, trace=trace, pupil=pupil_dev,
+        source_map=src_dev)
     # 2.1 GB kernel set, never used again: the 2048^2 Nystrom cold build
     # below peaks ~3 probe blocks (~13.9 GB) and needs the HBM back
     # (holding this OOMed the r4 bench; CLAUDE.md buffer-discipline rule).

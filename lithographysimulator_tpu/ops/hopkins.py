@@ -32,6 +32,7 @@ TPU-native structure:
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -1530,6 +1531,32 @@ def socs_energy_captured(socs: SOCSKernels, pupil, source_map, *,
     return float(np.asarray(jnp.sum(socs.eigenvalues))) / trace
 
 
+@jax.jit
+def _tcc_diag_weighted_m2(pupil, source_map, spec):
+    """sum_k |M(k)|^2 * diag_TCC(k) with diag_TCC(k) = sum_s w_s |P(k-s)|^2
+    (circular shifts — the Abbe engine's roll convention; the ifftshift
+    alignment is pinned against a brute-force rolled-pupil sum in
+    tests/test_socs_bound.py). Equals the raw-grid mean of the EXACT image
+    in eigenvalue units under the forward-norm inverse DFT."""
+    p2 = (jnp.abs(pupil) ** 2).astype(jnp.complex64)
+    src_c = source_map.astype(jnp.complex64)
+    diag = jnp.real(jnp.fft.ifft2(
+        jnp.fft.fft2(jnp.fft.ifftshift(src_c)) * jnp.fft.fft2(p2)))
+    return jnp.sum(jnp.abs(spec) ** 2 * diag).astype(jnp.float32)
+
+
+@jax.jit
+def _kept_tail_mean(kernels, eigenvalues, spec):
+    """sum_j lambda_j ||phi_j * M||^2 — the raw-grid mean of the SOCS image
+    in eigenvalue units. lax.map keeps the transient at one (n, n) complex
+    buffer (a flat (rank, n, n) product is multi-GB at 1024^2 rank 256)."""
+    def one(k):
+        return jnp.sum(jnp.abs(k * spec) ** 2)
+
+    prod = jax.lax.map(one, kernels)
+    return jnp.sum(eigenvalues * prod).astype(jnp.float32)
+
+
 def socs_image_nrms_bound(socs: SOCSKernels, spectrum, image, *,
                           trace: float | None = None, pupil=None,
                           source_map=None, polarization=None,
@@ -1559,14 +1586,41 @@ def socs_image_nrms_bound(socs: SOCSKernels, spectrum, image, *,
     known, else ``pupil``/``source_map`` (+ ``polarization``/``config`` for
     vector builds) to compute it via :func:`tcc_total_trace`.
 
+    Two refinements tighten the raw Cauchy-Schwarz sup (round 5; each is
+    orders of magnitude at production scale, where the plain dropped-trace
+    sup goes vacuous — 285 at the bench's 1024^2 rank-256 headline):
+
+    - **Completeness**: for any pixel x, Delta I(x) = sum_d lambda_j
+      |<u_x, phi_j>|^2 with u_x(k) = conj(e_x(k)) M(k), and summing
+      |<u_x, phi_j>|^2 over the FULL orthonormal eigenbasis gives
+      ||u_x||^2 = sum|M|^2 — so the sup also obeys
+      ``Delta I <= lambda_max_dropped * sum|M|^2``. For the exact
+      decomposition lambda_max_dropped <= the smallest KEPT eigenvalue
+      (descending order); the sup scale becomes
+      ``min(dropped_trace, lambda_kept_min)``.
+    - **Exact tail mean** (scalar builds, needs ``pupil``+``source_map``):
+      the raw-grid mean of Delta I is computable without the exact solver:
+      mean(I_exact) = sum_k |M(k)|^2 * diag_TCC(k) with diag_TCC(k) =
+      sum_s w_s |P(k-s)|^2 (one circular convolution — the engine's roll
+      convention, alignment pinned by tests), and mean(I_socs) =
+      sum_kept lambda_j ||phi_j M||^2 from the kernels in hand. With
+      0 <= Delta I <= S pointwise, RMS^2 <= S * mean(Delta I); the Gau'23
+      postprocess reuses a raw pixel at most 4x across its bilinear
+      convex combinations, so mean_post <= 4 * mean_raw and
+      ``RMS <= 2 * sqrt(S * mean(Delta I))``. The tail mean is floored at
+      1e-6 of mean(I_exact) (the f32 reduction noise floor) so float
+      cancellation cannot fake a zero bound.
+
     For randomized builds the kept pairs are Ritz approximations: the
     kept-subspace misfit adds a term that is higher-order in the
     oversampled / power-iterated residual, while the Ritz values
     UNDER-estimate the true top eigenvalues (Cauchy interlacing), which
-    over-estimates the dropped trace — in practice the bound holds with
-    margin (tests/test_socs_bound.py verifies bound >= measured across the
-    demo configs). The bound covers SOCS truncation only, not the int8
-    apply engine's ~6e-7 quantization floor."""
+    over-estimates the dropped trace (and in practice lambda_kept_min
+    tracks the true lambda_rank from below closely enough that the
+    refined bound keeps an order-of-magnitude margin) — in practice the
+    bound holds with margin (tests/test_socs_bound.py verifies bound >=
+    measured across the demo configs). The bound covers SOCS truncation
+    only, not the int8 apply engine's ~6e-7 quantization floor."""
     if trace is None:
         if pupil is None or source_map is None:
             raise ValueError("socs_image_nrms_bound needs trace= or "
@@ -1575,13 +1629,27 @@ def socs_image_nrms_bound(socs: SOCSKernels, spectrum, image, *,
                                 apodize=apodize, config=config)
     kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
     dropped = max(trace - kept, 0.0)
+    lam_min = float(np.asarray(jnp.min(socs.eigenvalues)))
+    sup_scale = min(dropped, lam_min) if lam_min > 0 else dropped
     m2 = float(np.asarray(_field_power(to_device_complex(spectrum))))
     peak = float(np.asarray(jnp.max(image)))
     if total_weight is not None:
         peak = peak * float(total_weight)
     if peak <= 0:
-        return 0.0 if dropped * m2 == 0 else float("inf")
-    return dropped * m2 / peak
+        return 0.0 if sup_scale * m2 == 0 else float("inf")
+    bound = sup_scale * m2 / peak
+    if (pupil is not None and source_map is not None
+            and polarization is None):
+        spec_dev = to_device_complex(spectrum)
+        a_all = float(np.asarray(_tcc_diag_weighted_m2(
+            to_device_complex(pupil),
+            jnp.asarray(np.asarray(source_map), jnp.float32), spec_dev)))
+        a_kept = float(np.asarray(_kept_tail_mean(
+            socs.kernels, socs.eigenvalues, spec_dev)))
+        tail_mean = max(a_all - a_kept, 1e-6 * abs(a_all))
+        bound = min(bound,
+                    2.0 * math.sqrt(sup_scale * m2 * tail_mean) / peak)
+    return bound
 
 
 def auto_rank_socs(
@@ -1622,8 +1690,9 @@ def auto_rank_socs(
             kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
             return trace <= 0 or kept / trace >= energy_target
         image = socs_image(spectrum, socs, config, chunk=image_chunk)
-        return socs_image_nrms_bound(socs, spectrum, image,
-                                     trace=trace) <= tolerance
+        return socs_image_nrms_bound(socs, spectrum, image, trace=trace,
+                                     pupil=pupil,
+                                     source_map=source_map) <= tolerance
 
     socs = randomized_socs(pupil, source_map, config, rank=rank, **kwargs)
     while not converged(socs) and rank < max_rank:

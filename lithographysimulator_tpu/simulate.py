@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import time
 from typing import Literal
 
@@ -348,13 +349,16 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
             geo_dev = jnp.asarray(geometry)
             apply_run = _compiled_socs_apply(config, chunk, normalize, mask3d)
 
-            def bound_of(socs, energy):
+            def bound_of(socs, energy, pupil=None):
                 image, spectrum = apply_run(geo_dev, socs,
                                             jnp.float32(w_sum))
                 kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
                 trace = kept / energy if energy > 0 else 0.0
+                scalar = polarization is None and chromatic is None
                 return socs_image_nrms_bound(
                     socs, spectrum, image, trace=trace,
+                    pupil=(pupil if scalar else None),
+                    source_map=(src_dev if scalar else None),
                     total_weight=(w_sum if normalize else None))
 
         # Aberration-independent principal-channel rotation (None when the
@@ -400,7 +404,7 @@ def _socs_kernels_cached(config: OpticsConfig, src_np: np.ndarray,
                         channel_k)(aberrations, src_dev, rot)
                 energy = energy_of(socs, r0)
                 if tolerance is not None:
-                    bound = bound_of(socs, energy)
+                    bound = bound_of(socs, energy, pupil)
                     done = bound <= tolerance
                 else:
                     done = energy >= _AUTO_ENERGY_TARGET
@@ -437,13 +441,20 @@ def _compiled_socs_pipeline(config: OpticsConfig, chunk: int, normalize: bool,
             image = jnp.where(total > 0,
                               image / jnp.maximum(total, 1e-30), 0.0)
         # Accounting scalars for the report's accuracy class: kept
-        # eigenvalue sum, pupil power (trace = w_sum * r0), spectrum power
-        # (the Cauchy-Schwarz factor of socs_image_nrms_bound) — computed
-        # in-jit because eager complex math dies on the TPU tunnel.
+        # eigenvalue sum + smallest kept eigenvalue, pupil power (trace =
+        # w_sum * r0), spectrum power, and the two raw-grid means behind
+        # socs_image_nrms_bound's refined formula — computed in-jit because
+        # eager complex math dies on the TPU tunnel.
+        from .ops.hopkins import _kept_tail_mean, _tcc_diag_weighted_m2
+
         eig_sum = jnp.sum(socs.eigenvalues)
+        eig_min = jnp.min(socs.eigenvalues)
         r0 = jnp.sum(jnp.abs(pupil) ** 2).astype(jnp.float32)
         m2 = jnp.sum(jnp.abs(spectrum) ** 2).astype(jnp.float32)
-        return image, spectrum, pupil, eig_sum, r0, m2
+        a_all = _tcc_diag_weighted_m2(pupil, source_map, spectrum)
+        a_kept = _kept_tail_mean(socs.kernels, socs.eigenvalues, spectrum)
+        return (image, spectrum, pupil, eig_sum, r0, m2,
+                eig_min, a_all, a_kept)
 
     return run
 
@@ -875,13 +886,17 @@ def simulate(
 
                 kept = float(np.asarray(jnp.sum(socs.eigenvalues)))
                 trace = kept / socs_energy if socs_energy > 0 else 0.0
+                scalar = polarization is None and chromatic is None
                 socs_bound = socs_image_nrms_bound(
                     socs, spectrum, image, trace=trace,
+                    pupil=(pupil if scalar else None),
+                    source_map=(jnp.asarray(src_np) if scalar else None),
                     total_weight=(w_sum if normalize else None))
         else:
             run = _compiled_socs_pipeline(config, chunk, normalize, socs_rank,
                                           mask3d)
-            image, spectrum, pupil, eig_sum, r0, m2 = run(
+            (image, spectrum, pupil, eig_sum, r0, m2,
+             eig_min, a_all, a_kept) = run(
                 mask.geometry, aberrations, jnp.asarray(src_np))
             socs_rank_used = int(socs_rank)
             kept = float(np.asarray(eig_sum))
@@ -890,8 +905,19 @@ def simulate(
             peak = float(np.asarray(jnp.max(image)))
             if normalize:
                 peak *= w_sum
-            socs_bound = (max(trace - kept, 0.0) * float(np.asarray(m2))
-                          / peak if peak > 0 else 0.0)
+            # same refined formula as socs_image_nrms_bound, from the
+            # pipeline's in-jit scalars (the fused build never returns its
+            # multi-GB kernel set to the host)
+            lam_min = float(np.asarray(eig_min))
+            dropped = max(trace - kept, 0.0)
+            sup_scale = min(dropped, lam_min) if lam_min > 0 else dropped
+            tail = max(float(np.asarray(a_all)) - float(np.asarray(a_kept)),
+                       1e-6 * abs(float(np.asarray(a_all))))
+            if peak > 0:
+                s_m2 = sup_scale * float(np.asarray(m2))
+                socs_bound = min(s_m2, 2.0 * math.sqrt(s_m2 * tail)) / peak
+            else:
+                socs_bound = 0.0
     else:
         max_abs_shift = int(np.abs(shifts).max()) if shifts.size else 0
         run = _compiled_pipeline(config, solver, chunk, normalize,

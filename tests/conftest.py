@@ -28,6 +28,22 @@ import pytest
 GOLDEN_DIR = Path(__file__).parent / "golden"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_memory_mappings():
+    """XLA:CPU keeps ~5-10 virtual-memory mappings alive per compiled
+    executable held in jit caches. At this suite's scale (604 tests,
+    thousands of compiled programs) the process crosses the kernel's
+    vm.max_map_count (65530 default) and LLVM segfaults inside a later
+    compile — observed as a deterministic 'Fatal Python error:
+    Segmentation fault' in backend_compile_and_load at ~95% of the full
+    suite (test_vector_socs), while the same test passes standalone.
+    Dropping compiled programs after every test module keeps the mapping
+    count bounded; modules rarely share traced programs, so the recompile
+    cost is noise (measured: clear_caches releases the mappings)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def golden():
     """Loader for reference-generated golden fixtures."""

@@ -102,6 +102,37 @@ def test_bound_dominates_annular_unaberrated():
     assert bound >= nrms(img, exact)
 
 
+def test_tcc_diag_convolution_alignment():
+    """The refined bound's exact tail mean rides on the TCC diagonal
+    diag(k) = sum_s w_s |P(k-s)|^2 computed as ONE circular convolution;
+    on an even grid the ifftshift alignment is a classic off-by-one trap,
+    so pin it against the brute-force rolled-pupil sum at the engine's
+    shift convention, weighted by a non-uniform |M|^2 (a plain sum check
+    is alignment-blind)."""
+    import jax.numpy as jnp
+
+    from lithographysimulator_tpu.ops.hopkins import _tcc_diag_weighted_m2
+    from lithographysimulator_tpu.parallel import padded_source_arrays
+
+    cfg, _, src, ab = _demo()
+    import lithographysimulator_tpu.models.pupil as mp
+
+    pupil = mp.pupil_function(ab, cfg)
+    p2 = np.abs(np.asarray(pupil)) ** 2
+    shifts, weights, _ = padded_source_arrays(src, 1)
+    diag_bf = np.zeros_like(p2)
+    for (dy, dx), w in zip(np.asarray(shifts), np.asarray(weights)):
+        if w:
+            diag_bf += w * np.roll(np.roll(p2, int(dy), 0), int(dx), 1)
+    rng = np.random.default_rng(0)
+    m = (rng.standard_normal(p2.shape) + 1j * rng.standard_normal(p2.shape))
+    expect = float((np.abs(m) ** 2 * diag_bf).sum())
+    got = float(_tcc_diag_weighted_m2(
+        pupil, jnp.asarray(src, jnp.float32),
+        jnp.asarray(m.astype(np.complex64))))
+    assert got == pytest.approx(expect, rel=1e-4)
+
+
 def test_tolerance_selects_rank():
     """randomized_socs(rank='auto', tolerance=...) returns the smallest
     doubling-step rank whose bound meets the budget."""
