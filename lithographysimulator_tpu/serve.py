@@ -667,12 +667,27 @@ class LithoService:
     # pile up handler threads forever — expire to 503 instead.
     BATCH_WAIT_TIMEOUT_S = 900.0
 
+    # Compiled-program hygiene: XLA keeps virtual-memory mappings alive per
+    # compiled executable held in jit caches, and a single process crosses
+    # the kernel's vm.max_map_count (65530 default) after a few thousand
+    # programs — LLVM then segfaults inside a later compile (root-caused on
+    # the 604-test suite; see tests/conftest.py). A long-lived server under
+    # signature churn (every distinct optics config x batch shape is a new
+    # program) walks into the same wall, so the worker drops ALL compiled
+    # programs once the number of distinct program keys it has dispatched
+    # exceeds this bound. Cost when triggered: the next request per
+    # signature recompiles (seconds); steady same-signature serving never
+    # triggers it.
+    MAX_LIVE_PROGRAMS = 48
+
     def __init__(self, *, batching: bool = True, batch_window_s: float = 0.005,
                  max_batch: int = 8):
         self.started = time.time()
         self.requests_served = 0
         self.batches_run = 0
         self.batched_requests = 0
+        self.jit_cache_clears = 0
+        self._program_keys: set = set()
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.batching = batching
@@ -837,6 +852,15 @@ class LithoService:
         if padded_b != b:
             masks = np.concatenate(
                 [masks, np.broadcast_to(masks[:1], (padded_b - b, *masks.shape[1:]))])
+        key = (signature, padded_b)
+        if key not in self._program_keys:
+            self._program_keys.add(key)
+            if len(self._program_keys) > self.MAX_LIVE_PROGRAMS:
+                import jax
+
+                jax.clear_caches()
+                self._program_keys = {key}
+                self.jit_cache_clears += 1
         images = simulate_batch(
             masks, config, source,
             np.asarray(aberr, np.float32) if aberr else None,
@@ -894,6 +918,8 @@ class LithoService:
             "batches_run": self.batches_run,
             "batched_requests": self.batched_requests,
             "batching": self.batching,
+            "live_programs": len(self._program_keys),
+            "jit_cache_clears": self.jit_cache_clears,
             **device_info(),
         }
 

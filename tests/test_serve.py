@@ -845,3 +845,35 @@ def test_job_film_validation(server):
             assert final["status"] == "error", (bad, final)
         else:
             assert status == 400
+
+
+def test_jit_cache_hygiene_bounds_live_programs(monkeypatch):
+    """Long-lived servers under signature churn walk into the same
+    vm.max_map_count wall the test suite hit (every distinct optics config
+    x batch shape is a new compiled program whose VM mappings stay alive in
+    jit caches): the worker must drop compiled programs once its distinct
+    program-key count crosses MAX_LIVE_PROGRAMS, and keep serving
+    correctly afterwards."""
+    from lithographysimulator_tpu.serve import LithoService
+
+    svc = LithoService(batching=False)
+    monkeypatch.setattr(LithoService, "MAX_LIVE_PROGRAMS", 2)
+    mask = np.asarray(demo_bars(CFG).geometry)
+    images = []
+    for ab in ([0.0], [0.0, 0.0, 0.01], [0.0, 0.0, 0.02], [0.0]):
+        out = svc.simulate({
+            "pixel_number": 32,
+            "mask": _encode_array(mask),
+            "source": {"kind": "classical", "sigma_out": 0.5},
+            "aberrations": ab,
+            "normalize": True,
+        })
+        images.append(_decode_array(out["image"]))
+    assert svc.jit_cache_clears >= 1          # churn crossed the bound
+    assert len(svc._program_keys) <= 2        # population stays bounded
+    h = svc.health()
+    assert h["jit_cache_clears"] == svc.jit_cache_clears
+    assert h["live_programs"] == len(svc._program_keys)
+    # correctness across a clear: the repeated signature (recompiled after
+    # the drop) must reproduce its first answer exactly
+    np.testing.assert_allclose(images[3], images[0], rtol=1e-6)
